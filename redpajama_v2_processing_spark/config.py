@@ -1,0 +1,104 @@
+"""Shared, engine-agnostic configuration.
+
+Every constant here is consumed BOTH by the Spark implementation
+(``functions/``, ``operators/``) and by the DuckDB oracle-SQL generators
+(``oracle.py``), so keep/drop decisions and signal values are defined once.
+
+Signal inventory mirrors the reference's 15 quality signals
+(/root/reference/README.md:78); threshold profiles mirror its
+regular/strict/stricter/strictest p-quantile scheme (README.md:79-98).
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# Tokenization / lexicons
+# ---------------------------------------------------------------------------
+
+# English-ish function words; includes tokens present in the synthetic corpus
+# so the stop-word signal is exercised end-to-end at test scale.
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for",
+    "with", "as", "at", "by", "it", "be", "are", "was", "this", "that",
+)
+
+# Demo flagged-word lexicon (configurable in production). Includes tokens
+# that occur in the synthetic corpus so the flagged-fraction signal and its
+# drop rule actually fire in tests.
+FLAGGED_WORDS: tuple[str, ...] = (
+    "dup", "spam", "xxx", "viagra", "casino", "porn",
+)
+
+# Language-ID marker lexicons (tiny deterministic fastText-style lexicon
+# classifier; see functions/langid.py). Disjoint where possible.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "with", "this", "that", "for", "are", "was"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "ich"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "une", "des", "dans", "pour"),
+    "es": ("el", "los", "las", "es", "una", "para", "por", "con", "del", "como"),
+    "it": ("il", "di", "che", "non", "per", "una", "sono", "della", "nel", "anche"),
+}
+LANGID_DEFAULT = "und"  # no marker hits -> undetermined
+
+# ---------------------------------------------------------------------------
+# Quality thresholds (fixed profile; quantile-derived profiles are computed
+# by operators/thresholds.py). Rule order defines drop_reason precedence.
+# ---------------------------------------------------------------------------
+
+QUALITY_RULES: tuple[tuple[str, str, float, bool], ...] = (
+    # (signal, op, threshold, is_lower_bound): keep iff signal op threshold
+    ("number_of_words", ">=", 10.0, True),
+    ("number_of_words", "<=", 100000.0, False),
+    ("mean_word_length", ">=", 2.0, True),
+    ("mean_word_length", "<=", 12.0, False),
+    ("special_char_ratio", "<=", 0.30, False),
+    ("stop_word_fraction", ">=", 0.01, True),
+    ("flagged_word_fraction", "<=", 0.10, False),
+    ("char_repetition_5gram", "<=", 0.98, False),
+    ("word_repetition_2gram", "<=", 0.80, False),
+)
+
+# Quantile profiles per the reference README.md:83-98: (p_low, p_high).
+QUANTILE_PROFILES: dict[str, tuple[float, float]] = {
+    "regular": (0.10, 0.90),
+    "strict": (0.20, 0.80),
+    "stricter": (0.30, 0.70),
+    "strictest": (0.40, 0.60),
+}
+# reference: strict for en, regular for the rest (README.md:95-98)
+LANG_PROFILE: dict[str, str] = {"en": "strict"}
+DEFAULT_PROFILE = "regular"
+
+SHORT_LINE_CHARS = 30  # short_line_ratio threshold on line length
+
+# ---------------------------------------------------------------------------
+# PII / toxicity scrub (applied in order; same regex dialect subset works in
+# Java regex (Spark) and RE2 (DuckDB): no backrefs / lookaround).
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(?:\d[ \-]?){13,16}\b", "<CC>"),
+    (r"\b\d{3}[ .\-]\d{3}[ .\-]\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+# ---------------------------------------------------------------------------
+# MinHash / LSH
+# ---------------------------------------------------------------------------
+
+# Oracle-checkable profile: md5-based portable hash family, small signature.
+ORACLE_MINHASH = {"num_perm": 12, "bands": 4, "rows": 3, "shingle": 3}
+# Production profile mirrors the reference's sim0.8 banding (9 bands,
+# src/minhashlsh.py:101) at 117 permutations; xxhash64 JVM-native hashing.
+PROD_MINHASH = {"num_perm": 117, "bands": 9, "rows": 13, "shingle": 3}
+
+SIMHASH_BITS = 16  # oracle-checkable simhash width (64 in production)
+
+# ANN
+ANN_TOPK = 20
+ANN_ROUND = 4  # decimals for cosine similarity rounding (cross-engine safety)
+
+# Sessionization gap for events
+SESSION_GAP_MINUTES = 30

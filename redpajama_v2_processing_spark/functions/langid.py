@@ -1,0 +1,85 @@
+"""Deterministic lexicon-based language identification.
+
+The reference consumes a precomputed fastText ``language_identification``
+confidence signal (/root/reference/README.md:78); here we compute a
+deterministic fastText-style linear lexicon classifier natively: per
+language, score = fraction of tokens in that language's marker lexicon;
+label = argmax (ties broken by language code order); CJK-heavy text short-
+circuits to 'zh'. Pure integer counting + one IEEE division — exactly
+reproducible in the DuckDB oracle.
+
+A vectorized Arrow/pandas-UDF variant (`langid_pandas_udf`) exists for
+plugging in a real model (fastText, CLD3) at production time — same
+signature, no per-row Python either way.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from ..config import LANG_MARKERS, LANGID_DEFAULT
+from .text import tokens
+
+
+def _marker_hits(tok: Column, lang: str) -> Column:
+    lex = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(tok, lambda t: F.array_contains(lex, F.lower(t))))
+
+
+def cjk_ratio(text: Column) -> Column:
+    """Fraction of CJK codepoints (unicode block heuristic)."""
+    n_cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        n_cjk.cast("double") / F.length(text).cast("double")
+    )
+
+
+def langid_struct(text: Column) -> Column:
+    """struct<lang:string, score:double> — label + confidence.
+
+    score = hits(best_lang)/n_tokens (0.0 and 'und' for no hits).
+    """
+    tok = tokens(text)
+    n = F.size(tok)
+    langs = sorted(LANG_MARKERS)
+    hits = {lg: _marker_hits(tok, lg) for lg in langs}
+    best_hits = F.greatest(*hits.values())
+    # argmax with deterministic ties: first language (sorted) achieving max
+    label = F.lit(LANGID_DEFAULT)
+    for lg in reversed(langs):
+        label = F.when(hits[lg] == best_hits, F.lit(lg)).otherwise(label)
+    label = F.when(best_hits == 0, F.lit(LANGID_DEFAULT)).otherwise(label)
+    score = F.when((n == 0) | (best_hits == 0), F.lit(0.0)).otherwise(
+        best_hits.cast("double") / n.cast("double")
+    )
+    # CJK short-circuit (testdata contains zh docs; markers are latin-script)
+    is_cjk = cjk_ratio(text) > 0.2
+    label = F.when(is_cjk, F.lit("zh")).otherwise(label)
+    score = F.when(is_cjk, F.round(cjk_ratio(text), 6)).otherwise(F.round(score, 6))
+    return F.struct(label.alias("lang"), score.alias("score"))
+
+
+@F.pandas_udf(StringType())
+def langid_pandas_udf(text: pd.Series) -> pd.Series:
+    """Arrow-batched UDF slot for a real langid model.
+
+    Deterministic stand-in: same lexicon argmax as `langid_struct`, computed
+    vectorized in pandas. Swap the body for fastText/CLD3 inference in
+    production (model file broadcast via SparkFiles).
+    """
+    low = text.fillna("").str.lower()
+    toks = low.str.split()
+    counts = toks.str.len().replace(0, 1)
+    best_lang = pd.Series(LANGID_DEFAULT, index=text.index)
+    best_score = pd.Series(0.0, index=text.index)
+    for lg in sorted(LANG_MARKERS):
+        lex = set(LANG_MARKERS[lg])
+        hits = toks.map(lambda ts: sum(t in lex for t in ts) if ts else 0)
+        score = hits / counts
+        better = score > best_score
+        best_lang = best_lang.where(~better, lg)
+        best_score = best_score.where(~better, score)
+    return best_lang

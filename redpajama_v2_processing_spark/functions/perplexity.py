@@ -1,0 +1,99 @@
+"""Perplexity scoring (KenLM-style n-gram LM, re-expressed distributively).
+
+The reference consumes a precomputed ``perplexity`` signal
+(/root/reference/README.md:78). Here the LM itself is built *inside* Spark:
+
+* ``unigram``: corpus token frequencies via one hash aggregation; scoring is
+  an explode -> broadcast-join(vocab) -> re-aggregate. Fully native,
+  SQL-expressible (oracle-checked).
+* ``char_bigram``: add-one-smoothed character bigram LM; counts built with a
+  hash aggregation, scored by an Arrow-batched pandas UDF over a broadcast
+  probability dict (the model is tiny; documents are not). This mirrors
+  "KenLM model broadcast to executors" at cluster scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from .text import tokens, char_ngrams
+
+
+def unigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """DF(token, logp): corpus unigram log-probabilities (natural log)."""
+    tok = docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "token", F.log(F.col("c").cast("double") / F.col("t").cast("double")).alias("logp")
+    )
+
+
+def with_unigram_perplexity(
+    docs: DataFrame, id_col: str, text_col: str = "text", round_to: int = 4
+) -> DataFrame:
+    """Append ``perplexity`` = exp(-mean token logp) per document.
+
+    Plan shape: explode -> broadcast join on the (small) vocab -> hash
+    re-aggregate on the doc id. The vocab is broadcast; the corpus never
+    shuffles except for the per-doc re-aggregation, which is partial-agg
+    (map-side combine) friendly.
+    """
+    model = unigram_model(docs, text_col)
+    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    scored = tok.join(F.broadcast(model), "token")
+    per_doc = scored.groupBy(id_col).agg(
+        F.exp(-F.avg("logp")).alias("_ppl")
+    )
+    return docs.join(per_doc, id_col, "left").withColumn(
+        "perplexity", F.round(F.coalesce(F.col("_ppl"), F.lit(0.0)), round_to)
+    ).drop("_ppl")
+
+
+def char_bigram_model(docs: DataFrame, text_col: str = "text") -> dict[str, float]:
+    """Train an add-one-smoothed char-bigram LM; returns {bigram: logp(c2|c1)}.
+
+    The count aggregation is distributed; only the tiny model is collected.
+    """
+    grams = docs.select(F.explode(char_ngrams(F.col(text_col), 2)).alias("g"))
+    bi = grams.groupBy("g").agg(F.count("*").alias("c"))
+    uni = bi.select(F.substring("g", 1, 1).alias("c1"), "c").groupBy("c1").agg(
+        F.sum("c").alias("n")
+    )
+    vocab_size = bi.select(F.substring("g", 2, 1).alias("c2")).distinct().count()
+    rows = (
+        bi.join(uni, F.substring(bi.g, 1, 1) == uni.c1)
+        .select("g", "c", "n")
+        .collect()
+    )
+    return {
+        r["g"]: math.log((r["c"] + 1.0) / (r["n"] + vocab_size)) for r in rows
+    }
+
+
+def char_bigram_perplexity_udf(spark: SparkSession, model: dict[str, float], vocab_logp: float):
+    """Arrow-batched scorer over a broadcast model dict (no per-row Python
+    in the plan: one pandas UDF node, vectorized batches)."""
+    bc = spark.sparkContext.broadcast(model)
+
+    @F.pandas_udf(DoubleType())
+    def ppl(text: pd.Series) -> pd.Series:
+        m = bc.value
+
+        def score(s: str) -> float:
+            if not s or len(s) < 2:
+                return 0.0
+            lp = 0.0
+            n = len(s) - 1
+            for i in range(n):
+                lp += m.get(s[i : i + 2], vocab_logp)
+            return math.exp(-lp / n)
+
+        return text.fillna("").map(score)
+
+    return ppl

@@ -1,0 +1,135 @@
+"""RedPajama-v2-style heuristic quality signals, all as native Spark
+Column expressions (JVM-side — no Python).
+
+Signal inventory mirrors the reference's 15 precomputed signals
+(/root/reference/README.md:78), which that pipeline only *consumes*
+(src/filter_low_quality.py:53-109); this engine *computes* them.
+
+Performance note: the token/line arrays are staged as intermediate
+projection columns (``with_signals``) instead of being inlined into every
+signal expression. Inlining is quadratic: ``element_at(split(text), i)``
+inside a ``transform`` lambda re-runs the split per element. Catalyst's
+CollapseProject keeps the staging projection separate because the array
+expressions are non-cheap and multiply referenced.
+
+Division contract (shared with the DuckDB oracle): ratios are
+``double / double`` of exact integer counts, so IEEE-754 results are
+bit-identical across engines; denominator 0 yields 0.0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import FLAGGED_WORDS, SHORT_LINE_CHARS, STOPWORDS
+from .text import lines, tokens, word_ngrams, char_ngrams
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    """num/den as double; 0.0 when den==0 (cross-engine deterministic)."""
+    return F.when(den == 0, F.lit(0.0)).otherwise(
+        num.cast("double") / den.cast("double")
+    )
+
+
+def number_of_words(tok: Column) -> Column:
+    return F.size(tok).cast("bigint")
+
+
+def number_of_lines(ls: Column) -> Column:
+    return F.size(ls).cast("bigint")
+
+
+def number_of_characters(text: Column) -> Column:
+    return F.length(text).cast("bigint")
+
+
+def mean_word_length(tok: Column) -> Column:
+    total = F.aggregate(tok, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t))
+    return _ratio(total, F.size(tok))
+
+
+def words_per_line_mean(tok: Column, ls: Column) -> Column:
+    return _ratio(F.size(tok), F.size(ls))
+
+
+def short_line_ratio(ls: Column, max_chars: int = SHORT_LINE_CHARS) -> Column:
+    short = F.size(F.filter(ls, lambda l: F.length(l) < max_chars))
+    return _ratio(short, F.size(ls))
+
+
+def lines_end_in_punctuation(ls: Column) -> Column:
+    hit = F.size(F.filter(ls, lambda l: l.rlike(r"[.!?]\s*$")))
+    return _ratio(hit, F.size(ls))
+
+
+def special_char_ratio(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/whitespace."""
+    n_special = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return _ratio(n_special, F.length(text))
+
+
+def _lexicon_fraction(tok: Column, lexicon: tuple[str, ...]) -> Column:
+    lex = F.array(*[F.lit(w) for w in lexicon])
+    hits = F.size(F.filter(tok, lambda t: F.array_contains(lex, F.lower(t))))
+    return _ratio(hits, F.size(tok))
+
+
+def stop_word_fraction(tok: Column) -> Column:
+    return _lexicon_fraction(tok, STOPWORDS)
+
+
+def flagged_word_fraction(tok: Column) -> Column:
+    return _lexicon_fraction(tok, FLAGGED_WORDS)
+
+
+def char_repetition(text: Column, n: int) -> Column:
+    """1 - distinct/total character n-grams (0.0 when no n-grams)."""
+    grams = char_ngrams(text, n)
+    return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - _ratio(F.size(F.array_distinct(grams)), F.size(grams))
+    )
+
+
+def word_repetition(tok: Column, n: int = 2) -> Column:
+    """1 - distinct/total word n-grams (0.0 when no n-grams).
+    ``tok`` MUST be a plain column reference (see module note)."""
+    grams = word_ngrams(tok, n)
+    return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - _ratio(F.size(F.array_distinct(grams)), F.size(grams))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wide signal frame
+# ---------------------------------------------------------------------------
+
+def with_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the heuristic signal columns to ``df``.
+
+    Two narrow projections, no shuffle: (1) stage token/line arrays,
+    (2) compute all signals over the staged arrays. ``unigram_entropy``
+    and ``perplexity`` need corpus/grouping context and live in their own
+    modules (operators/entropy.py, functions/perplexity.py).
+    """
+    text = F.col(text_col)
+    staged = df.withColumns({"_tok": tokens(text), "_lines": lines(text)})
+    tok, ls = F.col("_tok"), F.col("_lines")
+    return staged.withColumns(
+        {
+            "number_of_words": number_of_words(tok),
+            "number_of_lines": number_of_lines(ls),
+            "number_of_characters": number_of_characters(text),
+            "mean_word_length": F.round(mean_word_length(tok), 6),
+            "words_per_line_mean": F.round(words_per_line_mean(tok, ls), 6),
+            "short_line_ratio": F.round(short_line_ratio(ls), 6),
+            "lines_end_in_punctuation": F.round(lines_end_in_punctuation(ls), 6),
+            "special_char_ratio": F.round(special_char_ratio(text), 6),
+            "stop_word_fraction": F.round(stop_word_fraction(tok), 6),
+            "flagged_word_fraction": F.round(flagged_word_fraction(tok), 6),
+            "char_repetition_5gram": F.round(char_repetition(text, 5), 6),
+            "char_repetition_10gram": F.round(char_repetition(text, 10), 6),
+            "word_repetition_2gram": F.round(word_repetition(tok, 2), 6),
+        }
+    ).drop("_tok", "_lines")

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``: brute-force exact top-k vs a query vector — the
+  baseline. One scan, no shuffle except the final top-k (orderBy+limit is
+  a TakeOrderedAndProject: per-partition heaps, driver merges k rows).
+* ``hyperplane_signature`` / ``ann_lsh_topk``: random-hyperplane LSH —
+  the scale path. Planes are derived deterministically from md5 (seeded),
+  so signatures are reproducible everywhere; candidates = query's bucket,
+  re-ranked exactly.
+
+Cosines are rounded (config.ANN_ROUND) before ranking so cross-engine
+float-sum noise (~1e-15) cannot flip orderings; ties break on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import ANN_ROUND, ANN_TOPK
+from ..functions.hashing import md5int_seeded
+from ..functions.vectors import cosine
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = ANN_TOPK,
+) -> DataFrame:
+    """DF(vec_id, cos) — exact top-k by rounded cosine, ties by id."""
+    c = F.round(cosine(F.col(vec_col), _lit_vec(query_vec)), ANN_ROUND) + 0.0
+    return (
+        embeddings.select(F.col(id_col), c.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def hyperplane_signature(vec_col: Column, dim: int, nbits: int) -> Column:
+    """Deterministic random-hyperplane LSH signature (bigint).
+
+    Plane p, component d = ((md5int('p:d') mod 2001) - 1000)/1000 — a
+    reproducible pseudo-random value in [-1, 1]. Bit p = 1 iff
+    round(dot(vec, plane_p), 6) > 0 (rounded so the sign is stable under
+    float-order noise).
+    """
+    def bit(p: int) -> Column:
+        d = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: (
+                        F.pmod(md5int_seeded(p, i.cast("string")), F.lit(2001)) - 1000
+                    ).cast("double")
+                    / 1000.0,
+                ),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(F.round(d, 6) > 0, F.lit(1 << p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+
+    out = bit(0)
+    for p in range(1, nbits):
+        out = out + bit(p)
+    return out
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int = 8,
+    k: int = ANN_TOPK,
+) -> DataFrame:
+    """Approximate top-k: restrict to the query's LSH bucket, rank exactly.
+
+    At cluster scale the bucket column is a partition/bucketing key, so the
+    probe prunes to one bucket's files instead of scanning the corpus.
+    """
+    sig = hyperplane_signature(F.col(vec_col), dim, nbits)
+    bucketed = embeddings.withColumn("_bucket", sig)
+    qdf = bucketed.sparkSession.createDataFrame(
+        [(query_vec,)], f"{vec_col}: array<float>"
+    )
+    qsig = qdf.select(hyperplane_signature(F.col(vec_col), dim, nbits).alias("b")).collect()[0]["b"]
+    c = F.round(cosine(F.col(vec_col), _lit_vec(query_vec)), ANN_ROUND) + 0.0
+    return (
+        bucketed.where(F.col("_bucket") == qsig)
+        .select(F.col(id_col), c.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """DF(label, pos, centroid): per-label mean of each component.
+
+    posexplode + two-level hash agg: partial means map-side, tiny result.
+    """
+    return (
+        embeddings.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .groupBy("label", "pos")
+        # +0.0 normalizes IEEE negative zero (round can yield -0.0)
+        .agg((F.round(F.avg(F.col("x").cast("double")), ANN_ROUND) + 0.0).alias("centroid"))
+    )

@@ -1,0 +1,192 @@
+"""MinHash-LSH fuzzy deduplication — the band-bucket shuffle.
+
+Reference flow (src/minhashlsh.py:87-193): one python process builds
+``hash_tables[band][band_hash] -> id set`` in RAM, then union-finds the
+buckets. Spark realization:
+
+  shingles -> minhash signature -> band hashes   (one native expression)
+  posexplode(bands) -> shuffle on (band_idx, band_hash)  ["band-bucket shuffle"]
+  window-min per bucket -> star edges (id, bucket_min)
+  connected components (large-star/small-star)
+  keep = ids whose component root == id          (src/minhashlsh.py:140,169)
+
+Skew note: boilerplate pages create hot (band_idx, band_hash) buckets. The
+star-edge construction is already linear in bucket size (no all-pairs
+explosion), and `salted_bucket_edges` caps per-reducer bucket width via a
+two-level salt + re-merge, preserving connectivity (the salt groups of one
+bucket are re-linked through the global bucket min).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import ORACLE_MINHASH
+from ..functions.hashing import md5int, md5int_seeded, xxhash_seeded
+from ..functions.text import tokens, word_ngrams, normalize
+from .connected_components import connected_components
+
+
+def shingles_of(tok, norm, n: int):
+    """Word n-gram shingles from staged token/norm columns; docs shorter
+    than n words fall back to a single whole-text shingle so no doc is
+    unsignable. ``tok``/``norm`` should be plain column refs (staged via
+    ``with_shingles``) — inlining the split here is quadratic."""
+    return F.when(
+        F.size(tok) < n,
+        F.when(F.trim(norm) == "", F.array().cast("array<string>")).otherwise(
+            F.array(norm)
+        ),
+    ).otherwise(F.array_distinct(word_ngrams(tok, n)))
+
+
+def shingles(text_col, n: int):
+    """Inline shingle expression — ONLY for single-row lookups (e.g. the
+    jaccard query doc); use ``with_shingles`` for whole-corpus scans."""
+    norm = normalize(text_col)
+    return shingles_of(tokens(norm), norm, n)
+
+
+def with_shingles(
+    docs: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """DF(id, _sh): staged shingle arrays (token array staged separately so
+    each projection only touches column refs — see functions/signals.py
+    performance note)."""
+    return (
+        docs.select(F.col(id_col).alias("id"), normalize(F.col(text_col)).alias("_norm"))
+        .withColumn("_tok", tokens(F.col("_norm")))
+        .withColumn("_sh", shingles_of(F.col("_tok"), F.col("_norm"), n))
+        .select("id", "_sh")
+    )
+
+
+def minhash_bands(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    cfg: dict = ORACLE_MINHASH,
+    portable: bool = True,
+) -> DataFrame:
+    """DF(id, band_idx, band_hash) — one row per (doc, band).
+
+    Flat, whole-stage-codegen formulation: explode shingles, compute the
+    num_perm hash columns per (doc, shingle) row, hash-aggregate per-perm
+    minima (map-side combine shrinks the shuffle to one row per doc per
+    partition), then band hashes from the minima. ~100x faster than the
+    equivalent nested higher-order-function expression, which Spark
+    evaluates interpreted (no codegen inside array lambdas).
+    """
+    k, b, r = cfg["num_perm"], cfg["bands"], cfg["rows"]
+    fam = md5int_seeded if portable else xxhash_seeded
+    flat = with_shingles(docs, id_col, text_col, cfg["shingle"]).select(
+        "id", F.explode("_sh").alias("_s")
+    )
+    hashed = flat.select(
+        "id", *[fam(i, F.col("_s")).alias(f"_h{i}") for i in range(k)]
+    )
+    minh = hashed.groupBy("id").agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(k)]
+    )
+
+    def band_hash(bi: int):
+        joined = F.concat_ws(
+            "|", *[F.col(f"_m{bi * r + j}").cast("string") for j in range(r)]
+        )
+        payload = F.concat(F.lit(str(bi)), F.lit("#"), joined)
+        return md5int(payload) if portable else F.xxhash64(payload)
+
+    bands = F.array(
+        *[
+            F.struct(F.lit(bi).alias("band_idx"), band_hash(bi).alias("band_hash"))
+            for bi in range(b)
+        ]
+    )
+    return minh.select("id", F.explode(bands).alias("_bh")).select(
+        "id", F.col("_bh.band_idx"), F.col("_bh.band_hash")
+    )
+
+
+def lsh_buckets(bands_df: DataFrame) -> DataFrame:
+    """DF(band_idx, band_hash, n_docs, min_id) for buckets with >=2 docs."""
+    return (
+        bands_df.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("min_id"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def candidate_edges(bands_df: DataFrame) -> DataFrame:
+    """Star edges (src=id, dst=bucket_min) per bucket, id != min.
+
+    Linear in bucket size (vs the quadratic all-pairs a naive LSH join
+    emits); connectivity within a bucket is preserved through its min.
+    One shuffle (the band-bucket exchange); window-min avoids a join.
+    """
+    w = Window.partitionBy("band_idx", "band_hash")
+    return (
+        bands_df.withColumn("_min", F.min("id").over(w))
+        .where(F.col("id") != F.col("_min"))
+        .select(F.col("id").alias("src"), F.col("_min").alias("dst"))
+        .distinct()
+    )
+
+
+def salted_bucket_edges(bands_df: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Skew-capped variant: split each (band,hash) bucket into
+    ``salt_buckets`` salt groups, take per-group mins, then link the group
+    mins through the global bucket min. Connectivity is identical; the
+    per-reducer working set shrinks by the salt factor."""
+    salted = bands_df.withColumn(
+        "_salt", F.pmod(F.xxhash64("id"), F.lit(salt_buckets))
+    )
+    w_g = Window.partitionBy("band_idx", "band_hash", "_salt")
+    local = (
+        salted.withColumn("_gmin", F.min("id").over(w_g))
+        .where(F.col("id") != F.col("_gmin"))
+        .select(F.col("id").alias("src"), F.col("_gmin").alias("dst"))
+    )
+    gmins = (
+        salted.groupBy("band_idx", "band_hash", "_salt")
+        .agg(F.min("id").alias("_gmin"))
+    )
+    w_b = Window.partitionBy("band_idx", "band_hash")
+    bridge = (
+        gmins.withColumn("_bmin", F.min("_gmin").over(w_b))
+        .where(F.col("_gmin") != F.col("_bmin"))
+        .select(F.col("_gmin").alias("src"), F.col("_bmin").alias("dst"))
+    )
+    return local.union(bridge).distinct()
+
+
+def fuzzy_dedup_labels(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    cfg: dict = ORACLE_MINHASH,
+    portable: bool = True,
+    salted: bool = False,
+) -> DataFrame:
+    """DF(id, root): component root per doc id (root==id for singletons)."""
+    bands = minhash_bands(docs, id_col, text_col, cfg, portable)
+    edges = salted_bucket_edges(bands) if salted else candidate_edges(bands)
+    cc = connected_components(edges)
+    ids = docs.select(F.col(id_col).alias("id"))
+    return ids.join(cc, "id", "left").select(
+        "id", F.coalesce("root", F.col("id")).alias("root")
+    )
+
+
+def fuzzy_dedup_keep_ids(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    cfg: dict = ORACLE_MINHASH,
+    portable: bool = True,
+    salted: bool = False,
+) -> DataFrame:
+    """DF(id): the keep-list — one doc (the min id) per near-dup component,
+    singletons included. Mirrors src/minhashlsh.py:169 (keep root==id)."""
+    labels = fuzzy_dedup_labels(docs, id_col, text_col, cfg, portable, salted)
+    return labels.where(F.col("root") == F.col("id")).select("id")

@@ -1,0 +1,98 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+The decode step is STUBBED (no image/audio libs in this container): binary
+payloads carry a deterministic fake header `MM1|<kind>|<width>|<height>|`
+that the "decoder" parses; a real decoder (PIL/ffmpeg) drops into
+`_decode_real` behind the import guard. The Spark-side contract — schema,
+batching, partition behavior — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = (
+    "id long, kind string, width int, height int, n_bytes long, ok boolean"
+)
+
+try:  # pragma: no cover - not installed in this container
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:
+    _HAS_PIL = False
+
+
+def make_fake_payload(kind, width, height, body):
+    """Column expr building a deterministic fake binary payload.
+    ``kind`` may be a literal str or a Column."""
+    kind_col = F.lit(kind) if isinstance(kind, str) else kind
+    return F.encode(
+        F.concat_ws(
+            "|", F.lit("MM1"), kind_col, width.cast("string"),
+            height.cast("string"), body,
+        ),
+        "utf-8",
+    )
+
+
+def _decode_header(raw: bytes) -> tuple[str, int, int, bool]:
+    try:
+        parts = raw.decode("utf-8", errors="ignore").split("|", 4)
+        if parts[0] != "MM1":
+            return ("unknown", -1, -1, False)
+        return (parts[1], int(parts[2]), int(parts[3]), True)
+    except Exception:
+        return ("unknown", -1, -1, False)
+
+
+def decode_media_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """DF(id, kind, width, height, n_bytes, ok) via mapInPandas.
+
+    Arrow batches stream through the Python worker; no per-row round trips.
+    A real decoder would replace `_decode_header` (e.g. PIL image open on
+    BytesIO) — signature and plan shape are identical.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            raws = pdf[bin_col]
+            meta = [_decode_header(bytes(r)) if r is not None else ("null", -1, -1, False) for r in raws]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "kind": [m[0] for m in meta],
+                    "width": pd.array([m[1] for m in meta], dtype="int32"),
+                    "height": pd.array([m[2] for m in meta], dtype="int32"),
+                    "n_bytes": [len(bytes(r)) if r is not None else 0 for r in raws],
+                    "ok": [m[3] for m in meta],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, META_SCHEMA)
+
+
+def frame_sample_stub(df: DataFrame, id_col: str, bin_col: str, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling stub: emits (id, frame_idx) rows for frames the
+    decoder WOULD extract (height acts as fake frame count). Real impl would
+    yield decoded frame bytes; plumbing (explode cardinality change through
+    mapInPandas) is the tested part."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, frames = [], []
+            for i, r in zip(pdf[id_col], pdf[bin_col]):
+                kind, _w, h, ok = _decode_header(bytes(r) if r is not None else b"")
+                if ok and kind == "video":
+                    for f in range(0, max(h, 0), every_n):
+                        ids.append(int(i))
+                        frames.append(f)
+            yield pd.DataFrame({"id": pd.array(ids, dtype="int64"),
+                                "frame_idx": pd.array(frames, dtype="int32")})
+
+    return df.select(id_col, bin_col).mapInPandas(batches, "id long, frame_idx int")

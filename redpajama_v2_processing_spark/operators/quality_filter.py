@@ -1,0 +1,42 @@
+"""Keep/drop labelling from the fixed quality-rule profile.
+
+Mirrors the reference's conjunctive threshold filter
+(src/filter_low_quality.py:53-109) but computes the signals inline (one
+codegen stage) instead of joining a precomputed signals table. Rule order
+in config.QUALITY_RULES defines drop_reason precedence (first failure wins),
+so labels are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import QUALITY_RULES
+from ..functions.signals import with_signals
+
+
+def _rule_cond(signal: str, op: str, thr: float) -> Column:
+    c = F.col(signal).cast("double")
+    return c >= F.lit(thr) if op == ">=" else c <= F.lit(thr)
+
+
+def rule_name(signal: str, op: str, thr: float) -> str:
+    side = "min" if op == ">=" else "max"
+    return f"{signal}_{side}"
+
+
+def with_quality_label(df_with_signals: DataFrame) -> DataFrame:
+    """Append keep:boolean and drop_reason:string ('' when kept)."""
+    keep = F.lit(True)
+    reason = F.lit("")
+    for signal, op, thr, _ in reversed(QUALITY_RULES):
+        ok = _rule_cond(signal, op, thr)
+        keep = keep & ok
+        reason = F.when(~ok, F.lit(rule_name(signal, op, thr))).otherwise(reason)
+    return df_with_signals.withColumn("keep", keep).withColumn("drop_reason", reason)
+
+
+def quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """signals + labels + filter, in one narrow pipeline (no shuffle)."""
+    return with_quality_label(with_signals(docs, text_col)).where(F.col("keep"))

@@ -1,0 +1,61 @@
+"""Event-stream operators over the batch `events` table: tumbling windows
+and gap-based sessionization (window functions; the Structured-Streaming
+variants live in streaming/ingest.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import SESSION_GAP_MINUTES
+
+
+def tumbling_counts(
+    events: DataFrame, ts_col: str = "ts", key_col: str = "event_type",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per (hour-window, key): count + rounded mean value."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("window_start"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), round_to).alias("avg_value"),
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = SESSION_GAP_MINUTES,
+) -> DataFrame:
+    """Gap-based sessions (classic gaps-and-islands): a new session starts
+    when the previous event of the same user is more than `gap_minutes`
+    older. Returns per-user session stats.
+
+    One shuffle (partitionBy user); the cumulative-sum session id is
+    computed inside each user partition.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    gap = F.lit(gap_minutes * 60)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)) > gap),
+        1,
+    ).otherwise(0)
+    sess = events.withColumn("_new", new_session).withColumn(
+        "session_idx", F.sum("_new").over(w)
+    )
+    return (
+        sess.groupBy(user_col)
+        .agg(
+            F.max("session_idx").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -1,0 +1,98 @@
+"""SimHash near-dup detection.
+
+Per-doc simhash is a pure-integer native expression (functions/hashing.py).
+Near-dup pairs use the standard Hamming-LSH trick: split the B-bit hash
+into nibble bands; docs agreeing on any band are candidates (equi-self-join
+on (band, nibble) — shuffle join, no O(n^2)); verify with
+bit_count(xor) <= max_hamming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import SIMHASH_BITS
+from ..functions.hashing import md5int_seeded, xxhash_seeded
+from ..functions.text import tokens, normalize
+
+
+def with_simhash(docs: DataFrame, id_col: str, text_col: str = "text",
+                 bits: int = SIMHASH_BITS, portable: bool = True) -> DataFrame:
+    """DF(id, simhash): bit b set iff sum over tokens of
+    (2*((hash(token)>>b)&1)-1) > 0. Explode + single hash aggregation with
+    `bits` sum buffers — flat codegen, map-side combine; empty docs -> 0.
+    """
+    fam = md5int_seeded if portable else xxhash_seeded
+    ids = docs.select(F.col(id_col).alias("id"))
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(normalize(F.col(text_col)))).alias("_t"),
+    )
+    hashed = tok.select("id", fam(0, F.col("_t")).alias("_hv"))
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright("_hv", b).bitwiseAND(F.lit(1)).cast("bigint") * 2 - 1
+            ).alias(f"_v{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = sum(
+        (
+            F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            for b in range(bits)
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    per_doc = votes.select("id", sim.alias("simhash"))
+    return ids.join(per_doc, "id", "left").select(
+        "id", F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = 3,
+    band_bits: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """DF(src, dst, hamming), src < dst, hamming <= max_hamming."""
+    sh = with_simhash(docs, id_col, text_col, bits, portable)
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask)).alias("key"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.key")
+    a = banded.select(
+        F.col("id").alias("src"), F.col("simhash").alias("_ha"), "band", "key"
+    )
+    b = banded.select(
+        F.col("id").alias("dst"), F.col("simhash").alias("_hb"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,75 @@
+"""Per-language quantile thresholds for quality filtering.
+
+Reference semantics (/root/reference/README.md:77-99): per language, keep a
+doc iff each signal lies within [p_low, p_high] percentiles; profiles
+regular/strict/stricter/strictest = {10/90, 20/80, 30/70, 40/60}; the
+reference computed thresholds externally on a 0.02-0.05 % sample.
+
+Two modes:
+* exact=True  — SQL `percentile` (linear interpolation, matches DuckDB's
+  quantile_cont exactly; used by the oracle-checked queries);
+* exact=False — `percentile_approx` over an optional sample fraction: the
+  100 TB path (single-pass sketch, no sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_PROFILE, LANG_PROFILE, QUANTILE_PROFILES
+
+
+def profile_for(lang: str) -> tuple[float, float]:
+    return QUANTILE_PROFILES[LANG_PROFILE.get(lang, DEFAULT_PROFILE)]
+
+
+def per_lang_thresholds(
+    signals: DataFrame,
+    signal_cols: list[str],
+    lang_col: str = "lang",
+    p_low: float = 0.10,
+    p_high: float = 0.90,
+    exact: bool = True,
+    sample_fraction: float | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """DF(lang, <sig>_lo, <sig>_hi, ...) per-language quantile bounds."""
+    df = signals
+    if sample_fraction is not None:
+        df = df.sample(False, sample_fraction, seed=42)
+    aggs = []
+    for c in signal_cols:
+        col = F.col(c).cast("double")
+        if exact:
+            lo = F.expr(f"percentile({c}, {p_low})")
+            hi = F.expr(f"percentile({c}, {p_high})")
+        else:
+            lo = F.percentile_approx(col, p_low, 10000)
+            hi = F.percentile_approx(col, p_high, 10000)
+        aggs += [
+            F.round(lo.cast("double"), round_to).alias(f"{c}_lo"),
+            F.round(hi.cast("double"), round_to).alias(f"{c}_hi"),
+        ]
+    return df.groupBy(lang_col).agg(*aggs)
+
+
+def quantile_filter(
+    signals: DataFrame,
+    signal_cols: list[str],
+    lang_col: str = "lang",
+    p_low: float = 0.10,
+    p_high: float = 0.90,
+    exact: bool = True,
+) -> DataFrame:
+    """Keep rows whose every signal is within its per-language bounds.
+
+    Threshold table is tiny (one row per language) -> broadcast join; the
+    corpus side never shuffles.
+    """
+    th = per_lang_thresholds(signals, signal_cols, lang_col, p_low, p_high, exact)
+    out = signals.join(F.broadcast(th), lang_col)
+    cond = F.lit(True)
+    for c in signal_cols:
+        cond = cond & (F.col(c) >= F.col(f"{c}_lo")) & (F.col(c) <= F.col(f"{c}_hi"))
+    return out.where(cond).select(*signals.columns)

@@ -1,0 +1,496 @@
+"""DuckDB oracle-SQL generators.
+
+Each function returns a self-contained DuckDB SQL string that reproduces the
+matching Spark operator EXACTLY (same config constants from config.py, same
+tokenization/normalization/hash contracts, same rounding). The driver runs
+these side-by-side with the Spark queries and value-hash-compares.
+
+Portable-hash contract (verified cross-engine):
+  md5int(s)  = first 15 hex chars of md5(s) as a 60-bit bigint
+  Spark: cast(conv(substr(md5(s),1,15),16,10) as bigint)
+  DuckDB: ('0x' || substr(md5(s),1,15))::BIGINT
+"""
+
+from __future__ import annotations
+
+from .config import (
+    ANN_ROUND,
+    ANN_TOPK,
+    FLAGGED_WORDS,
+    LANG_MARKERS,
+    LANGID_DEFAULT,
+    ORACLE_MINHASH,
+    PII_PATTERNS,
+    QUALITY_RULES,
+    SESSION_GAP_MINUTES,
+    SHORT_LINE_CHARS,
+    SIMHASH_BITS,
+    STOPWORDS,
+)
+
+# ---------------------------------------------------------------------------
+# Shared snippets
+# ---------------------------------------------------------------------------
+
+
+def sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def md5int(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def tokens(expr: str) -> str:
+    return (
+        f"(CASE WHEN trim({expr}) = '' THEN []::VARCHAR[] "
+        f"ELSE regexp_split_to_array(trim({expr}), '\\s+') END)"
+    )
+
+
+def norm(expr: str) -> str:
+    return f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+
+
+def ratio(num: str, den: str) -> str:
+    return f"(CASE WHEN {den} = 0 THEN 0.0 ELSE ({num})::DOUBLE / ({den})::DOUBLE END)"
+
+
+_LINES = "string_split(text, chr(10))"
+
+# signal expressions over a relation providing (text, t) where t = tokens
+_SIGNALS: dict[str, str] = {
+    "number_of_words": "len(t)::BIGINT",
+    "number_of_lines": f"len({_LINES})::BIGINT",
+    "number_of_characters": "length(text)::BIGINT",
+    "mean_word_length": "round(" + ratio(
+        "list_aggregate(list_transform(t, w -> length(w)), 'sum')", "len(t)") + ", 6)",
+    "words_per_line_mean": "round(" + ratio("len(t)", f"len({_LINES})") + ", 6)",
+    "short_line_ratio": "round(" + ratio(
+        f"len(list_filter({_LINES}, l -> length(l) < {SHORT_LINE_CHARS}))",
+        f"len({_LINES})") + ", 6)",
+    "lines_end_in_punctuation": "round(" + ratio(
+        f"len(list_filter({_LINES}, l -> regexp_matches(l, '[.!?]\\s*$')))",
+        f"len({_LINES})") + ", 6)",
+    "special_char_ratio": "round(" + ratio(
+        "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))",
+        "length(text)") + ", 6)",
+    "stop_word_fraction": "round(" + ratio(
+        f"len(list_filter(t, w -> list_contains({sql_list(STOPWORDS)}, lower(w))))",
+        "len(t)") + ", 6)",
+    "flagged_word_fraction": "round(" + ratio(
+        f"len(list_filter(t, w -> list_contains({sql_list(FLAGGED_WORDS)}, lower(w))))",
+        "len(t)") + ", 6)",
+    "char_repetition_5gram": (
+        "round(CASE WHEN length(text) < 5 THEN 0.0 ELSE 1.0 - "
+        + ratio(
+            "len(list_distinct(list_transform(range(1, length(text)-3), i -> substr(text, i::INT, 5))))",
+            "len(list_transform(range(1, length(text)-3), i -> substr(text, i::INT, 5)))",
+        )
+        + " END, 6)"
+    ),
+    "char_repetition_10gram": (
+        "round(CASE WHEN length(text) < 10 THEN 0.0 ELSE 1.0 - "
+        + ratio(
+            "len(list_distinct(list_transform(range(1, length(text)-8), i -> substr(text, i::INT, 10))))",
+            "len(list_transform(range(1, length(text)-8), i -> substr(text, i::INT, 10)))",
+        )
+        + " END, 6)"
+    ),
+    "word_repetition_2gram": (
+        "round(CASE WHEN len(t) < 2 THEN 0.0 ELSE 1.0 - "
+        + ratio(
+            "len(list_distinct(list_transform(range(1, len(t)), i -> t[i::INT] || ' ' || t[(i+1)::INT])))",
+            "len(t) - 1",
+        )
+        + " END, 6)"
+    ),
+}
+
+
+def _signals_cte(table: str = "documents", id_col: str = "doc_id") -> str:
+    cols = ",\n      ".join(f"{expr} AS {name}" for name, expr in _SIGNALS.items())
+    return f"""
+  tk AS (SELECT {id_col}, lang, text, {tokens('text')} AS t FROM {table}),
+  sig AS (
+    SELECT {id_col}, lang,
+      {cols}
+    FROM tk
+  )"""
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis queries
+# ---------------------------------------------------------------------------
+
+
+def q_quality_signals() -> str:
+    names = ", ".join(_SIGNALS)
+    return f"WITH {_signals_cte()} SELECT doc_id, {names} FROM sig"
+
+
+def q_unigram_entropy() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tokens('text')}) AS token FROM documents),
+c AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+e AS (
+  SELECT doc_id,
+    round(ln(sum(c)::DOUBLE) - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c)::DOUBLE, 4)
+      AS unigram_entropy
+  FROM c GROUP BY 1
+)
+SELECT d.doc_id, coalesce(e.unigram_entropy, 0.0)::DOUBLE AS unigram_entropy
+FROM documents d LEFT JOIN e USING (doc_id)"""
+
+
+def q_perplexity() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tokens('text')}) AS token FROM documents),
+cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c) AS t FROM cnt),
+lp AS (SELECT token, ln(c::DOUBLE / t::DOUBLE) AS logp FROM cnt, tot),
+s AS (SELECT doc_id, exp(-avg(logp)) AS p FROM tok JOIN lp USING (token) GROUP BY 1)
+SELECT d.doc_id, round(coalesce(s.p, 0.0), 4)::DOUBLE AS perplexity
+FROM documents d LEFT JOIN s USING (doc_id)"""
+
+
+def q_langid() -> str:
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ",\n    ".join(
+        f"len(list_filter(t, w -> list_contains({sql_list(LANG_MARKERS[lg])}, lower(w)))) AS h_{lg}"
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    label_cases = " ".join(f"WHEN h_{lg} = best THEN '{lg}'" for lg in langs)
+    cjk = ratio("length(regexp_replace(text, '[^一-鿿]', '', 'g'))", "length(text)")
+    return f"""
+WITH tk AS (SELECT doc_id, text, {tokens('text')} AS t FROM documents),
+h AS (SELECT doc_id, text, len(t) AS n,
+    {hit_cols}
+  FROM tk),
+s AS (SELECT *, {best} AS best, {cjk} AS cjk FROM h)
+SELECT doc_id,
+  CASE WHEN cjk > 0.2 THEN 'zh'
+       WHEN best = 0 THEN '{LANGID_DEFAULT}'
+       {label_cases}
+       ELSE '{LANGID_DEFAULT}' END AS langid,
+  CASE WHEN cjk > 0.2 THEN round(cjk, 6)
+       WHEN n = 0 OR best = 0 THEN 0.0
+       ELSE round(best::DOUBLE / n::DOUBLE, 6) END::DOUBLE AS score
+FROM s"""
+
+
+def q_fingerprint() -> str:
+    n = norm("text")
+    return f"""
+SELECT doc_id, md5({n}) AS fp_hex, {md5int(n)} AS fp_int
+FROM documents"""
+
+
+def scrub_sql_expr(expr: str) -> str:
+    out = expr
+    for pattern, repl in PII_PATTERNS:
+        p = pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
+    return out
+
+
+def flag_mask_sql_expr(expr: str) -> str:
+    pattern = r"(?i)\b(" + "|".join(FLAGGED_WORDS) + r")\b"
+    return f"regexp_replace({expr}, '{pattern}', '<FLAGGED>', 'g')"
+
+
+AUGMENT_SQL = (
+    "text || ' contact user' || doc_id || '@example.com ssn 123-45-6789 "
+    "ip 10.0.0.' || (doc_id % 255)"
+)
+
+
+def q_scrub() -> str:
+    return f"""
+WITH aug AS (SELECT doc_id, {AUGMENT_SQL} AS raw FROM documents)
+SELECT doc_id, {scrub_sql_expr('raw')} AS scrubbed, {flag_mask_sql_expr(scrub_sql_expr('raw'))} AS masked
+FROM aug"""
+
+
+# ---------------------------------------------------------------------------
+# Quality filter
+# ---------------------------------------------------------------------------
+
+
+def _rule_sql(signal: str, op: str, thr: float) -> str:
+    return f"({signal} {op} {thr})"
+
+
+def q_quality_filter() -> str:
+    conds = [(f"{s}_{'min' if op == '>=' else 'max'}", _rule_sql(s, op, t))
+             for s, op, t, _ in QUALITY_RULES]
+    keep = " AND ".join(c for _, c in conds)
+    reason = " ".join(f"WHEN NOT {c} THEN '{n}'" for n, c in conds)
+    return f"""
+WITH {_signals_cte()}
+SELECT doc_id, ({keep}) AS keep,
+  CASE {reason} ELSE '' END AS drop_reason
+FROM sig"""
+
+
+def q_quality_thresholds(cols=("number_of_words", "mean_word_length", "stop_word_fraction"),
+                         p_low: float = 0.10, p_high: float = 0.90) -> str:
+    aggs = ", ".join(
+        f"round(quantile_cont({c}::DOUBLE, {p_low}), 6)::DOUBLE AS {c}_lo, "
+        f"round(quantile_cont({c}::DOUBLE, {p_high}), 6)::DOUBLE AS {c}_hi"
+        for c in cols
+    )
+    return f"WITH {_signals_cte()} SELECT lang, {aggs} FROM sig GROUP BY lang"
+
+
+def q_quantile_filter(cols=("number_of_words", "mean_word_length", "stop_word_fraction"),
+                      p_low: float = 0.10, p_high: float = 0.90) -> str:
+    aggs = ", ".join(
+        f"round(quantile_cont({c}::DOUBLE, {p_low}), 6) AS {c}_lo, "
+        f"round(quantile_cont({c}::DOUBLE, {p_high}), 6) AS {c}_hi"
+        for c in cols
+    )
+    conds = " AND ".join(f"s.{c} >= t.{c}_lo AND s.{c} <= t.{c}_hi" for c in cols)
+    return f"""
+WITH {_signals_cte()},
+th AS (SELECT lang, {aggs} FROM sig GROUP BY lang)
+SELECT s.doc_id FROM sig s JOIN th t USING (lang) WHERE {conds}"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup_keep() -> str:
+    return f"""
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({norm('text')})"""
+
+
+def q_anti_join() -> str:
+    return """
+SELECT d.doc_id, d.lang FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents x WHERE x.doc_id % 7 = 0 AND x.doc_id = d.doc_id)"""
+
+
+def q_semi_join() -> str:
+    return """
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE EXISTS (
+  SELECT 1 FROM documents x WHERE x.doc_id % 3 = 0 AND x.doc_id = d.doc_id)"""
+
+
+def _minhash_ctes(cfg=ORACLE_MINHASH) -> str:
+    k, b, r, n = cfg["num_perm"], cfg["bands"], cfg["rows"], cfg["shingle"]
+    gram = " || ' ' || ".join(f"t[(i+{j})::INT]" for j in range(n))
+    return f"""
+base AS (SELECT doc_id, {norm('text')} AS nrm FROM documents),
+tk AS (SELECT doc_id, nrm, {tokens('nrm')} AS t FROM base),
+shg AS (
+  SELECT doc_id,
+    CASE WHEN len(t) < {n}
+         THEN (CASE WHEN trim(nrm) = '' THEN []::VARCHAR[] ELSE [nrm] END)
+         ELSE list_distinct(list_transform(range(1, len(t) - {n - 2}), i -> {gram}))
+    END AS sh
+  FROM tk),
+mh AS (
+  SELECT doc_id,
+    list_transform(range(0, {k}),
+      p -> list_aggregate(list_transform(sh, s -> {md5int("p::VARCHAR || ':' || s")}), 'min')) AS sig
+  FROM shg WHERE len(sh) > 0),
+bands AS (
+  SELECT doc_id AS id, bb.b AS band_idx,
+    {md5int(f"bb.b::VARCHAR || '#' || array_to_string(sig[(bb.b*{r}+1)::INT:(bb.b*{r}+{r})::INT], '|')")} AS band_hash
+  FROM mh, (SELECT unnest(range(0, {b})) AS b) bb)"""
+
+
+def q_minhash_bands() -> str:
+    return f"WITH {_minhash_ctes()} SELECT id, band_idx, band_hash FROM bands"
+
+
+def q_lsh_buckets() -> str:
+    return f"""
+WITH {_minhash_ctes()}
+SELECT band_idx, band_hash, count(*) AS n_docs, min(id) AS min_id
+FROM bands GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+
+def _edges_cte() -> str:
+    return """
+mn AS (SELECT id, band_idx, band_hash, min(id) OVER (PARTITION BY band_idx, band_hash) AS m FROM bands),
+edges AS (SELECT DISTINCT id AS src, m AS dst FROM mn WHERE id <> m)"""
+
+
+def q_candidate_edges() -> str:
+    return f"WITH {_minhash_ctes()}, {_edges_cte()} SELECT src, dst FROM edges"
+
+
+def q_fuzzy_dedup_keep() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()}, {_edges_cte()},
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(id, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.src, r.root FROM sym s JOIN reach r ON s.dst = r.id
+)
+SELECT id AS doc_id FROM reach GROUP BY id HAVING min(root) = id"""
+
+
+def q_jaccard_vs_query(query_doc_id: int = 0, min_sim: float = 0.0) -> str:
+    return f"""
+WITH {_minhash_ctes()},
+q AS (SELECT sh AS qs FROM shg WHERE doc_id = {query_doc_id})
+SELECT s.doc_id AS id,
+  round({ratio("len(list_filter(s.sh, x -> list_contains(q.qs, x)))",
+               "len(s.sh) + len(q.qs) - len(list_filter(s.sh, x -> list_contains(q.qs, x)))")}, 6)::DOUBLE AS jaccard
+FROM shg s, q
+WHERE {ratio("len(list_filter(s.sh, x -> list_contains(q.qs, x)))",
+             "len(s.sh) + len(q.qs) - len(list_filter(s.sh, x -> list_contains(q.qs, x)))")} >= {min_sim}"""
+
+
+def _simhash_ctes(bits: int = SIMHASH_BITS) -> str:
+    return f"""
+tk AS (SELECT doc_id, {tokens(norm('text'))} AS t FROM documents),
+hx AS (SELECT doc_id, {md5int("'0:' || tok")} AS hv FROM (SELECT doc_id, unnest(t) AS tok FROM tk)),
+bits AS (
+  SELECT doc_id, bb.b AS b,
+    sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hx, (SELECT unnest(range(0, {bits})) AS b) bb
+  GROUP BY 1, 2),
+sh AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+       FROM bits GROUP BY 1),
+shall AS (SELECT d.doc_id AS id, coalesce(sh.simhash, 0)::BIGINT AS simhash
+          FROM documents d LEFT JOIN sh USING (doc_id))"""
+
+
+def q_simhash() -> str:
+    return f"WITH {_simhash_ctes()} SELECT id, simhash FROM shall"
+
+
+def q_simhash_near_pairs(max_hamming: int = 3, band_bits: int = 4) -> str:
+    n_bands = SIMHASH_BITS // band_bits
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH {_simhash_ctes()},
+banded AS (
+  SELECT id, simhash, bb.b AS band, (simhash >> (bb.b * {band_bits})) & {mask} AS key
+  FROM shall, (SELECT unnest(range(0, {n_bands})) AS b) bb)
+SELECT DISTINCT a.id AS src, b.id AS dst, bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+# ---------------------------------------------------------------------------
+# Embeddings / ANN
+# ---------------------------------------------------------------------------
+
+_COS = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {qid}),
+s AS (
+  SELECT e.vec_id,
+    list_aggregate(list_transform(range(1, len(e.embedding)+1),
+      i -> e.embedding[i::INT]::DOUBLE * q.qe[i::INT]::DOUBLE), 'sum') AS num,
+    sqrt(list_aggregate(list_transform(range(1, len(e.embedding)+1),
+      i -> e.embedding[i::INT]::DOUBLE * e.embedding[i::INT]::DOUBLE), 'sum')) *
+    sqrt(list_aggregate(list_transform(range(1, len(q.qe)+1),
+      i -> q.qe[i::INT]::DOUBLE * q.qe[i::INT]::DOUBLE), 'sum')) AS den
+  FROM embeddings e, q)
+SELECT vec_id, (round(CASE WHEN den = 0 THEN 0.0 ELSE num / den END, {rnd}) + 0.0)::DOUBLE AS cos
+FROM s ORDER BY cos DESC, vec_id LIMIT {k}"""
+
+
+def q_ann_cosine_topk(query_vec_id: int = 0, k: int = ANN_TOPK) -> str:
+    return _COS.format(qid=query_vec_id, rnd=ANN_ROUND, k=k)
+
+
+def q_label_centroids(dim: int = 64) -> str:
+    return f"""
+SELECT label, (i.i - 1)::BIGINT AS pos,
+  (round(avg(embedding[i.i::INT]::DOUBLE), {ANN_ROUND}) + 0.0)::DOUBLE AS centroid
+FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS i) i
+GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# Events
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly() -> str:
+    return """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type, count(*) AS n_events, round(avg(value), 4)::DOUBLE AS avg_value
+FROM events GROUP BY 1, 2"""
+
+
+def q_events_sessions() -> str:
+    gap = SESSION_GAP_MINUTES * 60
+    return f"""
+WITH x AS (
+  SELECT user_id, event_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+y AS (
+  SELECT user_id,
+    CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > {gap} THEN 1 ELSE 0 END AS nw,
+    ts, event_id
+  FROM x),
+z AS (
+  SELECT user_id, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM y)
+SELECT user_id, max(session_idx)::BIGINT AS n_sessions, count(*) AS n_events
+FROM z GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Sampling / skew / relational
+# ---------------------------------------------------------------------------
+
+
+def q_hash_sample(one_in: int = 10, salt: str = "s") -> str:
+    h = md5int(f"'{salt}:' || doc_id::VARCHAR")
+    return f"SELECT doc_id FROM documents WHERE {h} % {one_in} = 0"
+
+
+def q_salted_count() -> str:
+    return "SELECT source, count(*) AS n FROM documents GROUP BY source"
+
+
+def q_top_sources(k: int = 10) -> str:
+    return f"""
+SELECT source, count(*) AS n FROM documents
+GROUP BY source ORDER BY n DESC, source LIMIT {k}"""
+
+
+def q_pricing_summary() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+  round(cast(sum(cast(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_qty,
+  round(cast(sum(cast(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_base,
+  round(cast(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_disc,
+  count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_segment_revenue() -> str:
+    return """
+SELECT c_mktsegment,
+  round(cast(sum(cast(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue,
+  count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment"""
+
+
+def q_region_customers() -> str:
+    return """
+SELECT r_name, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name"""

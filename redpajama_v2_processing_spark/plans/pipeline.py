@@ -1,0 +1,67 @@
+"""End-to-end pipeline composition over a documents/pages table.
+
+Mirrors the reference's four-stage flow (README.md:4-7: download -> exact
+dedup -> quality filter -> fuzzy dedup) as one declarative DataFrame DAG,
+plus the signal computation the reference outsourced. Stage-checkpointed,
+resumable execution lives in tableio.py / run_pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.langid import langid_struct
+from ..functions.scrub import scrub_pii
+from ..functions.signals import with_signals
+from ..functions.text import fingerprint_int
+from ..operators.exact_dedup import exact_keep_ids
+from ..operators.minhash_lsh import fuzzy_dedup_keep_ids
+from ..operators.quality_filter import with_quality_label
+from ..config import PROD_MINHASH
+
+
+def label_documents(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """signals + langid + keep/drop labels + scrubbed text. Narrow
+    (no shuffle): one codegen stage over the scan."""
+    lid = langid_struct(F.col(text_col))
+    out = with_quality_label(with_signals(docs, text_col))
+    return (
+        out.withColumn("langid", lid["lang"])
+        .withColumn("langid_score", lid["score"])
+        .withColumn("scrubbed_text", scrub_pii(F.col(text_col)))
+        .withColumn("fingerprint", fingerprint_int(F.col(text_col)))
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter pipeline over the documents table: labels + scrub +
+    exact-dedup survivor flag. Returns one row per input doc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labeled = label_documents(docs)
+    keep_ids = exact_keep_ids(docs, "doc_id").withColumn("exact_keep", F.lit(True))
+    return (
+        labeled.join(keep_ids, "doc_id", "left")
+        .withColumn("exact_keep", F.coalesce("exact_keep", F.lit(False)))
+        .select(
+            "doc_id", "lang", "langid", "langid_score", "keep", "drop_reason",
+            "number_of_words", "stop_word_fraction", "special_char_ratio",
+            "scrubbed_text", "fingerprint", "exact_keep",
+        )
+    )
+
+
+def full_pipeline(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """The reference's complete corpus-production semantics in one DAG:
+    quality filter -> exact dedup -> fuzzy dedup; returns surviving docs
+    with labels. (Batch composition; the checkpointed staged variant is
+    tableio.run_stages.)"""
+    labeled = label_documents(docs, id_col, text_col).where(F.col("keep"))
+    exact = exact_keep_ids(labeled, id_col, text_col)
+    survivors = labeled.join(exact, id_col, "left_semi")
+    fuzzy = fuzzy_dedup_keep_ids(
+        survivors, id_col, text_col, cfg=PROD_MINHASH, portable=False, salted=True
+    ).withColumnRenamed("id", id_col)
+    return survivors.join(fuzzy, id_col, "left_semi")

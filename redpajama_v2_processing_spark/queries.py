@@ -1,0 +1,385 @@
+"""Driver-facing query registry: each entry pairs a Spark DataFrame plan
+with a DuckDB oracle (oracle.py) computing the identical result.
+
+Naming contract: every computed column is aliased identically on both
+sides (the driver's compare sorts columns by name and value-hashes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import oracle
+from .config import ANN_TOPK, ORACLE_MINHASH, PROD_MINHASH
+from .functions.langid import langid_struct
+from .functions.perplexity import with_unigram_perplexity
+from .functions.scrub import mask_flagged_words, scrub_pii
+from .functions.signals import with_signals
+from .functions.text import fingerprint_hex, fingerprint_int
+from .operators.ann import ann_lsh_topk, cosine_topk, label_centroids
+from .operators.entropy import unigram_entropy
+from .operators.exact_dedup import anti_join_duplicates, exact_keep_ids
+from .operators.jaccard import jaccard_vs_query
+from .operators.minhash_lsh import (
+    candidate_edges,
+    fuzzy_dedup_keep_ids,
+    lsh_buckets,
+    minhash_bands,
+    shingles,
+)
+from .operators.multimodal import decode_media_meta, make_fake_payload
+from .operators.quality_filter import with_quality_label
+from .operators.sampling import hash_sample
+from .operators.sessionize import sessionize, tumbling_counts
+from .operators.simhash_dedup import simhash_near_pairs, with_simhash
+from .operators.skew import salted_count
+from .operators.thresholds import per_lang_thresholds, quantile_filter
+
+SIGNAL_COLS = [
+    "number_of_words", "number_of_lines", "number_of_characters",
+    "mean_word_length", "words_per_line_mean", "short_line_ratio",
+    "lines_end_in_punctuation", "special_char_ratio", "stop_word_fraction",
+    "flagged_word_fraction", "char_repetition_5gram", "char_repetition_10gram",
+    "word_repetition_2gram",
+]
+THRESHOLD_COLS = ["number_of_words", "mean_word_length", "stop_word_fraction"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs(spark, sf_dir):
+    return _t(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+
+def q_quality_signals(spark, sf_dir):
+    return with_signals(_docs(spark, sf_dir)).select("doc_id", *SIGNAL_COLS)
+
+
+def q_unigram_entropy(spark, sf_dir):
+    return unigram_entropy(_docs(spark, sf_dir), "doc_id", round_to=4)
+
+
+def q_perplexity(spark, sf_dir):
+    return with_unigram_perplexity(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", "perplexity"
+    )
+
+
+def q_langid(spark, sf_dir):
+    s = langid_struct(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", s["lang"].alias("langid"), s["score"].alias("score")
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        fingerprint_hex(F.col("text")).alias("fp_hex"),
+        fingerprint_int(F.col("text")).alias("fp_int"),
+    )
+
+
+def _augmented(docs):
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ssn 123-45-6789 ip 10.0.0."),
+        (F.col("doc_id") % 255).cast("string"),
+    )
+    return docs.withColumn("raw", raw)
+
+
+def q_scrub(spark, sf_dir):
+    aug = _augmented(_docs(spark, sf_dir))
+    scrubbed = scrub_pii(F.col("raw"))
+    return aug.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        mask_flagged_words(scrubbed).alias("masked"),
+    )
+
+
+def q_quality_filter(spark, sf_dir):
+    return with_quality_label(with_signals(_docs(spark, sf_dir))).select(
+        "doc_id", "keep", "drop_reason"
+    )
+
+
+def q_quality_thresholds(spark, sf_dir):
+    return per_lang_thresholds(
+        with_signals(_docs(spark, sf_dir)), THRESHOLD_COLS, exact=True
+    )
+
+
+def q_quantile_filter(spark, sf_dir):
+    return quantile_filter(
+        with_signals(_docs(spark, sf_dir)), THRESHOLD_COLS, exact=True
+    ).select("doc_id")
+
+
+def q_exact_dedup_keep(spark, sf_dir):
+    return exact_keep_ids(_docs(spark, sf_dir), "doc_id")
+
+
+def q_anti_join(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    dups = docs.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    return anti_join_duplicates(docs, dups, "doc_id", "doc_id").select("doc_id", "lang")
+
+
+def q_semi_join(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    keep = docs.where(F.col("doc_id") % 3 == 0).select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi").select("doc_id", "n_chars")
+
+
+def q_minhash_bands(spark, sf_dir):
+    return minhash_bands(_docs(spark, sf_dir), "doc_id").select(
+        "id", F.col("band_idx").cast("long").alias("band_idx"), "band_hash"
+    )
+
+
+def q_lsh_buckets(spark, sf_dir):
+    return lsh_buckets(minhash_bands(_docs(spark, sf_dir), "doc_id")).select(
+        F.col("band_idx").cast("long").alias("band_idx"),
+        "band_hash", "n_docs", "min_id",
+    )
+
+
+def q_candidate_edges(spark, sf_dir):
+    return candidate_edges(minhash_bands(_docs(spark, sf_dir), "doc_id"))
+
+
+def q_fuzzy_dedup_keep(spark, sf_dir):
+    return fuzzy_dedup_keep_ids(_docs(spark, sf_dir), "doc_id").select(
+        F.col("id").alias("doc_id")
+    )
+
+
+def q_jaccard_vs_query(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    qrow = (
+        docs.where(F.col("doc_id") == 0)
+        .select(shingles(F.col("text"), ORACLE_MINHASH["shingle"]).alias("sh"))
+        .collect()
+    )
+    qs = qrow[0]["sh"] if qrow else []
+    return jaccard_vs_query(docs, "doc_id", qs, n=ORACLE_MINHASH["shingle"])
+
+
+def q_simhash(spark, sf_dir):
+    return with_simhash(_docs(spark, sf_dir), "doc_id")
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    return simhash_near_pairs(_docs(spark, sf_dir), "doc_id")
+
+
+def _query_vec(spark, sf_dir, vec_id=0):
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .collect()
+    )
+    return [float(x) for x in row[0]["embedding"]]
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, _query_vec(spark, sf_dir), k=ANN_TOPK)
+
+
+def q_label_centroids(spark, sf_dir):
+    return label_centroids(_t(spark, sf_dir, "embeddings")).select(
+        "label", F.col("pos").cast("long").alias("pos"), "centroid"
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    out = tumbling_counts(_t(spark, sf_dir, "events"))
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events", "avg_value",
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    return sessionize(_t(spark, sf_dir, "events")).select(
+        "user_id", F.col("n_sessions").cast("long").alias("n_sessions"), "n_events"
+    )
+
+
+def q_hash_sample(spark, sf_dir):
+    return hash_sample(_docs(spark, sf_dir), "doc_id", 10).select("doc_id")
+
+
+def q_salted_count(spark, sf_dir):
+    return salted_count(_docs(spark, sf_dir), "source")
+
+
+def q_top_sources(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("source").asc())
+        .limit(10)
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(28,6)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_base"),
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")).cast("double"),
+                2,
+            ).alias("sum_disc"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_segment_revenue(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_region_customers(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# --- rows-only (no SQL-expressible oracle) ---------------------------------
+
+
+def q_multimodal_meta(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "video")
+        .otherwise("audio")
+    )
+    payload = make_fake_payload(
+        kind, F.col("doc_id") % 640, F.col("doc_id") % 480,
+        F.substring("text", 1, 20),
+    )
+    with_bin = docs.select("doc_id", payload.alias("payload"))
+    return decode_media_meta(with_bin, "doc_id", "payload")
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, _query_vec(spark, sf_dir), dim=64, nbits=8)
+
+
+def q_fuzzy_dedup_prod(spark, sf_dir):
+    return fuzzy_dedup_keep_ids(
+        _docs(spark, sf_dir), "doc_id", cfg=PROD_MINHASH, portable=False, salted=True
+    ).select(F.col("id").alias("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "quality_signals": q_quality_signals,
+    "unigram_entropy": q_unigram_entropy,
+    "perplexity": q_perplexity,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "scrub_pii": q_scrub,
+    "quality_filter": q_quality_filter,
+    "quality_thresholds": q_quality_thresholds,
+    "quantile_filter": q_quantile_filter,
+    "exact_dedup_keep": q_exact_dedup_keep,
+    "anti_join_duplicates": q_anti_join,
+    "semi_join_keeplist": q_semi_join,
+    "minhash_bands": q_minhash_bands,
+    "lsh_buckets": q_lsh_buckets,
+    "lsh_candidate_edges": q_candidate_edges,
+    "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
+    "ngram_jaccard": q_jaccard_vs_query,
+    "simhash": q_simhash,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "label_centroids": q_label_centroids,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "hash_sample": q_hash_sample,
+    "salted_count": q_salted_count,
+    "top_sources": q_top_sources,
+    "pricing_summary": q_pricing_summary,
+    "segment_revenue": q_segment_revenue,
+    "region_customers": q_region_customers,
+    # rows-only checks (non-SQL-expressible / approximate ops)
+    "multimodal_meta": q_multimodal_meta,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "fuzzy_dedup_prod": q_fuzzy_dedup_prod,
+}
+
+ORACLES: dict[str, str] = {
+    "quality_signals": oracle.q_quality_signals(),
+    "unigram_entropy": oracle.q_unigram_entropy(),
+    "perplexity": oracle.q_perplexity(),
+    "langid": oracle.q_langid(),
+    "fingerprint": oracle.q_fingerprint(),
+    "scrub_pii": oracle.q_scrub(),
+    "quality_filter": oracle.q_quality_filter(),
+    "quality_thresholds": oracle.q_quality_thresholds(),
+    "quantile_filter": oracle.q_quantile_filter(),
+    "exact_dedup_keep": oracle.q_exact_dedup_keep(),
+    "anti_join_duplicates": oracle.q_anti_join(),
+    "semi_join_keeplist": oracle.q_semi_join(),
+    "minhash_bands": oracle.q_minhash_bands(),
+    "lsh_buckets": oracle.q_lsh_buckets(),
+    "lsh_candidate_edges": oracle.q_candidate_edges(),
+    "fuzzy_dedup_keep": oracle.q_fuzzy_dedup_keep(),
+    "ngram_jaccard": oracle.q_jaccard_vs_query(),
+    "simhash": oracle.q_simhash(),
+    "simhash_near_pairs": oracle.q_simhash_near_pairs(),
+    "ann_cosine_topk": oracle.q_ann_cosine_topk(),
+    "label_centroids": oracle.q_label_centroids(),
+    "events_hourly": oracle.q_events_hourly(),
+    "events_sessions": oracle.q_events_sessions(),
+    "hash_sample": oracle.q_hash_sample(),
+    "salted_count": oracle.q_salted_count(),
+    "top_sources": oracle.q_top_sources(),
+    "pricing_summary": oracle.q_pricing_summary(),
+    "segment_revenue": oracle.q_segment_revenue(),
+    "region_customers": oracle.q_region_customers(),
+}
