@@ -84,21 +84,23 @@ def flagged_word_fraction(tok: Column) -> Column:
     return _lexicon_fraction(tok, FLAGGED_WORDS)
 
 
-def char_repetition(text: Column, n: int) -> Column:
-    """1 - distinct/total character n-grams (0.0 when no n-grams)."""
-    grams = char_ngrams(text, n)
+def repetition_ratio(grams: Column) -> Column:
+    """1 - distinct/total n-grams (0.0 when empty). Pass a STAGED gram
+    column — the expression references it three times."""
     return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - _ratio(F.size(F.array_distinct(grams)), F.size(grams))
     )
+
+
+def char_repetition(text: Column, n: int) -> Column:
+    """1 - distinct/total character n-grams (0.0 when no n-grams)."""
+    return repetition_ratio(char_ngrams(text, n))
 
 
 def word_repetition(tok: Column, n: int = 2) -> Column:
     """1 - distinct/total word n-grams (0.0 when no n-grams).
     ``tok`` MUST be a plain column reference (see module note)."""
-    grams = word_ngrams(tok, n)
-    return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
-        F.lit(1.0) - _ratio(F.size(F.array_distinct(grams)), F.size(grams))
-    )
+    return repetition_ratio(word_ngrams(tok, n))
 
 
 # ---------------------------------------------------------------------------
@@ -116,6 +118,15 @@ def with_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     text = F.col(text_col)
     staged = df.withColumns({"_tok": tokens(text), "_lines": lines(text)})
     tok, ls = F.col("_tok"), F.col("_lines")
+    # n-gram arrays staged too: repetition_ratio references its gram array
+    # three times, and these arrays are the most expensive to build
+    staged = staged.withColumns(
+        {
+            "_g5": char_ngrams(text, 5),
+            "_g10": char_ngrams(text, 10),
+            "_wg2": word_ngrams(tok, 2),
+        }
+    )
     return staged.withColumns(
         {
             "number_of_words": number_of_words(tok),
@@ -128,8 +139,8 @@ def with_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             "special_char_ratio": F.round(special_char_ratio(text), 6),
             "stop_word_fraction": F.round(stop_word_fraction(tok), 6),
             "flagged_word_fraction": F.round(flagged_word_fraction(tok), 6),
-            "char_repetition_5gram": F.round(char_repetition(text, 5), 6),
-            "char_repetition_10gram": F.round(char_repetition(text, 10), 6),
-            "word_repetition_2gram": F.round(word_repetition(tok, 2), 6),
+            "char_repetition_5gram": F.round(repetition_ratio(F.col("_g5")), 6),
+            "char_repetition_10gram": F.round(repetition_ratio(F.col("_g10")), 6),
+            "word_repetition_2gram": F.round(repetition_ratio(F.col("_wg2")), 6),
         }
-    ).drop("_tok", "_lines")
+    ).drop("_tok", "_lines", "_g5", "_g10", "_wg2")

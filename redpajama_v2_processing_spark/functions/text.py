@@ -15,10 +15,19 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def strip_ws(col: Column) -> Column:
+    """Strip leading/trailing \\s (trim() only strips ASCII spaces, not
+    \\n/\\t, in Spark AND DuckDB). Anchored regexes, codegen-capable."""
+    return F.regexp_replace(F.regexp_replace(col, r"^\s+", ""), r"\s+$", "")
+
+
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens; empty/blank text -> empty array."""
+    """Whitespace tokens: strip outer whitespace, split on \\s+ runs;
+    blank text -> empty array. No higher-order functions — a filter()
+    lambda here would drop the whole signal projection out of
+    whole-stage codegen (HOFs are CodegenFallback)."""
     c = F.col(col) if isinstance(col, str) else col
-    t = F.trim(c)
+    t = strip_ws(c)
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )

@@ -58,10 +58,30 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _persistent_ids(sc) -> set[int]:
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _unpersist(sc, ids: set[int]) -> None:
+    m = sc._jsc.getPersistentRDDs()
+    for k in m.keySet().toArray():
+        if int(k) in ids:
+            m.get(k).unpersist()
+
+
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """edges: DF(src:long, dst:long) undirected. Returns DF(id, root) for
     every node appearing in the edge set; root = component min id.
+
+    Each round is localCheckpoint-ed (lineage truncation: without it the
+    plan doubles per round and analysis time explodes). Superseded rounds'
+    checkpoint blocks are explicitly unpersisted once the final result is
+    materialized — iterative checkpoints are the classic slow-leak that
+    degrades every later job in the session. At warehouse scale, persist
+    the returned frame to a table (tableio) rather than holding it cached.
     """
+    sc = edges.sparkSession.sparkContext
+    pre_existing = _persistent_ids(sc)
     cur = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .where(F.col("src") != F.col("dst"))
@@ -82,7 +102,14 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         if prev_sig == (sig["n"], sig["h"]):
             break
         prev_sig = (sig["n"], sig["h"])
+    loop_ids = _persistent_ids(sc) - pre_existing
     # converged: every edge is (node, component_min); add roots themselves
     nodes = cur.select(F.col("src").alias("id"), F.col("dst").alias("root"))
     roots = cur.select(F.col("dst").alias("id"), F.col("dst").alias("root")).distinct()
-    return nodes.union(roots).groupBy("id").agg(F.min("root").alias("root"))
+    result = (
+        nodes.union(roots).groupBy("id").agg(F.min("root").alias("root"))
+        .localCheckpoint()  # eager: materialized before inputs are freed
+    )
+    final_ids = _persistent_ids(sc) - pre_existing - loop_ids
+    _unpersist(sc, loop_ids - final_ids)
+    return result

@@ -51,15 +51,34 @@ def shingles(text_col, n: int):
 def with_shingles(
     docs: DataFrame, id_col: str, text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """DF(id, _sh): staged shingle arrays (token array staged separately so
-    each projection only touches column refs — see functions/signals.py
-    performance note)."""
-    return (
+    """DF(id, _sh): staged shingle arrays.
+
+    N-gram construction uses pyspark.ml.feature.NGram (Scala sliding-window
+    over the token array, identical " "-joined output) instead of a
+    ``transform(sequence, ...)`` lambda: Catalyst evaluates array lambdas
+    interpreted, which made shingling the hottest op in the whole engine.
+    Null text -> null shingles (doc unsignable, kept by dedup — mirrors the
+    reference's null-signature guard, src/minhashlsh.py:112)."""
+    from pyspark.ml.feature import NGram
+
+    base = (
         docs.select(F.col(id_col).alias("id"), normalize(F.col(text_col)).alias("_norm"))
         .withColumn("_tok", tokens(F.col("_norm")))
-        .withColumn("_sh", shingles_of(F.col("_tok"), F.col("_norm"), n))
-        .select("id", "_sh")
+        .withColumn("_tok_safe", F.coalesce("_tok", F.array().cast("array<string>")))
     )
+    ng = NGram(n=n, inputCol="_tok_safe", outputCol="_ng").transform(base)
+    norm_c, tok_c = F.col("_norm"), F.col("_tok_safe")
+    sh = (
+        F.when(norm_c.isNull(), F.lit(None).cast("array<string>"))
+        .when(
+            F.size(tok_c) < n,
+            F.when(F.trim(norm_c) == "", F.array().cast("array<string>")).otherwise(
+                F.array(norm_c)
+            ),
+        )
+        .otherwise(F.array_distinct(F.col("_ng")))
+    )
+    return ng.select("id", sh.alias("_sh"))
 
 
 def minhash_bands(
@@ -79,13 +98,20 @@ def minhash_bands(
     evaluates interpreted (no codegen inside array lambdas).
     """
     k, b, r = cfg["num_perm"], cfg["bands"], cfg["rows"]
-    fam = md5int_seeded if portable else xxhash_seeded
     flat = with_shingles(docs, id_col, text_col, cfg["shingle"]).select(
         "id", F.explode("_sh").alias("_s")
     )
-    hashed = flat.select(
-        "id", *[fam(i, F.col("_s")).alias(f"_h{i}") for i in range(k)]
-    )
+    if portable:
+        hashed = flat.select(
+            "id", *[md5int_seeded(i, F.col("_s")).alias(f"_h{i}") for i in range(k)]
+        )
+    else:
+        # production path: hash the (variable-length) shingle string ONCE,
+        # derive the k permutation hashes from the fixed-width long — with
+        # k~117 this cuts string-hashing work by two orders of magnitude
+        hashed = flat.withColumn("_h", F.xxhash64("_s")).select(
+            "id", *[F.xxhash64(F.lit(i), F.col("_h")).alias(f"_h{i}") for i in range(k)]
+        )
     minh = hashed.groupBy("id").agg(
         *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(k)]
     )

@@ -41,10 +41,16 @@ def md5int(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
+def _strip_ws(expr: str) -> str:
+    return f"regexp_replace(regexp_replace({expr}, '^\\s+', ''), '\\s+$', '')"
+
+
 def tokens(expr: str) -> str:
+    # mirrors functions/text.py tokens(): strip outer \s, split on \s+ runs
+    s = _strip_ws(expr)
     return (
-        f"(CASE WHEN trim({expr}) = '' THEN []::VARCHAR[] "
-        f"ELSE regexp_split_to_array(trim({expr}), '\\s+') END)"
+        f"(CASE WHEN {s} = '' THEN []::VARCHAR[] "
+        f"ELSE regexp_split_to_array({s}, '\\s+') END)"
     )
 
 

@@ -60,7 +60,10 @@ def full_pipeline(docs: DataFrame, id_col: str = "doc_id",
     tableio.run_stages.)"""
     labeled = label_documents(docs, id_col, text_col).where(F.col("keep"))
     exact = exact_keep_ids(labeled, id_col, text_col)
-    survivors = labeled.join(exact, id_col, "left_semi")
+    # survivors feeds both the fuzzy signature pass and the final semi-join;
+    # persist so the signal pipeline isn't recomputed per consumer (the
+    # staged tableio pipeline materializes to parquet instead)
+    survivors = labeled.join(exact, id_col, "left_semi").persist()
     fuzzy = fuzzy_dedup_keep_ids(
         survivors, id_col, text_col, cfg=PROD_MINHASH, portable=False, salted=True
     ).withColumnRenamed("id", id_col)

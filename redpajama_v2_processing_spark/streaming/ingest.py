@@ -1,0 +1,80 @@
+"""Structured-Streaming ingest: the same stage functions as the batch
+pipeline, applied to a file stream of pages.
+
+The reference is pure batch (SURVEY.md §2.10); this is the optional
+streaming-append variant sketched there: new page files appear under a
+directory (or Iceberg appends), each micro-batch is labeled/scrubbed with
+the identical narrow expressions, so streaming and batch labels are
+byte-identical (tested). Windowed per-lang rates use event-time windows +
+watermark for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..fixtures import PAGES_SCHEMA
+from ..plans.pipeline import label_documents
+
+
+def read_pages_stream(spark: SparkSession, input_dir: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def stream_labels(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Label every arriving page; exactly-once via checkpointed file sink.
+    ``available_now=True`` drains what exists and stops (test/backfill
+    mode); False runs continuously."""
+    pages = read_pages_stream(spark, input_dir)
+    labeled = label_documents(pages, id_col="url", text_col="text")
+    writer = (
+        labeled.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_lang_rates(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Event-time windowed ingest rates per lang with late-data watermark:
+    append-mode windowed aggregation (state is dropped once the watermark
+    passes the window end)."""
+    pages = read_pages_stream(spark, input_dir)
+    agg = (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("w.start").alias("window_start"), "lang", "n_pages")
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,159 @@
+"""Iceberg-lite table layout: snapshot-committed, hidden-partitioned
+parquet tables with per-stage lineage + metrics.
+
+No Iceberg runtime jar ships in this sandbox, so this module provides the
+Iceberg semantics the engine needs behind a thin interface (swap for a real
+``df.writeTo(...)`` catalog by replacing commit/read):
+
+* hidden partitioning: data laid out ``data/lang=<l>/date=<d>/`` (the
+  days(warc_ts), lang spec from SURVEY.md §1.3); readers prune partitions
+  via ordinary directory pruning;
+* atomic commits: data lands in a temp dir, a single ``os.rename``
+  publishes it, then a snapshot JSON (temp + rename, crash-safe) records
+  row counts per partition — the lineage/metrics the reference hand-rolled
+  as parquet_metadata.jsonl (src/get_metadata_signatures.py:32-40);
+* resume: a stage is complete iff its snapshot exists — replaces the
+  reference's "output file exists => stage done" convention
+  (src/minhashlsh.py:261-262) with an atomic marker.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _snapshot_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "_snapshot.json")
+
+
+def table_committed(table_dir: str) -> bool:
+    return os.path.exists(_snapshot_path(table_dir))
+
+
+def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(table_dir, "data"))
+
+
+def commit_table(
+    df: DataFrame,
+    table_dir: str,
+    partition_by: tuple[str, ...] = (),
+    derive_date_from: str | None = None,
+    meta: dict | None = None,
+) -> dict:
+    """Write ``df`` as a committed table; returns the snapshot dict.
+
+    ``derive_date_from``: timestamp column to derive a hidden ``date``
+    partition column from (Iceberg days() transform analog). The derived
+    column is partition metadata only — readers get the original columns
+    back plus ``date``.
+    """
+    out = df
+    parts = list(partition_by)
+    if derive_date_from is not None:
+        out = out.withColumn("date", F.to_date(F.col(derive_date_from)))
+        if "date" not in parts:
+            parts.append("date")
+
+    os.makedirs(table_dir, exist_ok=True)
+    tmp = os.path.join(table_dir, f"_tmp-{uuid.uuid4().hex}")
+    writer = out.write.mode("overwrite")
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(tmp)
+
+    final = os.path.join(table_dir, "data")
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)  # atomic publish
+
+    committed = read_table(df.sparkSession, table_dir)
+    if parts:
+        part_counts = {
+            "|".join(str(r[p]) for p in parts): r["n"]
+            for r in committed.groupBy(*parts).agg(F.count("*").alias("n")).collect()
+        }
+    else:
+        part_counts = {}
+    snapshot = {
+        "rows": committed.count(),
+        "partitions": part_counts,
+        "partition_by": parts,
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "meta": meta or {},
+    }
+    tmp_snap = _snapshot_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp_snap, "w") as f:
+        json.dump(snapshot, f, indent=1)
+    os.rename(tmp_snap, _snapshot_path(table_dir))
+    return snapshot
+
+
+def read_snapshot(table_dir: str) -> dict:
+    with open(_snapshot_path(table_dir)) as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Stage DAG with resume + metrics
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Stage:
+    name: str
+    fn: Callable[[DataFrame], DataFrame]
+    partition_by: tuple[str, ...] = ()
+    derive_date_from: str | None = None
+
+
+def run_stages(
+    spark: SparkSession,
+    source: DataFrame,
+    stages: list[Stage],
+    warehouse: str,
+    resume: bool = True,
+) -> tuple[DataFrame, list[dict]]:
+    """Run a linear stage DAG; each stage's output is a committed table
+    under ``warehouse/<stage>``. With ``resume=True``, committed stages are
+    read back instead of recomputed (snapshot-checkpoint resume). Appends
+    one metrics record per executed/skipped stage to
+    ``warehouse/_metrics.jsonl``."""
+    os.makedirs(warehouse, exist_ok=True)
+    metrics_path = os.path.join(warehouse, "_metrics.jsonl")
+    cur = source
+    records = []
+    for st in stages:
+        tdir = os.path.join(warehouse, st.name)
+        t0 = time.time()
+        if resume and table_committed(tdir):
+            cur = read_table(spark, tdir)
+            rec = {
+                "stage": st.name, "skipped": True,
+                "rows_out": read_snapshot(tdir)["rows"], "seconds": 0.0,
+            }
+        else:
+            rows_in = cur.count()
+            out = st.fn(cur)
+            snap = commit_table(
+                out, tdir, st.partition_by, st.derive_date_from,
+                meta={"stage": st.name, "rows_in": rows_in},
+            )
+            cur = read_table(spark, tdir)
+            rec = {
+                "stage": st.name, "skipped": False, "rows_in": rows_in,
+                "rows_out": snap["rows"], "seconds": round(time.time() - t0, 3),
+            }
+        records.append(rec)
+        with open(metrics_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    return cur, records

@@ -1,0 +1,117 @@
+"""MinHash/LSH internals, SimHash, ANN vs numpy brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from redpajama_v2_processing_spark.operators.ann import (
+    ann_lsh_topk, cosine_topk, label_centroids,
+)
+from redpajama_v2_processing_spark.operators.jaccard import (
+    jaccard_candidate_pairs, jaccard_vs_query,
+)
+from redpajama_v2_processing_spark.operators.minhash_lsh import (
+    candidate_edges, lsh_buckets, minhash_bands, salted_bucket_edges,
+)
+from redpajama_v2_processing_spark.operators.simhash_dedup import (
+    simhash_near_pairs, with_simhash,
+)
+from tests.conftest import docs_frame
+
+
+def test_minhash_identical_docs_identical_bands(spark):
+    df = docs_frame(spark, ["x y z w v u t s", "x y z w v u t s", "other doc here now"])
+    bands = minhash_bands(df, "doc_id")
+    b = {(r.id, r.band_idx): r.band_hash for r in bands.collect()}
+    n_bands = max(k[1] for k in b) + 1
+    assert all(b[(0, i)] == b[(1, i)] for i in range(n_bands))
+    assert any(b[(0, i)] != b[(2, i)] for i in range(n_bands))
+
+
+def test_lsh_bucket_and_edges(spark):
+    df = docs_frame(spark, ["same words here one two three", "same words here one two three",
+                            "different entirely unrelated content"])
+    buckets = lsh_buckets(minhash_bands(df, "doc_id")).collect()
+    assert all(r.min_id == 0 and r.n_docs == 2 for r in buckets)
+    edges = candidate_edges(minhash_bands(df, "doc_id")).collect()
+    assert {(r.src, r.dst) for r in edges} == {(1, 0)}
+
+
+def test_salted_edges_same_connectivity(spark):
+    df = docs_frame(spark, ["a b c d e f g"] * 6 + ["unique other doc text"])
+    bands = minhash_bands(df, "doc_id")
+    plain = candidate_edges(bands)
+    salted = salted_bucket_edges(bands, salt_buckets=3)
+    from redpajama_v2_processing_spark.operators.connected_components import (
+        connected_components,
+    )
+    r1 = {r.id: r.root for r in connected_components(plain).collect()}
+    r2 = {r.id: r.root for r in connected_components(salted).collect()}
+    assert r1 == r2
+
+
+def test_jaccard_vs_query_exact_values(spark):
+    df = docs_frame(spark, ["a b c d", "a b c d", "a b c x", "q r s t"])
+    # shingle(3): doc0 = {a b c, b c d}
+    out = {r.id: r.jaccard for r in jaccard_vs_query(df, "doc_id", ["a b c", "b c d"]).collect()}
+    assert out[0] == 1.0 and out[1] == 1.0
+    assert out[2] == round(1 / 3, 6)  # {a b c, b c x} vs {a b c, b c d}
+    assert out[3] == 0.0
+
+
+def test_jaccard_candidate_pairs(spark):
+    df = docs_frame(spark, ["one two three four five six", "one two three four five six",
+                            "alpha beta gamma delta eps zeta"])
+    pairs = jaccard_candidate_pairs(df, "doc_id", min_sim=0.9).collect()
+    assert {(r.src, r.dst, r.jaccard) for r in pairs} == {(1, 0, 1.0)}
+
+
+def test_simhash_identity_and_near(spark):
+    df = docs_frame(spark, ["w1 w2 w3 w4 w5 w6 w7 w8", "w1 w2 w3 w4 w5 w6 w7 w8", ""])
+    h = {r.id: r.simhash for r in with_simhash(df, "doc_id").collect()}
+    assert h[0] == h[1] and h[2] == 0
+    pairs = simhash_near_pairs(df, "doc_id").collect()
+    assert any(p.src == 0 and p.dst == 1 and p.hamming == 0 for p in pairs)
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(50, 16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[7]]
+    got = [(r.vec_id, r.cos) for r in cosine_topk(df, q, k=10).collect()]
+    sims = vecs @ vecs[7] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[7]))
+    want = sorted(range(50), key=lambda i: (-round(float(sims[i]), 4), i))[:10]
+    assert [g[0] for g in got] == want
+    assert got[0][0] == 7 and got[0][1] == 1.0
+
+
+def test_ann_lsh_bucket_contains_query(spark):
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(40, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[3]]
+    got = ann_lsh_topk(df, q, dim=8, nbits=4, k=5).collect()
+    assert got[0].vec_id == 3 and got[0].cos == 1.0  # query's own bucket
+
+
+def test_label_centroids_match_numpy(spark):
+    rng = np.random.RandomState(1)
+    vecs = rng.randn(30, 4).astype("float32")
+    labels = [i % 3 for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, labels[i], [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {(r.label, r.pos): r.centroid for r in label_centroids(df, dim=4).collect()}
+    for lb in range(3):
+        mean = vecs[np.array(labels) == lb].astype("float64").mean(axis=0)
+        for p in range(4):
+            assert abs(got[(lb, p)] - round(float(mean[p]), 4)) <= 1e-4

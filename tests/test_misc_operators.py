@@ -1,0 +1,99 @@
+"""Sessionization, sampling, skew helpers, perplexity, properties."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from redpajama_v2_processing_spark.functions.perplexity import (
+    char_bigram_model, char_bigram_perplexity_udf, with_unigram_perplexity,
+)
+from redpajama_v2_processing_spark.operators.sampling import hash_sample, seeded_sample
+from redpajama_v2_processing_spark.operators.sessionize import sessionize, tumbling_counts
+from redpajama_v2_processing_spark.operators.skew import (
+    salted_count, salted_join_small_skewed,
+)
+from tests.conftest import docs_frame
+
+
+def _events(spark):
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1: two sessions (gap 45 min)
+        (1, 1, base, "a", 1.0),
+        (2, 1, base + dt.timedelta(minutes=10), "a", 2.0),
+        (3, 1, base + dt.timedelta(minutes=55), "b", 3.0),
+        # user 2: one session
+        (4, 2, base, "a", 4.0),
+        (5, 2, base + dt.timedelta(minutes=29), "a", 5.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def test_sessionize(spark):
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in sessionize(_events(spark)).collect()}
+    assert got == {1: (2, 3), 2: (1, 2)}
+
+
+def test_tumbling_counts(spark):
+    got = tumbling_counts(_events(spark)).collect()
+    m = {(str(r.window_start), r.event_type): r.n_events for r in got}
+    assert m[("2026-01-01 10:00:00", "a")] == 4
+    assert m[("2026-01-01 10:00:00", "b")] == 1
+
+
+def test_hash_sample_deterministic_and_disjoint(spark):
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    a = {r.k for r in hash_sample(df, "k", 10).collect()}
+    b = {r.k for r in hash_sample(df, "k", 10).collect()}
+    assert a == b and 40 < len(a) < 250
+    c = {r.k for r in hash_sample(df, "k", 10, salt="other").collect()}
+    assert a != c  # different salt, different (deterministic) sample
+
+
+def test_seeded_sample_reproducible(spark):
+    df = spark.range(1000)
+    assert seeded_sample(df, 0.1, seed=5).count() == seeded_sample(df, 0.1, seed=5).count()
+
+
+def test_salted_count_equals_plain(spark, pages_small):
+    plain = {r.lang: r.n for r in
+             pages_small.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    salted = {r.lang: r.n for r in salted_count(pages_small, "lang").collect()}
+    assert plain == salted
+
+
+def test_salted_join_equals_plain(spark):
+    big = spark.range(500).select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(5)], "k long, name string")
+    plain = big.join(small, "k").select("k", "v", "name")
+    salted = salted_join_small_skewed(big, small, "k", n_salts=4).select("k", "v", "name")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_unigram_perplexity_bounds(spark):
+    df = docs_frame(spark, ["a a a a", "a b c d", ""])
+    out = {r.doc_id: r.perplexity for r in
+           with_unigram_perplexity(df, "doc_id").select("doc_id", "perplexity").collect()}
+    # all-'a' doc: p(a)=5/8 -> ppl = 1.6 exactly
+    assert out[0] == 1.6
+    assert out[1] > out[0]  # rarer tokens -> higher perplexity
+    assert out[2] == 0.0
+
+
+def test_char_bigram_perplexity_udf(spark):
+    df = docs_frame(spark, ["abab abab", "zzzz zzzz", ""])
+    model = char_bigram_model(df)
+    udf = char_bigram_perplexity_udf(spark, model, vocab_logp=-10.0)
+    out = {r.doc_id: r.p for r in df.select("doc_id", udf("text").alias("p")).collect()}
+    assert out[2] == 0.0
+    assert out[0] > 1.0 and out[1] > 1.0
+    # arrow-batched plan: the only python node is ArrowEvalPython
+    plan = df.select(udf("text")).queryExecution() if False else (
+        df.select(udf("text"))._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan

@@ -1,0 +1,176 @@
+"""Staged pipeline: commit/resume/lineage; streaming == batch labels;
+CLI; multimodal plumbing; fixtures determinism."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from redpajama_v2_processing_spark.fixtures import generate_pages_pdf, write_pages
+from redpajama_v2_processing_spark.plans.pipeline import label_documents
+from redpajama_v2_processing_spark.sources.pages import pages_stages, read_pages
+from redpajama_v2_processing_spark.tableio import (
+    commit_table, read_snapshot, read_table, run_stages, table_committed,
+)
+from redpajama_v2_processing_spark.config import ORACLE_MINHASH
+
+
+def test_fixture_determinism_and_mix():
+    a = generate_pages_pdf(150, seed=42)
+    b = generate_pages_pdf(150, seed=42)
+    assert a.equals(b)
+    c = generate_pages_pdf(150, seed=43)
+    assert not a["text"].equals(c["text"])
+    # hot-host skew present
+    hot = a["url"].str.contains("hot-portal").mean()
+    assert 0.08 < hot < 0.45
+    # exact duplicate pairs exist
+    assert a["text"].duplicated().any()
+    # multiple days of warc_ts
+    assert a["warc_ts"].dt.date.nunique() >= 3
+
+
+def test_commit_read_snapshot(spark, tmp_path, pages_small):
+    tdir = str(tmp_path / "t1")
+    snap = commit_table(pages_small, tdir, partition_by=("lang",),
+                        derive_date_from="warc_ts")
+    assert table_committed(tdir)
+    assert snap["rows"] == pages_small.count()
+    assert sum(snap["partitions"].values()) == snap["rows"]
+    back = read_table(spark, tdir)
+    assert back.count() == pages_small.count()
+    assert "date" in back.columns  # hidden partition column surfaced
+    # partition pruning works via directory layout
+    one_lang = back.where(F.col("lang") == "en")
+    assert one_lang.count() == pages_small.where(F.col("lang") == "en").count()
+
+
+def test_run_stages_and_resume(spark, tmp_path):
+    src_dir = str(tmp_path / "pages_in")
+    write_pages(spark, src_dir, n_rows=120, seed=7, partitions=2)
+    warehouse = str(tmp_path / "wh")
+    stages = pages_stages(minhash_cfg=ORACLE_MINHASH)
+    src = read_pages(spark, src_dir)
+
+    out1, m1 = run_stages(spark, src, stages, warehouse, resume=True)
+    rows1 = out1.count()
+    assert rows1 > 0
+    assert [m["stage"] for m in m1] == [s.name for s in stages]
+    assert all(not m["skipped"] for m in m1)
+    # monotone non-increasing row counts through the filter/dedup stages
+    outs = [m["rows_out"] for m in m1]
+    assert outs[1] == outs[0]  # labeling keeps all rows
+    assert all(outs[i + 1] <= outs[i] for i in range(1, len(outs) - 1))
+
+    # resume: all stages skip, same output
+    out2, m2 = run_stages(spark, src, stages, warehouse, resume=True)
+    assert all(m["skipped"] for m in m2)
+    assert out2.count() == rows1
+
+    # lineage/metrics file has one record per stage per run
+    lines = (tmp_path / "wh" / "_metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 2 * len(stages)
+    assert json.loads(lines[0])["stage"] == "extract"
+
+    # snapshot carries per-partition lineage
+    snap = read_snapshot(str(tmp_path / "wh" / "extract"))
+    assert sum(snap["partitions"].values()) == snap["rows"]
+
+
+def test_streaming_labels_equal_batch(spark, tmp_path):
+    src_dir = str(tmp_path / "pages_stream")
+    write_pages(spark, src_dir, n_rows=80, seed=11, partitions=3)
+    from redpajama_v2_processing_spark.streaming.ingest import stream_labels
+
+    out_dir = str(tmp_path / "stream_out")
+    q = stream_labels(spark, src_dir, out_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    batch = label_documents(read_pages(spark, src_dir), id_col="url").select(
+        "url", "keep", "drop_reason", "scrubbed_text"
+    )
+    stream = spark.read.parquet(out_dir).select(
+        "url", "keep", "drop_reason", "scrubbed_text"
+    )
+    assert stream.count() == batch.count()
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0
+
+
+def test_streaming_windowed_rates(spark, tmp_path):
+    src_dir = str(tmp_path / "pages_rates")
+    write_pages(spark, src_dir, n_rows=60, seed=13, partitions=2)
+    from redpajama_v2_processing_spark.streaming.ingest import stream_lang_rates
+
+    out_dir = str(tmp_path / "rates_out")
+    q = stream_lang_rates(spark, src_dir, out_dir, str(tmp_path / "ckpt2"))
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out_dir).agg(F.sum("n_pages")).collect()[0][0]
+    # append mode: windows still inside the watermark stay open at stream end
+    assert 0 < got1 <= 60
+
+    # a far-future sentinel row advances the watermark; resuming from the
+    # same checkpoint closes every original window (late-data semantics)
+    sentinel = spark.createDataFrame(
+        [("https://flush/x", __import__("datetime").datetime(2027, 1, 1),
+          bytearray(b"<html></html>"), "flush", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    sentinel.write.mode("append").parquet(src_dir)
+    q2 = stream_lang_rates(spark, src_dir, out_dir, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    got2 = (
+        spark.read.parquet(out_dir)
+        .where(F.col("window_start") < "2026-12-31")
+        .agg(F.sum("n_pages")).collect()[0][0]
+    )
+    assert got2 == 60
+
+
+def test_multimodal_plumbing(spark):
+    from redpajama_v2_processing_spark.operators.multimodal import (
+        decode_media_meta, frame_sample_stub, make_fake_payload,
+    )
+
+    df = spark.range(6).select(
+        F.col("id"),
+        make_fake_payload(
+            F.when(F.col("id") % 2 == 0, "image").otherwise("video"),
+            F.lit(320), (F.col("id") * 10 + 5).cast("int"), F.lit("body"),
+        ).alias("payload"),
+    )
+    meta = decode_media_meta(df, "id", "payload").collect()
+    assert len(meta) == 6 and all(m.ok for m in meta)
+    assert {m.kind for m in meta} == {"image", "video"}
+    frames = frame_sample_stub(df, "id", "payload", every_n=10).collect()
+    # only video rows emit frames; id=1 -> h=15 -> frames 0,10
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.id, []).append(r.frame_idx)
+    assert by_id[1] == [0, 10]
+    assert 0 not in by_id  # images emit none
+
+
+def test_cli_generate_and_run(tmp_path, spark):
+    from redpajama_v2_processing_spark import cli
+
+    src = str(tmp_path / "cli_pages")
+    assert cli.main(["generate", "--out", src, "--rows", "50", "--seed", "3"]) == 0
+    wh = str(tmp_path / "cli_wh")
+    assert cli.main(["run", "--input", src, "--warehouse", wh,
+                     "--stages", "extract,label,quality"]) == 0
+    assert table_committed(f"{wh}/quality")
+
+
+def test_build_pyfiles(tmp_path):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from build_pyfiles import build
+
+    out = build(tmp_path / "pkg.zip")
+    import zipfile
+
+    names = zipfile.ZipFile(out).namelist()
+    assert "redpajama_v2_processing_spark/cli.py" in names
+    assert any(n.endswith("operators/minhash_lsh.py") for n in names)

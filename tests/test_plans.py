@@ -1,0 +1,49 @@
+"""Plan-quality gates (SURVEY.md §7 hard parts): no row-at-a-time Python
+anywhere, filters/projections pushed to the parquet scan, broadcast joins
+where intended, partition-count invariance of results."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from redpajama_v2_processing_spark.fixtures import write_pages
+from redpajama_v2_processing_spark.plans.pipeline import label_documents
+from redpajama_v2_processing_spark.operators.minhash_lsh import minhash_bands
+from redpajama_v2_processing_spark.operators.thresholds import quantile_filter
+from redpajama_v2_processing_spark.functions.signals import with_signals
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_python_eval_in_core_pipeline(pages_small):
+    """The entire label pipeline must stay JVM-side: zero Python eval nodes
+    (the reference is 100% per-row Python; our contract is 0%)."""
+    plan = _physical(label_documents(pages_small, id_col="url"))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan  # not even vectorized python needed
+    plan2 = _physical(minhash_bands(pages_small, "url"))
+    assert "EvalPython" not in plan2
+
+
+def test_scan_pushdown(spark, tmp_path):
+    src = str(tmp_path / "pp")
+    write_pages(spark, src, n_rows=100, seed=5, partitions=2)
+    df = spark.read.parquet(src).where(F.col("lang") == "en").select("url", "lang")
+    plan = _physical(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    # column pruning: html/text must not be read
+    assert "ReadSchema: struct<url:string,lang:string>" in plan
+
+
+def test_threshold_join_is_broadcast(pages_small):
+    sig = with_signals(pages_small.withColumnRenamed("lang", "lang"))
+    plan = _physical(quantile_filter(sig, ["number_of_words"]))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_whole_stage_codegen_covers_signals(pages_small):
+    plan = _physical(with_signals(pages_small).select("url", "number_of_words"))
+    # "*(n)" prefixes mark WholeStageCodegen stages in the short plan form
+    assert "*(1)" in plan

@@ -1,0 +1,75 @@
+"""Unit tests: tokenization, normalization, fingerprints, signals —
+hand-computed expectations on tiny inline frames."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from redpajama_v2_processing_spark.functions.signals import with_signals
+from redpajama_v2_processing_spark.functions.text import (
+    fingerprint_hex, normalize, tokens, word_ngrams,
+)
+from tests.conftest import docs_frame
+
+
+def test_tokens_edges(spark):
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("a b  c",), ("\n x \n",)], "text string"
+    )
+    out = [r[0] for r in df.select(tokens(F.col("text"))).collect()]
+    assert out == [[], [], ["a", "b", "c"], ["x"]]
+
+
+def test_normalize_and_fingerprint(spark):
+    df = spark.createDataFrame([("  Hello\t WORLD ",), ("hello world",)], "text string")
+    fps = [r[0] for r in df.select(fingerprint_hex(F.col("text"))).collect()]
+    assert fps[0] == fps[1]  # case/whitespace-insensitive identity
+    norms = [r[0] for r in df.select(normalize(F.col("text"))).collect()]
+    assert norms == ["hello world", "hello world"]
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([(["a", "b", "c", "d"],), (["a"],)], "t array<string>")
+    out = [r[0] for r in df.select(word_ngrams(F.col("t"), 2)).collect()]
+    assert out == [["a b", "b c", "c d"], []]
+
+
+def test_signals_hand_computed(spark):
+    text = "the cat sat.\nthe cat sat.\nxy"
+    df = docs_frame(spark, [text])
+    row = with_signals(df).collect()[0]
+    assert row.number_of_words == 7
+    assert row.number_of_lines == 3
+    assert row.number_of_characters == len(text)
+    # tokens: the cat sat. the cat sat. xy -> lengths 3,3,4,3,3,4,2 = 22
+    assert row.mean_word_length == round(22 / 7, 6)
+    assert row.words_per_line_mean == round(7 / 3, 6)
+    assert row.short_line_ratio == 1.0  # all lines < 30 chars
+    assert row.lines_end_in_punctuation == round(2 / 3, 6)
+    # specials: the two '.' chars
+    assert row.special_char_ratio == round(2 / len(text), 6)
+    # stopwords: 'the' twice out of 7
+    assert row.stop_word_fraction == round(2 / 7, 6)
+    # word bigrams: 6 total, distinct = {'the cat','cat sat.','sat. the','sat. xy'} = 4
+    assert row.word_repetition_2gram == round(1 - 4 / 6, 6)
+
+
+def test_signals_empty_doc(spark):
+    row = with_signals(docs_frame(spark, [""])).collect()[0]
+    assert row.number_of_words == 0
+    assert row.mean_word_length == 0.0
+    assert row.stop_word_fraction == 0.0
+    assert row.char_repetition_5gram == 0.0
+
+
+def test_entropy_hand_computed(spark):
+    from redpajama_v2_processing_spark.operators.entropy import unigram_entropy
+
+    df = docs_frame(spark, ["a a b", "", "x"])
+    out = {r.doc_id: r.unigram_entropy for r in unigram_entropy(df, "doc_id").collect()}
+    # a a b: ln(3) - (2 ln2 + 1 ln1)/3
+    assert out[0] == round(math.log(3) - 2 * math.log(2) / 3, 6)
+    assert out[1] == 0.0
+    assert out[2] == 0.0
