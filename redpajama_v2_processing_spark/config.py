@@ -15,11 +15,22 @@ from __future__ import annotations
 # Tokenization / lexicons
 # ---------------------------------------------------------------------------
 
-# English-ish function words; includes tokens present in the synthetic corpus
-# so the stop-word signal is exercised end-to-end at test scale.
+# Function words across the five supported languages (the reference filters
+# per-language with per-language signals, README.md:95-98; a multilingual
+# stop list keeps the conjunctive rule meaningful for every lang). Includes
+# tokens present in the synthetic corpus so the signal is exercised in tests.
 STOPWORDS: tuple[str, ...] = (
+    # en
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for",
     "with", "as", "at", "by", "it", "be", "are", "was", "this", "that",
+    # de
+    "der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "den",
+    # fr
+    "le", "la", "les", "et", "est", "pas", "une", "des", "dans", "pour",
+    # es
+    "el", "los", "las", "es", "una", "para", "por", "con", "del", "como",
+    # it
+    "il", "di", "che", "non", "per", "sono", "della", "nel", "anche", "sopra",
 )
 
 # Demo flagged-word lexicon (configurable in production). Includes tokens

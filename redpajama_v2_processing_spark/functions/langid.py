@@ -20,13 +20,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
+from pyspark.sql import DataFrame
+
 from ..config import LANG_MARKERS, LANGID_DEFAULT
+from .signals import joined_tokens, lexicon_hits
 from .text import tokens
-
-
-def _marker_hits(tok: Column, lang: str) -> Column:
-    lex = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
-    return F.size(F.filter(tok, lambda t: F.array_contains(lex, F.lower(t))))
 
 
 def cjk_ratio(text: Column) -> Column:
@@ -37,17 +35,14 @@ def cjk_ratio(text: Column) -> Column:
     )
 
 
-def langid_struct(text: Column) -> Column:
-    """struct<lang:string, score:double> — label + confidence.
-
-    score = hits(best_lang)/n_tokens (0.0 and 'und' for no hits).
-    """
-    tok = tokens(text)
+def _langid_cols(text: Column, tok: Column, jtok: Column) -> tuple[Column, Column]:
+    """(label, score) from staged token columns. All codegen: marker hits
+    are regexp_count over the joined-token string (see signals.joined_tokens);
+    argmax ties break to the first language in sorted order."""
     n = F.size(tok)
     langs = sorted(LANG_MARKERS)
-    hits = {lg: _marker_hits(tok, lg) for lg in langs}
+    hits = {lg: lexicon_hits(jtok, LANG_MARKERS[lg]) for lg in langs}
     best_hits = F.greatest(*hits.values())
-    # argmax with deterministic ties: first language (sorted) achieving max
     label = F.lit(LANGID_DEFAULT)
     for lg in reversed(langs):
         label = F.when(hits[lg] == best_hits, F.lit(lg)).otherwise(label)
@@ -55,10 +50,31 @@ def langid_struct(text: Column) -> Column:
     score = F.when((n == 0) | (best_hits == 0), F.lit(0.0)).otherwise(
         best_hits.cast("double") / n.cast("double")
     )
-    # CJK short-circuit (testdata contains zh docs; markers are latin-script)
-    is_cjk = cjk_ratio(text) > 0.2
+    cjk = cjk_ratio(text)
+    is_cjk = cjk > 0.2
     label = F.when(is_cjk, F.lit("zh")).otherwise(label)
-    score = F.when(is_cjk, F.round(cjk_ratio(text), 6)).otherwise(F.round(score, 6))
+    score = F.when(is_cjk, F.round(cjk, 6)).otherwise(F.round(score, 6))
+    return label, score
+
+
+def with_langid(df: DataFrame, text_col: str = "text",
+                label_col: str = "langid", score_col: str = "langid_score") -> DataFrame:
+    """Append langid label + score columns (token columns staged once)."""
+    text = F.col(text_col)
+    staged = df.withColumn("_lid_tok", tokens(text)).withColumn(
+        "_lid_jtok", joined_tokens(F.col("_lid_tok"))
+    )
+    label, score = _langid_cols(text, F.col("_lid_tok"), F.col("_lid_jtok"))
+    return staged.withColumns({label_col: label, score_col: score}).drop(
+        "_lid_tok", "_lid_jtok"
+    )
+
+
+def langid_struct(text: Column) -> Column:
+    """struct<lang:string, score:double> — single-expression form (inlines
+    the token staging; prefer with_langid for whole-table scans)."""
+    tok = tokens(text)
+    label, score = _langid_cols(text, tok, joined_tokens(tok))
     return F.struct(label.alias("lang"), score.alias("score"))
 
 

@@ -70,18 +70,34 @@ def special_char_ratio(text: Column) -> Column:
     return _ratio(n_special, F.length(text))
 
 
-def _lexicon_fraction(tok: Column, lexicon: tuple[str, ...]) -> Column:
-    lex = F.array(*[F.lit(w) for w in lexicon])
-    hits = F.size(F.filter(tok, lambda t: F.array_contains(lex, F.lower(t))))
-    return _ratio(hits, F.size(tok))
+def joined_tokens(tok: Column) -> Column:
+    """Lowercased '  '-joined token string for codegen lexicon counting.
+
+    Each token gets its OWN flanking spaces (double-space join + pads), so
+    a single-space-delimited alternation pattern counts every token hit
+    without the non-overlapping-match undercount on consecutive hits.
+    ~100x cheaper than an interpreted filter(array_contains) lambda per
+    token, with identical counts."""
+    return F.lower(F.concat(F.lit("  "), F.concat_ws("  ", tok), F.lit("  ")))
 
 
-def stop_word_fraction(tok: Column) -> Column:
-    return _lexicon_fraction(tok, STOPWORDS)
+def lexicon_hits(jtok: Column, lexicon: tuple[str, ...]) -> Column:
+    pattern = " (" + "|".join(lexicon) + ") "
+    return F.regexp_count(jtok, F.lit(pattern))
 
 
-def flagged_word_fraction(tok: Column) -> Column:
-    return _lexicon_fraction(tok, FLAGGED_WORDS)
+def _lexicon_fraction(tok: Column, jtok: Column, lexicon: tuple[str, ...]) -> Column:
+    return _ratio(lexicon_hits(jtok, lexicon), F.size(tok))
+
+
+def stop_word_fraction(tok: Column, jtok: Column | None = None) -> Column:
+    jtok = joined_tokens(tok) if jtok is None else jtok
+    return _lexicon_fraction(tok, jtok, STOPWORDS)
+
+
+def flagged_word_fraction(tok: Column, jtok: Column | None = None) -> Column:
+    jtok = joined_tokens(tok) if jtok is None else jtok
+    return _lexicon_fraction(tok, jtok, FLAGGED_WORDS)
 
 
 def repetition_ratio(grams: Column) -> Column:
@@ -125,8 +141,10 @@ def with_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             "_g5": char_ngrams(text, 5),
             "_g10": char_ngrams(text, 10),
             "_wg2": word_ngrams(tok, 2),
+            "_jtok": joined_tokens(tok),
         }
     )
+    jtok = F.col("_jtok")
     return staged.withColumns(
         {
             "number_of_words": number_of_words(tok),
@@ -137,10 +155,10 @@ def with_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             "short_line_ratio": F.round(short_line_ratio(ls), 6),
             "lines_end_in_punctuation": F.round(lines_end_in_punctuation(ls), 6),
             "special_char_ratio": F.round(special_char_ratio(text), 6),
-            "stop_word_fraction": F.round(stop_word_fraction(tok), 6),
-            "flagged_word_fraction": F.round(flagged_word_fraction(tok), 6),
+            "stop_word_fraction": F.round(stop_word_fraction(tok, jtok), 6),
+            "flagged_word_fraction": F.round(flagged_word_fraction(tok, jtok), 6),
             "char_repetition_5gram": F.round(repetition_ratio(F.col("_g5")), 6),
             "char_repetition_10gram": F.round(repetition_ratio(F.col("_g10")), 6),
             "word_repetition_2gram": F.round(repetition_ratio(F.col("_wg2")), 6),
         }
-    ).drop("_tok", "_lines", "_g5", "_g10", "_wg2")
+    ).drop("_tok", "_lines", "_g5", "_g10", "_wg2", "_jtok")

@@ -38,22 +38,45 @@ def lines(col: Column | str) -> Column:
     return F.split(c, "\n")
 
 
+def _zip_ngrams(arr: Column, n: int, sep: str) -> Column:
+    """n-grams of an array via zip_with over n shifted slices.
+
+    CRITICAL shape: zip_with/slice evaluate their array CHILDREN once per
+    row; the obvious ``transform(sequence(...), i -> element_at(arr, i+k))``
+    re-evaluates ``arr`` per element — O(len^2) per row whenever Catalyst
+    inlines the array expression (e.g. filter pushdown through the staging
+    projection substitutes the split() back into the predicate). The zip
+    formulation stays linear even fully inlined.
+
+    Trailing positions pair with null -> null gram (concat null-propagates);
+    array_compact drops them, leaving exactly max(len-n+1, 0) grams.
+    """
+    cur = arr
+    for k in range(1, n):
+        # slice length may exceed the remainder; Spark returns what's there
+        shifted = F.slice(arr, k + 1, F.size(arr))
+        if sep:
+            cur = F.zip_with(cur, shifted, lambda a, b: F.concat(a, F.lit(sep), b))
+        else:
+            cur = F.zip_with(cur, shifted, lambda a, b: F.concat(a, b))
+    return F.array_compact(cur)
+
+
 def word_ngrams(tok: Column, n: int) -> Column:
     """Word n-grams joined by single spaces; fewer than n tokens -> empty."""
-    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
-    parts = lambda i: [F.element_at(tok, i + k) for k in range(n)]  # noqa: E731
-    gram = lambda i: F.concat_ws(" ", *parts(i))  # noqa: E731
+    if n == 1:
+        return tok
     return F.when(F.size(tok) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, gram)
+        _zip_ngrams(tok, n, " ")
     )
 
 
 def char_ngrams(col: Column | str, n: int) -> Column:
     """Character n-grams; shorter text -> empty array."""
     c = F.col(col) if isinstance(col, str) else col
-    idx = F.sequence(F.lit(1), F.length(c) - (n - 1))
+    chars = F.split(c, "")
     return F.when(F.length(c) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, lambda i: c.substr(i, F.lit(n)))
+        _zip_ngrams(chars, n, "")
     )
 
 

@@ -69,7 +69,40 @@ def _unpersist(sc, ids: set[int]) -> None:
             m.get(k).unpersist()
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def _driver_side_cc(edges: DataFrame, edge_rows) -> DataFrame:
+    """Small-graph fast path: classic union-find on the driver.
+
+    After LSH star-edge compression the edge set is usually tiny relative
+    to the corpus (one edge per duplicate doc per band). Below the
+    threshold, ~10 Spark jobs of fixpoint latency collapse into one
+    collect + one createDataFrame. Identical output contract."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = find(r["src"]), find(r["dst"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    comps: dict[int, list[int]] = {}
+    for n in list(parent):
+        comps.setdefault(find(n), []).append(n)
+    rows = [
+        (n, min(members)) for root, members in comps.items() for n in members
+    ]
+    return edges.sparkSession.createDataFrame(rows, "id long, root long")
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, driver_threshold: int = 2_000_000
+) -> DataFrame:
     """edges: DF(src:long, dst:long) undirected. Returns DF(id, root) for
     every node appearing in the edge set; root = component min id.
 
@@ -88,6 +121,15 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    if driver_threshold > 0:
+        # hybrid strategy: graphs under the threshold are union-found on
+        # the driver (one job); only genuinely large graphs pay the
+        # distributed fixpoint. limit()+count probes cheaply.
+        if cur.limit(driver_threshold + 1).count() <= driver_threshold:
+            rows = cur.collect()
+            result = _driver_side_cc(edges, rows)
+            _unpersist(sc, _persistent_ids(sc) - pre_existing)
+            return result
     prev_sig = None
     for _ in range(max_iter):
         cur = _small_star(_large_star(cur)).localCheckpoint()

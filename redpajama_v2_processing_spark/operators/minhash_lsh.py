@@ -164,26 +164,30 @@ def salted_bucket_edges(bands_df: DataFrame, salt_buckets: int = 16) -> DataFram
     ``salt_buckets`` salt groups, take per-group mins, then link the group
     mins through the global bucket min. Connectivity is identical; the
     per-reducer working set shrinks by the salt factor."""
-    salted = bands_df.withColumn(
-        "_salt", F.pmod(F.xxhash64("id"), F.lit(salt_buckets))
-    )
     w_g = Window.partitionBy("band_idx", "band_hash", "_salt")
-    local = (
-        salted.withColumn("_gmin", F.min("id").over(w_g))
-        .where(F.col("id") != F.col("_gmin"))
-        .select(F.col("id").alias("src"), F.col("_gmin").alias("dst"))
-    )
-    gmins = (
-        salted.groupBy("band_idx", "band_hash", "_salt")
-        .agg(F.min("id").alias("_gmin"))
-    )
     w_b = Window.partitionBy("band_idx", "band_hash")
-    bridge = (
-        gmins.withColumn("_bmin", F.min("_gmin").over(w_b))
-        .where(F.col("_gmin") != F.col("_bmin"))
-        .select(F.col("_gmin").alias("src"), F.col("_bmin").alias("dst"))
+    x = (
+        bands_df.withColumn("_salt", F.pmod(F.xxhash64("id"), F.lit(salt_buckets)))
+        .withColumn("_gmin", F.min("id").over(w_g))
+        .withColumn("_bmin", F.min("id").over(w_b))
     )
-    return local.union(bridge).distinct()
+    # one edge per row: members link to their salt-group min; the group
+    # leader (id == _gmin) links its group min to the bucket min. Single
+    # pass, no union (a union of two subtrees sharing this window plan
+    # trips a Catalyst DeduplicateRelations bug under AQE in Spark 4.1).
+    edge = F.when(
+        F.col("id") != F.col("_gmin"),
+        F.struct(F.col("id").alias("src"), F.col("_gmin").alias("dst")),
+    ).when(
+        F.col("_gmin") != F.col("_bmin"),
+        F.struct(F.col("_gmin").alias("src"), F.col("_bmin").alias("dst")),
+    )
+    return (
+        x.select(edge.alias("_e"))
+        .where(F.col("_e").isNotNull())
+        .select("_e.src", "_e.dst")
+        .distinct()
+    )
 
 
 def fuzzy_dedup_labels(

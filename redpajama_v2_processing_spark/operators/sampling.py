@@ -32,3 +32,10 @@ def seeded_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
 
 def spread(df: DataFrame, n: int, key_col: str | None = None) -> DataFrame:
     return df.repartition(n, F.col(key_col)) if key_col else df.repartition(n)
+
+
+def shuffle_rows(df: DataFrame, seed: int = 66) -> DataFrame:
+    """Seeded full-row shuffle (the reference's buffered HF shuffle,
+    src/shuffle_dataset.py:31-45, seed=66). Only needed when downstream
+    consumers are order-sensitive — the engine's own operators are not."""
+    return df.orderBy(F.rand(seed))

@@ -493,6 +493,49 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment"""
 
 
+def q_fix_id() -> str:
+    """The reference's malformed-id rewrite (src/filter_exact_duplicates.py:69-79)
+    as one regexp: '...json/N' -> '...json.gz/N'. Synthetic ids derived from
+    doc_id so both engines build identical inputs."""
+    return r"""
+WITH ids AS (
+  SELECT doc_id,
+    'crawl-2014/' || (doc_id % 10) || '/en_head.json' ||
+    (CASE WHEN doc_id % 3 = 0 THEN '' ELSE '.gz' END) || '/' || doc_id AS id
+  FROM documents)
+SELECT doc_id, regexp_replace(id, '\.json/', '.json.gz/', 'g') AS fixed_id FROM ids"""
+
+
+def q_row_number_ids() -> str:
+    """Reference-style id synthesis (src/add_document_ids.py:64):
+    per-source row index via a window."""
+    return """
+SELECT doc_id,
+  source || '/' || (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+    AS synth_id
+FROM documents"""
+
+
+def q_set_ops() -> str:
+    return """
+SELECT doc_id FROM (
+  SELECT doc_id FROM (
+    SELECT doc_id FROM documents WHERE lang = 'en'
+    UNION
+    SELECT doc_id FROM documents WHERE doc_id % 5 = 0)
+  EXCEPT
+  SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+INTERSECT
+SELECT doc_id FROM documents WHERE doc_id % 2 = 0"""
+
+
+def q_rollup_counts() -> str:
+    return """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+  count(*) AS n, sum(n_chars) AS chars
+FROM documents GROUP BY ROLLUP (lang, source)"""
+
+
 def q_region_customers() -> str:
     return """
 SELECT r_name, count(*) AS n_customers

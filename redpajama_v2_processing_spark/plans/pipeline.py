@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.langid import langid_struct
+from ..functions.langid import with_langid
 from ..functions.scrub import scrub_pii
 from ..functions.signals import with_signals
 from ..functions.text import fingerprint_int
@@ -24,13 +24,10 @@ from ..config import PROD_MINHASH
 def label_documents(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """signals + langid + keep/drop labels + scrubbed text. Narrow
-    (no shuffle): one codegen stage over the scan."""
-    lid = langid_struct(F.col(text_col))
-    out = with_quality_label(with_signals(docs, text_col))
+    (no shuffle): staged projections over the scan."""
+    out = with_langid(with_quality_label(with_signals(docs, text_col)), text_col)
     return (
-        out.withColumn("langid", lid["lang"])
-        .withColumn("langid_score", lid["score"])
-        .withColumn("scrubbed_text", scrub_pii(F.col(text_col)))
+        out.withColumn("scrubbed_text", scrub_pii(F.col(text_col)))
         .withColumn("fingerprint", fingerprint_int(F.col(text_col)))
     )
 

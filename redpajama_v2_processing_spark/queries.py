@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from . import oracle
 from .config import ANN_TOPK, ORACLE_MINHASH, PROD_MINHASH
-from .functions.langid import langid_struct
+from .functions.langid import with_langid
 from .functions.perplexity import with_unigram_perplexity
 from .functions.scrub import mask_flagged_words, scrub_pii
 from .functions.signals import with_signals
@@ -76,9 +76,8 @@ def q_perplexity(spark, sf_dir):
 
 
 def q_langid(spark, sf_dir):
-    s = langid_struct(F.col("text"))
-    return _docs(spark, sf_dir).select(
-        "doc_id", s["lang"].alias("langid"), s["score"].alias("score")
+    return with_langid(_docs(spark, sf_dir), score_col="score").select(
+        "doc_id", "langid", "score"
     )
 
 
@@ -283,6 +282,54 @@ def q_region_customers(spark, sf_dir):
     )
 
 
+def q_fix_id(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    synth = F.concat(
+        F.lit("crawl-2014/"), (F.col("doc_id") % 10).cast("string"),
+        F.lit("/en_head.json"),
+        F.when(F.col("doc_id") % 3 == 0, "").otherwise(".gz"),
+        F.lit("/"), F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(synth, r"\.json/", ".json.gz/").alias("fixed_id"),
+    )
+
+
+def q_row_number_ids(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("source"), F.lit("/"), (F.row_number().over(w) - 1).cast("string")
+        ).alias("synth_id"),
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    en = docs.where(F.col("lang") == "en").select("doc_id")
+    five = docs.where(F.col("doc_id") % 5 == 0).select("doc_id")
+    seven = docs.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    even = docs.where(F.col("doc_id") % 2 == 0).select("doc_id")
+    return en.union(five).distinct().exceptAll(seven).distinct().intersect(even)
+
+
+def q_rollup_counts(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .rollup("lang", "source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n", "chars",
+        )
+    )
+
+
 # --- rows-only (no SQL-expressible oracle) ---------------------------------
 
 
@@ -346,6 +393,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
     "region_customers": q_region_customers,
+    "fix_id": q_fix_id,
+    "row_number_ids": q_row_number_ids,
+    "set_ops": q_set_ops,
+    "rollup_counts": q_rollup_counts,
     # rows-only checks (non-SQL-expressible / approximate ops)
     "multimodal_meta": q_multimodal_meta,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -382,4 +433,8 @@ ORACLES: dict[str, str] = {
     "pricing_summary": oracle.q_pricing_summary(),
     "segment_revenue": oracle.q_segment_revenue(),
     "region_customers": oracle.q_region_customers(),
+    "fix_id": oracle.q_fix_id(),
+    "row_number_ids": oracle.q_row_number_ids(),
+    "set_ops": oracle.q_set_ops(),
+    "rollup_counts": oracle.q_rollup_counts(),
 }

@@ -43,12 +43,24 @@ def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(table_dir, "data"))
 
 
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """JSONL sink (the reference's golden/export format, README.md:42-48;
+    its line-by-line json.dumps writers at src/minhashlsh.py:176-188 are a
+    single distributed write here). Timestamps serialize as ISO-8601 —
+    the DateTimeEncoder concern (src/file_helpers.py:64-68) is native."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def commit_table(
     df: DataFrame,
     table_dir: str,
     partition_by: tuple[str, ...] = (),
     derive_date_from: str | None = None,
     meta: dict | None = None,
+    compression: str = "zstd",
 ) -> dict:
     """Write ``df`` as a committed table; returns the snapshot dict.
 
@@ -66,7 +78,7 @@ def commit_table(
 
     os.makedirs(table_dir, exist_ok=True)
     tmp = os.path.join(table_dir, f"_tmp-{uuid.uuid4().hex}")
-    writer = out.write.mode("overwrite")
+    writer = out.write.mode("overwrite").option("compression", compression)
     if parts:
         writer = writer.partitionBy(*parts)
     writer.parquet(tmp)

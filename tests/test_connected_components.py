@@ -34,8 +34,13 @@ def _uf_roots(edges):
 
 def _check(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {r.id: r.root for r in connected_components(df).collect()}
-    assert got == _uf_roots(edges)
+    want = _uf_roots(edges)
+    # distributed large-star/small-star fixpoint
+    got = {r.id: r.root for r in connected_components(df, driver_threshold=0).collect()}
+    assert got == want
+    # driver-side union-find fast path
+    got2 = {r.id: r.root for r in connected_components(df).collect()}
+    assert got2 == want
 
 
 def test_path_graph(spark):
