@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_PAGES_DIR = os.environ.get("BENCH_PAGES_DIR", "/tmp/rpv2_bench_pages")
-BENCH_PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "60000"))
+BENCH_PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "100000"))
 STAGE_DIR = os.environ.get("BENCH_STAGE_DIR", "/tmp/rpv2_bench_stage")
 
 TABLES = [
@@ -118,14 +118,12 @@ def run_pages_pipeline(spark, pages_dir: str) -> tuple[int, float]:
     docs = with_ids(
         pages.withColumn("text", extract_text(F.col("html").cast("string"))).drop("html")
     )
-    # persist the label output BEFORE filtering: a filter on the lazy frame
-    # gets pushed below the signal projection and recomputes every signal
-    # inside the predicate; filtering the cached column is free
-    labeled_all = label_documents(docs, id_col="id_int").persist()
-    labeled = labeled_all.where(F.col("keep"))
-    exact = labeled.join(
-        exact_keep_ids(labeled, "id_int"), "id_int", "left_semi"
-    ).persist()
+    # fully lazy, single action: recomputing the (cheap, perfectly parallel)
+    # label stage per consumer beats persist+materialize fixed costs here —
+    # caching wins only below ~8 cores; a real cluster job would checkpoint
+    # stage outputs to the warehouse (tableio) instead of executor memory.
+    labeled = label_documents(docs, id_col="id_int").where(F.col("keep"))
+    exact = labeled.join(exact_keep_ids(labeled, "id_int"), "id_int", "left_semi")
     fuzzy_keep = fuzzy_dedup_keep_ids(
         exact, "id_int", cfg=PROD_MINHASH, portable=False, salted=True
     ).withColumnRenamed("id", "id_int")

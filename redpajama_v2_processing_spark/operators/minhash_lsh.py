@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import ORACLE_MINHASH
-from ..functions.hashing import md5int, md5int_seeded, xxhash_seeded
+from ..functions.hashing import md5int, md5int_seeded
 from ..functions.text import tokens, word_ngrams, normalize
 from .connected_components import connected_components
 

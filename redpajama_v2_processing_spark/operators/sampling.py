@@ -14,7 +14,7 @@ slices (src/downsample_parquet.py:15-47) and "shuffles" by rewriting files
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5int

@@ -54,6 +54,37 @@ def per_lang_thresholds(
     return df.groupBy(lang_col).agg(*aggs)
 
 
+def profiled_quantile_filter(
+    signals: DataFrame,
+    signal_cols: list[str],
+    lang_col: str = "lang",
+    exact: bool = True,
+) -> DataFrame:
+    """Reference profile scheme (README.md:79-98): each language uses ITS
+    profile's (p_low, p_high) — strict (20/80) for en, regular (10/90)
+    otherwise. Thresholds per (lang, profile-specific percentiles), then a
+    broadcast join + conjunctive range predicate."""
+    langs = [r[0] for r in signals.select(lang_col).distinct().collect()]
+    tables = []
+    for lang in langs:
+        p_low, p_high = profile_for(lang)
+        th = per_lang_thresholds(
+            signals.where(F.col(lang_col) == lang), signal_cols, lang_col,
+            p_low, p_high, exact,
+        )
+        tables.append(th)
+    if not tables:
+        return signals.limit(0)
+    th_all = tables[0]
+    for t in tables[1:]:
+        th_all = th_all.unionByName(t)
+    out = signals.join(F.broadcast(th_all), lang_col)
+    cond = F.lit(True)
+    for c in signal_cols:
+        cond = cond & (F.col(c) >= F.col(f"{c}_lo")) & (F.col(c) <= F.col(f"{c}_hi"))
+    return out.where(cond).select(*signals.columns)
+
+
 def quantile_filter(
     signals: DataFrame,
     signal_cols: list[str],

@@ -269,6 +269,38 @@ SELECT s.doc_id FROM sig s JOIN th t USING (lang) WHERE {conds}"""
 # ---------------------------------------------------------------------------
 
 
+def q_profiled_quantile_filter(
+    cols=("number_of_words", "mean_word_length", "stop_word_fraction"),
+) -> str:
+    """Per-language profile scheme: strict langs use their profile's
+    percentiles, everything else the default profile (README.md:95-98)."""
+    from .config import DEFAULT_PROFILE, LANG_PROFILE, QUANTILE_PROFILES
+
+    special = sorted(LANG_PROFILE)
+    def th_select(p_low, p_high, where):
+        aggs = ", ".join(
+            f"round(quantile_cont({c}::DOUBLE, {p_low}), 6) AS {c}_lo, "
+            f"round(quantile_cont({c}::DOUBLE, {p_high}), 6) AS {c}_hi"
+            for c in cols
+        )
+        return f"SELECT lang, {aggs} FROM sig WHERE {where} GROUP BY lang"
+    parts = []
+    for lang in special:
+        lo, hi = QUANTILE_PROFILES[LANG_PROFILE[lang]]
+        parts.append(th_select(lo, hi, f"lang = '{lang}'"))
+    lo, hi = QUANTILE_PROFILES[DEFAULT_PROFILE]
+    not_in = ", ".join(f"'{lg}'" for lg in special)
+    parts.append(th_select(lo, hi, f"lang NOT IN ({not_in})"))
+    th = "\n  UNION ALL\n  ".join(parts)
+    conds = " AND ".join(f"s.{c} >= t.{c}_lo AND s.{c} <= t.{c}_hi" for c in cols)
+    return f"""
+WITH {_signals_cte()},
+th AS (
+  {th}
+)
+SELECT s.doc_id FROM sig s JOIN th t USING (lang) WHERE {conds}"""
+
+
 def q_exact_dedup_keep() -> str:
     return f"""
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({norm('text')})"""

@@ -128,6 +128,14 @@ def q_quantile_filter(spark, sf_dir):
     ).select("doc_id")
 
 
+def q_profiled_quantile_filter(spark, sf_dir):
+    from .operators.thresholds import profiled_quantile_filter
+
+    return profiled_quantile_filter(
+        with_signals(_docs(spark, sf_dir)), THRESHOLD_COLS, exact=True
+    ).select("doc_id")
+
+
 def q_exact_dedup_keep(spark, sf_dir):
     return exact_keep_ids(_docs(spark, sf_dir), "doc_id")
 
@@ -373,6 +381,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter": q_quality_filter,
     "quality_thresholds": q_quality_thresholds,
     "quantile_filter": q_quantile_filter,
+    "profiled_quantile_filter": q_profiled_quantile_filter,
     "exact_dedup_keep": q_exact_dedup_keep,
     "anti_join_duplicates": q_anti_join,
     "semi_join_keeplist": q_semi_join,
@@ -413,6 +422,7 @@ ORACLES: dict[str, str] = {
     "quality_filter": oracle.q_quality_filter(),
     "quality_thresholds": oracle.q_quality_thresholds(),
     "quantile_filter": oracle.q_quantile_filter(),
+    "profiled_quantile_filter": oracle.q_profiled_quantile_filter(),
     "exact_dedup_keep": oracle.q_exact_dedup_keep(),
     "anti_join_duplicates": oracle.q_anti_join(),
     "semi_join_keeplist": oracle.q_semi_join(),
