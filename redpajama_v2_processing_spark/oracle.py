@@ -564,7 +564,7 @@ SELECT doc_id FROM documents WHERE doc_id % 2 = 0"""
 def q_rollup_counts() -> str:
     return """
 SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
-  count(*) AS n, sum(n_chars) AS chars
+  count(*) AS n, sum(n_chars)::BIGINT AS chars
 FROM documents GROUP BY ROLLUP (lang, source)"""
 
 

@@ -329,7 +329,9 @@ def q_rollup_counts(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
         .rollup("lang", "source")
-        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        # explicit long cast: DuckDB widens sum(BIGINT) to HUGEINT, Spark
+        # keeps long — pin both sides to 64-bit (oracle casts ::BIGINT)
+        .agg(F.count("*").alias("n"), F.sum("n_chars").cast("long").alias("chars"))
         .select(
             F.coalesce("lang", F.lit("ALL")).alias("lang"),
             F.coalesce("source", F.lit("ALL")).alias("source"),

@@ -17,8 +17,13 @@ from redpajama_v2_processing_spark.plans.pipeline import label_documents
 GOLDEN = Path(__file__).parent / "golden" / "labels.jsonl"
 
 
-@pytest.mark.skipif(not GOLDEN.exists(), reason="goldens not generated yet")
 def test_labels_match_golden(spark):
+    # hard failure (not skip) when the golden file is absent: the F1 gate
+    # must not be able to silently disappear from the suite
+    if not GOLDEN.exists():
+        pytest.fail(
+            "tests/golden/labels.jsonl missing - run tools/make_goldens.py"
+        )
     want = {}
     with open(GOLDEN) as f:
         for line in f:
