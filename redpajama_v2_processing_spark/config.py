@@ -11,6 +11,8 @@ regular/strict/stricter/strictest p-quantile scheme (README.md:79-98).
 
 from __future__ import annotations
 
+import os
+
 # ---------------------------------------------------------------------------
 # Tokenization / lexicons
 # ---------------------------------------------------------------------------
@@ -105,7 +107,19 @@ ORACLE_MINHASH = {"num_perm": 12, "bands": 4, "rows": 3, "shingle": 3}
 # src/minhashlsh.py:101) at 117 permutations; xxhash64 JVM-native hashing.
 PROD_MINHASH = {"num_perm": 117, "bands": 9, "rows": 13, "shingle": 3}
 
-SIMHASH_BITS = 16  # oracle-checkable simhash width (64 in production)
+SIMHASH_BITS = 16  # oracle-checkable small profile (see PROD_SIMHASH)
+# Production simhash: 60-bit hash (the portable md5int width), 15-bit bands
+# -> 4 bands x 32768 keys/band. Bucket population is ~n/32768 per band, so
+# the band self-join stays ~linear (the 16-bit/4-bit profile above has only
+# 16 keys/band and is O(n^2/16) — test fixture only).
+PROD_SIMHASH = {"bits": 60, "band_bits": 15, "max_hamming": 3}
+
+# Connected components: edge sets at or below this count are union-found on
+# the driver in one job (a collected edge Row is ~100 bytes on the driver,
+# so 1M edges ~ 100 MB — comfortably inside a multi-GB driver; raise it via
+# RPV2_CC_DRIVER_THRESHOLD only with driver memory to match, set 0 to force
+# the distributed large-star/small-star fixpoint).
+CC_DRIVER_THRESHOLD = int(os.environ.get("RPV2_CC_DRIVER_THRESHOLD", "1000000"))
 
 # ANN
 ANN_TOPK = 20

@@ -9,8 +9,32 @@ expressions — no UDF, no Python per row.
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# Universal-hash permutation family for MinHash: perm_i(h) =
+# (a_i * (h mod 2^32) + b_i) mod P over a 32-bit prime. One base hash per
+# shingle string; every permutation is then pure 64-bit integer arithmetic
+# (codegen-friendly, ANSI-overflow-safe: a < 2^31 so a*h32 < 2^63), and the
+# identical arithmetic runs in DuckDB — so the production plan shape is
+# oracle-checkable with an md5 base hash swapped in for xxhash64.
+PERM_PRIME = 4294967291  # largest 32-bit prime
+_PERM_A_MAX = (1 << 31) - 1
+
+
+@lru_cache(maxsize=8)
+def perm_coeffs(num_perm: int) -> tuple[tuple[int, int], ...]:
+    """Deterministic (a_i, b_i) pairs derived from md5 (driver-side, once)."""
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return tuple(
+        (h(f"a:{i}") % _PERM_A_MAX + 1, h(f"b:{i}") % PERM_PRIME)
+        for i in range(num_perm)
+    )
 
 
 def md5int(col: Column) -> Column:

@@ -14,11 +14,13 @@ float-sum noise (~1e-15) cannot flip orderings; ties break on vec_id.
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import ANN_ROUND, ANN_TOPK
-from ..functions.hashing import md5int_seeded
 from ..functions.vectors import cosine
 
 
@@ -42,27 +44,36 @@ def cosine_topk(
     )
 
 
+@lru_cache(maxsize=16)
+def plane_weights(dim: int, nbits: int) -> tuple[tuple[float, ...], ...]:
+    """The hyperplane constants: plane p, component d =
+    ((md5int('p:d') mod 2001) - 1000)/1000, a reproducible pseudo-random
+    value in [-1, 1] (md5int = first 15 hex chars of md5 as int — the
+    engine's portable hash contract). Materialized ONCE on the driver and
+    inlined as literals: the planes are constants, so evaluating dim*nbits
+    md5 calls per ROW (the previous formulation) was pure waste."""
+    def w(p: int, d: int) -> float:
+        h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+        return ((h % 2001) - 1000) / 1000.0
+
+    return tuple(tuple(w(p, d) for d in range(dim)) for p in range(nbits))
+
+
 def hyperplane_signature(vec_col: Column, dim: int, nbits: int) -> Column:
     """Deterministic random-hyperplane LSH signature (bigint).
 
-    Plane p, component d = ((md5int('p:d') mod 2001) - 1000)/1000 — a
-    reproducible pseudo-random value in [-1, 1]. Bit p = 1 iff
-    round(dot(vec, plane_p), 6) > 0 (rounded so the sign is stable under
-    float-order noise).
+    Bit p = 1 iff round(dot(vec, plane_p), 6) > 0 (rounded so the sign is
+    stable under cross-engine float noise). Weights are literal arrays —
+    the per-row work is dim multiply-adds per plane and nothing else (a
+    fully flat expansion was tried first: 512 inlined terms overflow a
+    janino method and deoptimize the whole stage to interpreted anyway).
     """
+    planes = plane_weights(dim, nbits)
+
     def bit(p: int) -> Column:
+        w_arr = F.array(*[F.lit(w) for w in planes[p]])
         d = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda i: (
-                        F.pmod(md5int_seeded(p, i.cast("string")), F.lit(2001)) - 1000
-                    ).cast("double")
-                    / 1000.0,
-                ),
-                lambda x, w: x.cast("double") * w,
-            ),
+            F.zip_with(vec_col, w_arr, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )

@@ -101,7 +101,7 @@ def _driver_side_cc(edges: DataFrame, edge_rows) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, driver_threshold: int = 2_000_000
+    edges: DataFrame, max_iter: int = 50, driver_threshold: int | None = None
 ) -> DataFrame:
     """edges: DF(src:long, dst:long) undirected. Returns DF(id, root) for
     every node appearing in the edge set; root = component min id.
@@ -113,6 +113,10 @@ def connected_components(
     degrades every later job in the session. At warehouse scale, persist
     the returned frame to a table (tableio) rather than holding it cached.
     """
+    if driver_threshold is None:
+        from ..config import CC_DRIVER_THRESHOLD
+
+        driver_threshold = CC_DRIVER_THRESHOLD
     sc = edges.sparkSession.sparkContext
     pre_existing = _persistent_ids(sc)
     cur = (

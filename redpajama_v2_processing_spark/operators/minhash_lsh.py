@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import ORACLE_MINHASH
-from ..functions.hashing import md5int, md5int_seeded
+from ..functions.hashing import PERM_PRIME, md5int, md5int_seeded, perm_coeffs
 from ..functions.text import tokens, word_ngrams, normalize
 from .connected_components import connected_components
 
@@ -87,6 +87,7 @@ def minhash_bands(
     text_col: str = "text",
     cfg: dict = ORACLE_MINHASH,
     portable: bool = True,
+    base: str = "xxhash",
 ) -> DataFrame:
     """DF(id, band_idx, band_hash) — one row per (doc, band).
 
@@ -96,6 +97,15 @@ def minhash_bands(
     partition), then band hashes from the minima. ~100x faster than the
     equivalent nested higher-order-function expression, which Spark
     evaluates interpreted (no codegen inside array lambdas).
+
+    ``portable=True`` is the oracle hash family (one md5 per permutation —
+    reproducible anywhere, but md5 is the cost). ``portable=False`` is the
+    production scheme: hash the (variable-length) shingle string ONCE, then
+    derive the k permutations with the universal integer family
+    (a_i*h32 + b_i mod P — pure codegen arithmetic). ``base`` picks that
+    single string hash: "xxhash" (JVM-native, fastest) or "md5" (portable —
+    makes the ENTIRE production plan shape DuckDB-checkable; only the base
+    hash differs from the deployed profile).
     """
     k, b, r = cfg["num_perm"], cfg["bands"], cfg["rows"]
     flat = with_shingles(docs, id_col, text_col, cfg["shingle"]).select(
@@ -106,22 +116,29 @@ def minhash_bands(
             "id", *[md5int_seeded(i, F.col("_s")).alias(f"_h{i}") for i in range(k)]
         )
     else:
-        # production path: hash the (variable-length) shingle string ONCE,
-        # derive the k permutation hashes from the fixed-width long — with
-        # k~117 this cuts string-hashing work by two orders of magnitude
-        hashed = flat.withColumn("_h", F.xxhash64("_s")).select(
-            "id", *[F.xxhash64(F.lit(i), F.col("_h")).alias(f"_h{i}") for i in range(k)]
+        base_h = F.xxhash64("_s") if base == "xxhash" else md5int(F.col("_s"))
+        coeffs = perm_coeffs(k)
+        hashed = flat.withColumn(
+            "_h32", F.pmod(base_h, F.lit(1 << 32))
+        ).select(
+            "id",
+            *[
+                ((F.lit(a) * F.col("_h32") + F.lit(bb)) % F.lit(PERM_PRIME)).alias(f"_h{i}")
+                for i, (a, bb) in enumerate(coeffs)
+            ],
         )
     minh = hashed.groupBy("id").agg(
         *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(k)]
     )
+
+    band_portable = portable or base == "md5"
 
     def band_hash(bi: int):
         joined = F.concat_ws(
             "|", *[F.col(f"_m{bi * r + j}").cast("string") for j in range(r)]
         )
         payload = F.concat(F.lit(str(bi)), F.lit("#"), joined)
-        return md5int(payload) if portable else F.xxhash64(payload)
+        return md5int(payload) if band_portable else F.xxhash64(payload)
 
     bands = F.array(
         *[
@@ -197,11 +214,13 @@ def fuzzy_dedup_labels(
     cfg: dict = ORACLE_MINHASH,
     portable: bool = True,
     salted: bool = False,
+    cc_driver_threshold: int | None = None,
+    base: str = "xxhash",
 ) -> DataFrame:
     """DF(id, root): component root per doc id (root==id for singletons)."""
-    bands = minhash_bands(docs, id_col, text_col, cfg, portable)
+    bands = minhash_bands(docs, id_col, text_col, cfg, portable, base)
     edges = salted_bucket_edges(bands) if salted else candidate_edges(bands)
-    cc = connected_components(edges)
+    cc = connected_components(edges, driver_threshold=cc_driver_threshold)
     ids = docs.select(F.col(id_col).alias("id"))
     return ids.join(cc, "id", "left").select(
         "id", F.coalesce("root", F.col("id")).alias("root")
@@ -215,8 +234,12 @@ def fuzzy_dedup_keep_ids(
     cfg: dict = ORACLE_MINHASH,
     portable: bool = True,
     salted: bool = False,
+    cc_driver_threshold: int | None = None,
+    base: str = "xxhash",
 ) -> DataFrame:
     """DF(id): the keep-list — one doc (the min id) per near-dup component,
     singletons included. Mirrors src/minhashlsh.py:169 (keep root==id)."""
-    labels = fuzzy_dedup_labels(docs, id_col, text_col, cfg, portable, salted)
+    labels = fuzzy_dedup_labels(
+        docs, id_col, text_col, cfg, portable, salted, cc_driver_threshold, base
+    )
     return labels.where(F.col("root") == F.col("id")).select("id")

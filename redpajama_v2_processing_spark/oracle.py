@@ -377,6 +377,64 @@ reach(id, root) AS (
 SELECT id AS doc_id FROM reach GROUP BY id HAVING min(root) = id"""
 
 
+def _minhash_ctes_universal(cfg) -> str:
+    """Production-scheme twin (minhash_bands portable=False, base='md5'):
+    one md5 base hash per shingle, then the universal integer permutation
+    family (a_i*h32 + b_i mod P) — identical literal coefficients in both
+    engines (functions/hashing.perm_coeffs)."""
+    from .functions.hashing import PERM_PRIME, perm_coeffs
+
+    k, b, r, n = cfg["num_perm"], cfg["bands"], cfg["rows"], cfg["shingle"]
+    coeffs = perm_coeffs(k)
+    perm_rows = ",\n    ".join(f"({i}, {a}, {bb})" for i, (a, bb) in enumerate(coeffs))
+    gram = " || ' ' || ".join(f"t[(i+{j})::INT]" for j in range(n))
+    # relational formulation (unnest + cross join the perm table + grouped
+    # min): vectorized — nested list lambdas with literal-list indexing
+    # rebuild the coefficient lists per element and were ~500x slower
+    return f"""
+perms(p, a, bc) AS MATERIALIZED (VALUES
+    {perm_rows}),
+base AS (SELECT doc_id, {norm('text')} AS nrm FROM documents),
+tk AS (SELECT doc_id, nrm, {tokens('nrm')} AS t FROM base),
+shg AS (
+  SELECT doc_id,
+    CASE WHEN len(t) < {n}
+         THEN (CASE WHEN trim(nrm) = '' THEN []::VARCHAR[] ELSE [nrm] END)
+         ELSE list_distinct(list_transform(range(1, len(t) - {n - 2}), i -> {gram}))
+    END AS sh
+  FROM tk),
+shh AS (
+  SELECT doc_id, {md5int('s.s')} % 4294967296 AS h
+  FROM shg, unnest(sh) AS s(s)),
+mhf AS (
+  SELECT doc_id, p, min((a * h + bc) % {PERM_PRIME}) AS m
+  FROM shh CROSS JOIN perms GROUP BY 1, 2),
+mh AS (SELECT doc_id, list(m ORDER BY p) AS sig FROM mhf GROUP BY doc_id),
+bands AS (
+  SELECT doc_id AS id, bb.b AS band_idx,
+    {md5int(f"bb.b::VARCHAR || '#' || array_to_string(sig[(bb.b*{r}+1)::INT:(bb.b*{r}+{r})::INT], '|')")} AS band_hash
+  FROM mh, (SELECT unnest(range(0, {b})) AS b) bb)"""
+
+
+def q_fuzzy_dedup_prod_checked(cfg=None) -> str:
+    """Keep-list of the production fuzzy-dedup plan (117 perms / 9 bands /
+    salted edges / distributed-CC contract) with the md5 base hash. Salted
+    star edges yield the same connected components as plain star edges
+    (every bucket member stays linked through the bucket min), so one
+    recursive CTE covers both edge constructions."""
+    if cfg is None:
+        from .config import PROD_MINHASH as cfg
+    return f"""
+WITH RECURSIVE {_minhash_ctes_universal(cfg)}, {_edges_cte()},
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(id, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.src, r.root FROM sym s JOIN reach r ON s.dst = r.id
+)
+SELECT id AS doc_id FROM reach GROUP BY id HAVING min(root) = id"""
+
+
 def q_jaccard_vs_query(query_doc_id: int = 0, min_sim: float = 0.0) -> str:
     return f"""
 WITH {_minhash_ctes()},
@@ -442,6 +500,66 @@ FROM s ORDER BY cos DESC, vec_id LIMIT {k}"""
 
 def q_ann_cosine_topk(query_vec_id: int = 0, k: int = ANN_TOPK) -> str:
     return _COS.format(qid=query_vec_id, rnd=ANN_ROUND, k=k)
+
+
+def q_ann_lsh_topk(query_vec_id: int = 0, dim: int = 64, nbits: int = 8,
+                   k: int = ANN_TOPK) -> str:
+    """Twin of operators/ann.ann_lsh_topk: identical literal hyperplanes
+    (plane_weights — derived once from md5, inlined in both engines),
+    identical bit rule (round(dot,6) > 0), bucket-filtered exact rerank."""
+    from .operators.ann import plane_weights
+
+    planes = plane_weights(dim, nbits)
+    rows = ",\n    ".join(
+        f"({p}, {list(ws)}::DOUBLE[])" for p, ws in enumerate(planes)
+    )
+    dot = ("list_aggregate(list_transform(range(1, " + str(dim + 1) + "), "
+           "i -> e.embedding[i::INT]::DOUBLE * p.w[i::INT]), 'sum')")
+    return f"""
+WITH planes(p, w) AS (VALUES
+    {rows}),
+sig AS (
+  SELECT e.vec_id,
+    sum(CASE WHEN round({dot}, 6) > 0 THEN (1::BIGINT << p.p) ELSE 0 END)::BIGINT
+      AS bucket
+  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id),
+q AS (
+  SELECT s.bucket AS qb, e.embedding AS qe
+  FROM sig s JOIN embeddings e USING (vec_id) WHERE s.vec_id = {query_vec_id}),
+cand AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e JOIN sig s USING (vec_id), q
+  WHERE s.bucket = q.qb),
+c AS (
+  SELECT e.vec_id,
+    list_aggregate(list_transform(range(1, len(e.embedding)+1),
+      i -> e.embedding[i::INT]::DOUBLE * q.qe[i::INT]::DOUBLE), 'sum') AS num,
+    sqrt(list_aggregate(list_transform(range(1, len(e.embedding)+1),
+      i -> e.embedding[i::INT]::DOUBLE * e.embedding[i::INT]::DOUBLE), 'sum')) *
+    sqrt(list_aggregate(list_transform(range(1, len(q.qe)+1),
+      i -> q.qe[i::INT]::DOUBLE * q.qe[i::INT]::DOUBLE), 'sum')) AS den
+  FROM cand e, q)
+SELECT vec_id,
+  (round(CASE WHEN den = 0 THEN 0.0 ELSE num / den END, {ANN_ROUND}) + 0.0)::DOUBLE AS cos
+FROM c ORDER BY cos DESC, vec_id LIMIT {k}"""
+
+
+def q_multimodal_meta() -> str:
+    """Twin of operators/multimodal.decode_media_meta over the synthetic
+    MM1 payloads built by queries.q_multimodal_meta: reconstruct the same
+    'MM1|kind|w|h|body' header and parse it back (all payloads are
+    well-formed, so ok is always true); n_bytes = UTF-8 octet length."""
+    return """
+WITH b AS (
+  SELECT doc_id AS id,
+    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video' ELSE 'audio' END AS kind,
+    doc_id % 640 AS w, doc_id % 480 AS h,
+    substr(text, 1, 20) AS body
+  FROM documents)
+SELECT id, kind, w::INT AS width, h::INT AS height,
+  octet_length(encode('MM1|' || kind || '|' || w || '|' || h || '|' || body))::BIGINT
+    AS n_bytes,
+  true AS ok
+FROM b"""
 
 
 def q_label_centroids(dim: int = 64) -> str:

@@ -175,6 +175,32 @@ def q_fuzzy_dedup_keep(spark, sf_dir):
     )
 
 
+def q_fuzzy_dedup_salted(spark, sf_dir):
+    """Same components as fuzzy_dedup_keep through the skew-capped salted
+    edge construction — oracle-checked that salting preserves the keep-set."""
+    return fuzzy_dedup_keep_ids(_docs(spark, sf_dir), "doc_id", salted=True).select(
+        F.col("id").alias("doc_id")
+    )
+
+
+def q_fuzzy_dedup_distributed(spark, sf_dir):
+    """Forces the large-star/small-star distributed CC fixpoint
+    (cc_driver_threshold=0): the 1000-executor path, oracle-checked."""
+    return fuzzy_dedup_keep_ids(
+        _docs(spark, sf_dir), "doc_id", salted=True, cc_driver_threshold=0
+    ).select(F.col("id").alias("doc_id"))
+
+
+def q_fuzzy_dedup_prod_checked(spark, sf_dir):
+    """The full production plan shape (117 perms, 9 bands, universal-hash
+    permutations, salted edges) with the md5 base hash so DuckDB can verify
+    it end-to-end. Only the base string hash differs from fuzzy_dedup_prod."""
+    return fuzzy_dedup_keep_ids(
+        _docs(spark, sf_dir), "doc_id", cfg=PROD_MINHASH,
+        portable=False, base="md5", salted=True,
+    ).select(F.col("id").alias("doc_id"))
+
+
 def q_jaccard_vs_query(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     qrow = (
@@ -391,6 +417,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_buckets": q_lsh_buckets,
     "lsh_candidate_edges": q_candidate_edges,
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
+    "fuzzy_dedup_salted": q_fuzzy_dedup_salted,
+    "fuzzy_dedup_distributed": q_fuzzy_dedup_distributed,
+    "fuzzy_dedup_prod_checked": q_fuzzy_dedup_prod_checked,
     "ngram_jaccard": q_jaccard_vs_query,
     "simhash": q_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
@@ -408,9 +437,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "row_number_ids": q_row_number_ids,
     "set_ops": q_set_ops,
     "rollup_counts": q_rollup_counts,
-    # rows-only checks (non-SQL-expressible / approximate ops)
     "multimodal_meta": q_multimodal_meta,
     "ann_lsh_topk": q_ann_lsh_topk,
+    # rows-only: xxhash64 base hash has no DuckDB twin; the identical plan
+    # shape is oracle-checked as fuzzy_dedup_prod_checked, and pytest
+    # property-checks this profile (exact-dup clustering, idempotence)
     "fuzzy_dedup_prod": q_fuzzy_dedup_prod,
 }
 
@@ -432,6 +463,10 @@ ORACLES: dict[str, str] = {
     "lsh_buckets": oracle.q_lsh_buckets(),
     "lsh_candidate_edges": oracle.q_candidate_edges(),
     "fuzzy_dedup_keep": oracle.q_fuzzy_dedup_keep(),
+    # salted edges / distributed CC produce the identical keep-set
+    "fuzzy_dedup_salted": oracle.q_fuzzy_dedup_keep(),
+    "fuzzy_dedup_distributed": oracle.q_fuzzy_dedup_keep(),
+    "fuzzy_dedup_prod_checked": oracle.q_fuzzy_dedup_prod_checked(),
     "ngram_jaccard": oracle.q_jaccard_vs_query(),
     "simhash": oracle.q_simhash(),
     "simhash_near_pairs": oracle.q_simhash_near_pairs(),
@@ -449,4 +484,6 @@ ORACLES: dict[str, str] = {
     "row_number_ids": oracle.q_row_number_ids(),
     "set_ops": oracle.q_set_ops(),
     "rollup_counts": oracle.q_rollup_counts(),
+    "multimodal_meta": oracle.q_multimodal_meta(),
+    "ann_lsh_topk": oracle.q_ann_lsh_topk(),
 }

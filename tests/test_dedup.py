@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from redpajama_v2_processing_spark.config import ORACLE_MINHASH
+from redpajama_v2_processing_spark.config import ORACLE_MINHASH, PROD_MINHASH
 from redpajama_v2_processing_spark.operators.exact_dedup import (
     anti_join_duplicates, dedup_exact, exact_keep_ids,
 )
@@ -84,6 +84,47 @@ def test_fuzzy_dedup_idempotent(spark):
     survivors = df.join(keep1, "doc_id", "left_semi")
     keep2 = sorted(r.id for r in fuzzy_dedup_keep_ids(survivors, "doc_id").collect())
     assert keep2 == sorted(r.doc_id for r in keep1.collect())
+
+
+def _prod_keep(df, **kw):
+    return sorted(
+        r.id
+        for r in fuzzy_dedup_keep_ids(
+            df, "doc_id", cfg=PROD_MINHASH, portable=False, salted=True, **kw
+        ).collect()
+    )
+
+
+def test_fuzzy_prod_profile_properties(spark):
+    """Property gate for the xxhash production profile (no DuckDB twin —
+    the same plan shape is oracle-checked as fuzzy_dedup_prod_checked):
+    exact copies cluster, distinct docs survive, keep ⊆ ids, idempotence."""
+    texts = [
+        "same text body one two three four five",
+        "unique doc alpha beta gamma delta epsilon",
+        "same text body one two three four five",
+        "another unique document with its own words entirely",
+        "same text body one two three four five",
+    ]
+    df = docs_frame(spark, texts)
+    kept = _prod_keep(df)
+    assert kept == [0, 1, 3]  # exact copies 2,4 drop; uniques survive
+    # idempotence: dedup of the survivors is a fixpoint
+    survivors = df.where(F.col("doc_id").isin(kept))
+    assert _prod_keep(survivors) == kept
+
+
+def test_fuzzy_prod_base_hash_agreement(spark):
+    """xxhash and md5 base hashes must agree on unambiguous corpora (exact
+    dups + fully distinct docs): the hash family must not change decisions."""
+    texts = [
+        "alpha bravo charlie delta echo foxtrot golf",
+        "hotel india juliet kilo lima mike november",
+        "alpha bravo charlie delta echo foxtrot golf",
+        "oscar papa quebec romeo sierra tango uniform",
+    ]
+    df = docs_frame(spark, texts)
+    assert _prod_keep(df) == _prod_keep(df, base="md5") == [0, 1, 3]
 
 
 def test_null_and_empty_text_survive(spark):
