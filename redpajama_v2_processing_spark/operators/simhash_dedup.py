@@ -2,17 +2,23 @@
 
 Per-doc simhash is a pure-integer native expression (functions/hashing.py).
 Near-dup pairs use the standard Hamming-LSH trick: split the B-bit hash
-into nibble bands; docs agreeing on any band are candidates (equi-self-join
-on (band, nibble) — shuffle join, no O(n^2)); verify with
-bit_count(xor) <= max_hamming.
+into bands; docs agreeing on any band are candidates (equi-self-join on
+(band, key) — shuffle join), verified with bit_count(xor) <= max_hamming.
+
+Band width is the scale lever: each band has 2^band_bits distinct keys, so
+expected bucket population is n / 2^band_bits and the self-join emits
+O(n^2 / 2^band_bits) candidates. The 16-bit/4-bit test profile
+(SIMHASH_BITS) is quadratic by construction — production uses PROD_SIMHASH
+(60-bit hash, 15-bit bands: 32768 keys/band), plus an optional per-bucket
+width cap for adversarially hot keys.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..config import SIMHASH_BITS
+from ..config import PROD_SIMHASH, SIMHASH_BITS
 from ..functions.hashing import md5int_seeded, xxhash_seeded
 from ..functions.text import tokens, normalize
 
@@ -61,8 +67,15 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     band_bits: int = 4,
     portable: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """DF(src, dst, hamming), src < dst, hamming <= max_hamming."""
+    """DF(src, dst, hamming), src < dst, hamming <= max_hamming.
+
+    ``max_bucket``: optional cap on per-(band, key) bucket width — rows
+    beyond the cap (in deterministic id order) don't join. An approximation
+    for adversarially hot buckets (boilerplate floods); leave None for
+    exact semantics (oracle-checked profiles).
+    """
     sh = with_simhash(docs, id_col, text_col, bits, portable)
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
@@ -79,6 +92,13 @@ def simhash_near_pairs(
             ])
         ).alias("bk"),
     ).select("id", "simhash", "bk.band", "bk.key")
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "key").orderBy("id")
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
     a = banded.select(
         F.col("id").alias("src"), F.col("simhash").alias("_ha"), "band", "key"
     )

@@ -59,26 +59,51 @@ def profiled_quantile_filter(
     signal_cols: list[str],
     lang_col: str = "lang",
     exact: bool = True,
+    round_to: int = 6,
 ) -> DataFrame:
     """Reference profile scheme (README.md:79-98): each language uses ITS
     profile's (p_low, p_high) — strict (20/80) for en, regular (10/90)
-    otherwise. Thresholds per (lang, profile-specific percentiles), then a
-    broadcast join + conjunctive range predicate."""
-    langs = [r[0] for r in signals.select(lang_col).distinct().collect()]
-    tables = []
-    for lang in langs:
-        p_low, p_high = profile_for(lang)
-        th = per_lang_thresholds(
-            signals.where(F.col(lang_col) == lang), signal_cols, lang_col,
-            p_low, p_high, exact,
-        )
-        tables.append(th)
-    if not tables:
-        return signals.limit(0)
-    th_all = tables[0]
-    for t in tables[1:]:
-        th_all = th_all.unionByName(t)
-    out = signals.join(F.broadcast(th_all), lang_col)
+    otherwise.
+
+    Single pass: ONE groupBy(lang) aggregation computes every in-use
+    profile's percentile pair per signal (grouped percentiles equal the
+    per-language filtered percentiles, so no per-language scan loop), then
+    a CASE on the language->profile map picks the applicable pair, and the
+    tiny threshold table broadcast-joins back. The corpus side is scanned
+    once for thresholds and once for the filter — independent of the
+    number of languages.
+    """
+    profiles = sorted({*LANG_PROFILE.values(), DEFAULT_PROFILE})
+    aggs = []
+    for c in signal_cols:
+        for prof in profiles:
+            p_low, p_high = QUANTILE_PROFILES[prof]
+            if exact:
+                lo = F.expr(f"percentile({c}, {p_low})")
+                hi = F.expr(f"percentile({c}, {p_high})")
+            else:
+                col = F.col(c).cast("double")
+                lo = F.percentile_approx(col, p_low, 10000)
+                hi = F.percentile_approx(col, p_high, 10000)
+            aggs += [
+                F.round(lo.cast("double"), round_to).alias(f"_{c}_{prof}_lo"),
+                F.round(hi.cast("double"), round_to).alias(f"_{c}_{prof}_hi"),
+            ]
+    th_wide = signals.groupBy(lang_col).agg(*aggs)
+
+    def pick(c: str, bound: str):
+        expr = F.lit(None).cast("double")
+        for lang, prof in LANG_PROFILE.items():
+            expr = F.when(
+                F.col(lang_col) == lang, F.col(f"_{c}_{prof}_{bound}")
+            ).otherwise(expr)
+        return F.coalesce(expr, F.col(f"_{c}_{DEFAULT_PROFILE}_{bound}"))
+
+    th = th_wide.select(
+        lang_col,
+        *[pick(c, b).alias(f"{c}_{b}") for c in signal_cols for b in ("lo", "hi")],
+    )
+    out = signals.join(F.broadcast(th), lang_col)
     cond = F.lit(True)
     for c in signal_cols:
         cond = cond & (F.col(c) >= F.col(f"{c}_lo")) & (F.col(c) <= F.col(f"{c}_hi"))

@@ -466,11 +466,12 @@ def q_simhash() -> str:
     return f"WITH {_simhash_ctes()} SELECT id, simhash FROM shall"
 
 
-def q_simhash_near_pairs(max_hamming: int = 3, band_bits: int = 4) -> str:
-    n_bands = SIMHASH_BITS // band_bits
+def q_simhash_near_pairs(max_hamming: int = 3, band_bits: int = 4,
+                         bits: int = SIMHASH_BITS) -> str:
+    n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     return f"""
-WITH {_simhash_ctes()},
+WITH {_simhash_ctes(bits)},
 banded AS (
   SELECT id, simhash, bb.b AS band, (simhash >> (bb.b * {band_bits})) & {mask} AS key
   FROM shall, (SELECT unnest(range(0, {n_bands})) AS b) bb)

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import oracle
-from .config import ANN_TOPK, ORACLE_MINHASH, PROD_MINHASH
+from .config import ANN_TOPK, ORACLE_MINHASH, PROD_MINHASH, PROD_SIMHASH
 from .functions.langid import with_langid
 from .functions.perplexity import with_unigram_perplexity
 from .functions.scrub import mask_flagged_words, scrub_pii
@@ -220,6 +220,16 @@ def q_simhash_near_pairs(spark, sf_dir):
     return simhash_near_pairs(_docs(spark, sf_dir), "doc_id")
 
 
+def q_simhash_prod_near_pairs(spark, sf_dir):
+    """Production banding: 60-bit simhash, 15-bit bands (32768 keys/band)
+    — candidate volume is ~n^2/2^15 instead of the test profile's n^2/16."""
+    return simhash_near_pairs(
+        _docs(spark, sf_dir), "doc_id",
+        bits=PROD_SIMHASH["bits"], band_bits=PROD_SIMHASH["band_bits"],
+        max_hamming=PROD_SIMHASH["max_hamming"],
+    )
+
+
 def _query_vec(spark, sf_dir, vec_id=0):
     row = (
         _t(spark, sf_dir, "embeddings")
@@ -423,6 +433,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_jaccard_vs_query,
     "simhash": q_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
+    "simhash_prod_near_pairs": q_simhash_prod_near_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "label_centroids": q_label_centroids,
     "events_hourly": q_events_hourly,
@@ -470,6 +481,11 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": oracle.q_jaccard_vs_query(),
     "simhash": oracle.q_simhash(),
     "simhash_near_pairs": oracle.q_simhash_near_pairs(),
+    "simhash_prod_near_pairs": oracle.q_simhash_near_pairs(
+        max_hamming=PROD_SIMHASH["max_hamming"],
+        band_bits=PROD_SIMHASH["band_bits"],
+        bits=PROD_SIMHASH["bits"],
+    ),
     "ann_cosine_topk": oracle.q_ann_cosine_topk(),
     "label_centroids": oracle.q_label_centroids(),
     "events_hourly": oracle.q_events_hourly(),

@@ -75,6 +75,40 @@ def test_simhash_identity_and_near(spark):
     assert any(p.src == 0 and p.dst == 1 and p.hamming == 0 for p in pairs)
 
 
+def test_simhash_prod_banding_subquadratic(spark):
+    """The production profile (60-bit hash, 15-bit bands) must not emit
+    O(n^2) candidates on a distinct corpus: growing the corpus 5x may grow
+    the pair count at most ~linearly, while the 16-bit test profile
+    (16 keys/band) visibly explodes quadratically on the same data."""
+    from redpajama_v2_processing_spark.config import PROD_SIMHASH
+
+    def corpus(n):
+        # distinct docs + one fixed pair of exact dups
+        texts = [f"token{i}a uniq{i}b word{i}c item{i}d thing{i}e" for i in range(n)]
+        texts.append(texts[0])
+        return docs_frame(spark, texts)
+
+    def prod_pairs(df):
+        return simhash_near_pairs(
+            df, "doc_id", bits=PROD_SIMHASH["bits"],
+            band_bits=PROD_SIMHASH["band_bits"],
+            max_hamming=PROD_SIMHASH["max_hamming"],
+        ).count()
+
+    small, big = prod_pairs(corpus(60)), prod_pairs(corpus(300))
+    assert big <= max(small, 1) * 10  # ~linear growth, not 25x
+    quad = simhash_near_pairs(corpus(300), "doc_id").count()  # 16-bit profile
+    assert quad > big * 10  # the old default really is the quadratic one
+
+
+def test_simhash_bucket_cap(spark):
+    """max_bucket caps per-(band,key) width: with cap=1 no bucket can emit
+    a pair, and the exact-dup pair found without a cap disappears."""
+    df = docs_frame(spark, ["same words here one two", "same words here one two"])
+    assert simhash_near_pairs(df, "doc_id").count() > 0
+    assert simhash_near_pairs(df, "doc_id", max_bucket=1).count() == 0
+
+
 def test_cosine_topk_matches_numpy(spark):
     rng = np.random.RandomState(3)
     vecs = rng.randn(50, 16).astype("float32")

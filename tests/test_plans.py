@@ -43,6 +43,21 @@ def test_threshold_join_is_broadcast(pages_small):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_profiled_thresholds_single_pass(pages_small):
+    """profiled_quantile_filter must compute every profile's percentiles in
+    ONE grouped aggregation — not one filtered scan per language. The plan
+    therefore contains exactly 2 scans of the source (threshold side +
+    filter side) regardless of language count, and one broadcast join."""
+    from redpajama_v2_processing_spark.operators.thresholds import (
+        profiled_quantile_filter,
+    )
+
+    sig = with_signals(pages_small)
+    plan = _physical(profiled_quantile_filter(sig, ["number_of_words"]))
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") <= 2
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_whole_stage_codegen_covers_signals(pages_small):
     plan = _physical(with_signals(pages_small).select("url", "number_of_words"))
     # "*(n)" prefixes mark WholeStageCodegen stages in the short plan form
