@@ -121,6 +121,18 @@ PROD_SIMHASH = {"bits": 60, "band_bits": 15, "max_hamming": 3}
 # the distributed large-star/small-star fixpoint).
 CC_DRIVER_THRESHOLD = int(os.environ.get("RPV2_CC_DRIVER_THRESHOLD", "1000000"))
 
+# Per-language downsample ratios — the reference's target of ~500M
+# signatures (~100B tokens) per language (README.md:104,
+# src/downsample_parquet.py:16-20): en was pre-shrunk by the strict
+# quality profile, the rest scale by 10^12/corpus_size.
+LANG_DOWNSAMPLE_RATIOS: dict[str, float] = {
+    "de": 10**12 / 1831408329763,
+    "en": 0.16679635865671472,
+    "es": 10**12 / 1698722578461,
+    "fr": 10**12 / 1543539727843,
+}
+DOWNSAMPLE_DEFAULT_RATIO = 1.0  # langs without a configured ratio pass through
+
 # ANN
 ANN_TOPK = 20
 ANN_ROUND = 4  # decimals for cosine similarity rounding (cross-engine safety)

@@ -26,6 +26,37 @@ def hash_sample(df: DataFrame, key_col: str, one_in: int, salt: str = "s") -> Da
     return df.where(F.pmod(h, F.lit(one_in)) == 0)
 
 
+def lang_ratio_downsample(
+    df: DataFrame,
+    ratios: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    lang_col: str = "lang",
+    salt: str = "ds",
+    default_ratio: float | None = None,
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Per-language ratio downsample (the reference's per-lang seeded
+    random.sample, src/downsample_parquet.py:16-20,40) — deterministic by
+    key hash instead of RNG state: keep iff hash(key) mod denom falls below
+    ratio*denom for the row's language. Engine-portable, shard-count
+    independent, and resumable (re-runs keep the identical rows).
+    """
+    from ..config import DOWNSAMPLE_DEFAULT_RATIO, LANG_DOWNSAMPLE_RATIOS
+
+    if ratios is None:
+        ratios = LANG_DOWNSAMPLE_RATIOS
+    if default_ratio is None:
+        default_ratio = DOWNSAMPLE_DEFAULT_RATIO
+    h = F.pmod(
+        md5int(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
+        F.lit(denom),
+    )
+    thr = F.lit(int(round(default_ratio * denom)))
+    for lang, r in sorted(ratios.items()):
+        thr = F.when(F.col(lang_col) == lang, F.lit(int(round(r * denom)))).otherwise(thr)
+    return df.where(h < thr)
+
+
 def seeded_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     return df.sample(withReplacement=False, fraction=fraction, seed=seed)
 

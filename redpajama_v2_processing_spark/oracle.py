@@ -435,6 +435,31 @@ reach(id, root) AS (
 SELECT id AS doc_id FROM reach GROUP BY id HAVING min(root) = id"""
 
 
+def q_rpv2_pre_banded_keep(n_bands: int = 9) -> str:
+    """Twin of queries.q_rpv2_pre_banded_keep: identical synthetic band
+    digests (md5 of the same payload string), star edges, recursive CC."""
+    return f"""
+WITH RECURSIVE k AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN 'dup:' || (doc_id % 50)
+         ELSE 'solo:' || doc_id END AS key
+  FROM documents),
+bands AS (
+  SELECT doc_id AS id, bb.b AS band_idx,
+    md5(bb.b::VARCHAR || '#' || key ||
+        (CASE WHEN bb.b >= (doc_id % 7) + 3 THEN ':' || doc_id ELSE '' END))
+      AS band_hash
+  FROM k, (SELECT unnest(range(0, {n_bands})) AS b) bb),
+{_edges_cte()},
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(id, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.src, r.root FROM sym s JOIN reach r ON s.dst = r.id
+)
+SELECT id AS doc_id FROM reach GROUP BY id HAVING min(root) = id"""
+
+
 def q_jaccard_vs_query(query_doc_id: int = 0, min_sim: float = 0.0) -> str:
     return f"""
 WITH {_minhash_ctes()},
@@ -611,6 +636,20 @@ FROM z GROUP BY 1"""
 def q_hash_sample(one_in: int = 10, salt: str = "s") -> str:
     h = md5int(f"'{salt}:' || doc_id::VARCHAR")
     return f"SELECT doc_id FROM documents WHERE {h} % {one_in} = 0"
+
+
+def q_lang_downsample(salt: str = "ds", denom: int = 1_000_000) -> str:
+    from .config import DOWNSAMPLE_DEFAULT_RATIO, LANG_DOWNSAMPLE_RATIOS
+
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {int(round(r * denom))}"
+        for lang, r in sorted(LANG_DOWNSAMPLE_RATIOS.items())
+    )
+    default = int(round(DOWNSAMPLE_DEFAULT_RATIO * denom))
+    h = md5int(f"'{salt}:' || doc_id::VARCHAR")
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {h} % {denom} < CASE lang {cases} ELSE {default} END"""
 
 
 def q_salted_count() -> str:

@@ -212,6 +212,40 @@ def q_jaccard_vs_query(spark, sf_dir):
     return jaccard_vs_query(docs, "doc_id", qs, n=ORACLE_MINHASH["shingle"])
 
 
+def q_rpv2_pre_banded_keep(spark, sf_dir):
+    """Interop path: dedup over PRE-BANDED RPv2 signature parquet
+    (sources/rpv2.py; reference schema src/minhashlsh_partial.py:148).
+    The signature fixture is synthesized deterministically from doc_id —
+    every doc_id%5==0 doc joins a 'dup' cluster keyed by doc_id%50 and
+    shares only a PREFIX of its 9 bands (partial band agreement), the rest
+    are singletons — so both engines build the identical band table."""
+    from .sources.rpv2 import rpv2_keep_ids
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    key = F.when(
+        did % 5 == 0, F.concat(F.lit("dup:"), (did % 50).cast("string"))
+    ).otherwise(F.concat(F.lit("solo:"), did.cast("string")))
+
+    def band(b: int):
+        payload = F.concat(
+            F.lit(f"{b}#"), key,
+            F.when(
+                F.lit(b) >= (did % 7) + 3,
+                F.concat(F.lit(":"), did.cast("string")),
+            ).otherwise(F.lit("")),
+        )
+        return F.encode(F.md5(F.encode(payload, "utf-8")), "utf-8")
+
+    sigs = docs.select(
+        F.lit("shard-0").alias("shard_id"),
+        did.cast("string").alias("id"),
+        did.alias("id_int"),
+        F.array(*[band(b) for b in range(9)]).alias("signature"),
+    )
+    return rpv2_keep_ids(sigs, salted=True).select(F.col("id").alias("doc_id"))
+
+
 def q_simhash(spark, sf_dir):
     return with_simhash(_docs(spark, sf_dir), "doc_id")
 
@@ -267,6 +301,14 @@ def q_events_sessions(spark, sf_dir):
 
 def q_hash_sample(spark, sf_dir):
     return hash_sample(_docs(spark, sf_dir), "doc_id", 10).select("doc_id")
+
+
+def q_lang_downsample(spark, sf_dir):
+    """Reference per-language downsample ratios (~500M signatures/lang,
+    src/downsample_parquet.py:16-20) as a deterministic hash-ratio filter."""
+    from .operators.sampling import lang_ratio_downsample
+
+    return lang_ratio_downsample(_docs(spark, sf_dir)).select("doc_id", "lang")
 
 
 def q_salted_count(spark, sf_dir):
@@ -439,6 +481,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "hash_sample": q_hash_sample,
+    "lang_downsample": q_lang_downsample,
+    "rpv2_pre_banded_keep": q_rpv2_pre_banded_keep,
     "salted_count": q_salted_count,
     "top_sources": q_top_sources,
     "pricing_summary": q_pricing_summary,
@@ -491,6 +535,8 @@ ORACLES: dict[str, str] = {
     "events_hourly": oracle.q_events_hourly(),
     "events_sessions": oracle.q_events_sessions(),
     "hash_sample": oracle.q_hash_sample(),
+    "lang_downsample": oracle.q_lang_downsample(),
+    "rpv2_pre_banded_keep": oracle.q_rpv2_pre_banded_keep(),
     "salted_count": oracle.q_salted_count(),
     "top_sources": oracle.q_top_sources(),
     "pricing_summary": oracle.q_pricing_summary(),

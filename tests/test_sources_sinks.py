@@ -39,3 +39,51 @@ def test_shuffle_rows_seeded(spark):
     a = [r.id for r in shuffle_rows(df, seed=66).collect()]
     b = [r.id for r in shuffle_rows(df, seed=66).collect()]
     assert a == b and sorted(a) == list(range(100))
+
+
+def test_rpv2_signature_interop_roundtrip(spark, tmp_path):
+    """Pre-banded RPv2 signature parquet (reference schema,
+    src/minhashlsh_partial.py:148): write a fixture with signature_sim0.8
+    band lists, read one sim level, dedup over pre-banded signatures.
+    Docs 1 and 2 share band 0; doc 3 is a singleton; doc 4 has a NULL
+    signature (unsignable) and must survive."""
+    from redpajama_v2_processing_spark.sources.rpv2 import (
+        read_rpv2_signatures, rpv2_keep_ids,
+    )
+
+    rows = [
+        ("s0", "a", 1, [b"band0-X", b"band1-A"]),
+        ("s0", "b", 2, [b"band0-X", b"band1-B"]),
+        ("s0", "c", 3, [b"band0-Y", b"band1-C"]),
+        ("s0", "d", 4, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "shard_id string, id string, id_int long, signature_sim08 array<binary>",
+    ).withColumnRenamed("signature_sim08", "signature_sim0.8")
+    src = str(tmp_path / "rpv2_sigs")
+    df.write.parquet(src)
+
+    sigs = read_rpv2_signatures(spark, src, "0.8")
+    assert sigs.columns == ["id", "id_int", "signature"]
+    kept = sorted(r.id for r in rpv2_keep_ids(sigs).collect())
+    assert kept == [1, 3, 4]  # 2 clusters with 1 (shared band 0); null survives
+
+
+def test_lang_ratio_downsample_deterministic_and_ratioed(spark):
+    from redpajama_v2_processing_spark.operators.sampling import (
+        lang_ratio_downsample,
+    )
+
+    df = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("xx").alias("lang"),
+    )
+    out = lang_ratio_downsample(df, ratios={"en": 0.25}, default_ratio=1.0)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["xx"] == 10000  # default ratio 1.0 passes everything
+    assert abs(counts["en"] / 10000 - 0.25) < 0.02  # ~25% of en rows kept
+    # determinism: identical keep-set on re-run
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in lang_ratio_downsample(df, ratios={"en": 0.25}, default_ratio=1.0).collect())
+    assert a == b
