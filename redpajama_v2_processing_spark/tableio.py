@@ -5,13 +5,17 @@ No Iceberg runtime jar ships in this sandbox, so this module provides the
 Iceberg semantics the engine needs behind a thin interface (swap for a real
 ``df.writeTo(...)`` catalog by replacing commit/read):
 
-* hidden partitioning: data laid out ``data/lang=<l>/date=<d>/`` (the
-  days(warc_ts), lang spec from SURVEY.md §1.3); readers prune partitions
-  via ordinary directory pruning;
-* atomic commits: data lands in a temp dir, a single ``os.rename``
-  publishes it, then a snapshot JSON (temp + rename, crash-safe) records
-  row counts per partition — the lineage/metrics the reference hand-rolled
-  as parquet_metadata.jsonl (src/get_metadata_signatures.py:32-40);
+* hidden partitioning: data laid out ``data-<ver>/lang=<l>/date=<d>/``
+  (the days(warc_ts), lang spec from SURVEY.md §1.3); readers prune
+  partitions via ordinary directory pruning;
+* atomic commits, Iceberg-style versioned data dirs: each commit writes a
+  fresh ``data-<uuid>`` directory, and PUBLISH is one ``os.rename`` of the
+  snapshot JSON that points at it. A crash at ANY point leaves the
+  previous snapshot + its data dir untouched (readers/resume never see a
+  half-state); orphaned dirs from crashed commits are garbage-collected
+  by the next successful commit. The snapshot also records row counts per
+  partition — the lineage/metrics the reference hand-rolled as
+  parquet_metadata.jsonl (src/get_metadata_signatures.py:32-40);
 * resume: a stage is complete iff its snapshot exists — replaces the
   reference's "output file exists => stage done" convention
   (src/minhashlsh.py:261-262) with an atomic marker.
@@ -39,8 +43,15 @@ def table_committed(table_dir: str) -> bool:
     return os.path.exists(_snapshot_path(table_dir))
 
 
+def _live_data_dir(table_dir: str) -> str:
+    snap = read_snapshot(table_dir)
+    return os.path.join(table_dir, snap.get("data_dir", "data"))
+
+
 def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(table_dir, "data"))
+    """Read the committed table: the snapshot names the live data dir
+    (``data_dir``), so readers can never observe an in-flight commit."""
+    return spark.read.parquet(_live_data_dir(table_dir))
 
 
 def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
@@ -77,18 +88,14 @@ def commit_table(
             parts.append("date")
 
     os.makedirs(table_dir, exist_ok=True)
-    tmp = os.path.join(table_dir, f"_tmp-{uuid.uuid4().hex}")
+    data_dir = f"data-{uuid.uuid4().hex}"
+    new_path = os.path.join(table_dir, data_dir)
     writer = out.write.mode("overwrite").option("compression", compression)
     if parts:
         writer = writer.partitionBy(*parts)
-    writer.parquet(tmp)
+    writer.parquet(new_path)
 
-    final = os.path.join(table_dir, "data")
-    if os.path.exists(final):
-        shutil.rmtree(final)
-    os.rename(tmp, final)  # atomic publish
-
-    committed = read_table(df.sparkSession, table_dir)
+    committed = df.sparkSession.read.parquet(new_path)
     if parts:
         part_counts = {
             "|".join(str(r[p]) for p in parts): r["n"]
@@ -100,13 +107,29 @@ def commit_table(
         "rows": committed.count(),
         "partitions": part_counts,
         "partition_by": parts,
+        "data_dir": data_dir,
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "meta": meta or {},
     }
+    # PUBLISH: one rename flips readers to the new version; the previous
+    # snapshot + data dir stay valid until this instant (crash-safe at
+    # every point of the commit)
     tmp_snap = _snapshot_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp_snap, "w") as f:
         json.dump(snapshot, f, indent=1)
     os.rename(tmp_snap, _snapshot_path(table_dir))
+    # GC superseded/orphaned versions (old data-* dirs, legacy data/,
+    # stale snapshot temps); failures here never affect correctness
+    for name in os.listdir(table_dir):
+        p = os.path.join(table_dir, name)
+        if name == data_dir or not (
+            name == "data" or name.startswith("data-")
+            or name.startswith("_snapshot.json.tmp-")
+        ):
+            continue
+        shutil.rmtree(p, ignore_errors=True)
+        if os.path.isfile(p):
+            os.unlink(p)
     return snapshot
 
 

@@ -174,3 +174,36 @@ def test_build_pyfiles(tmp_path):
     names = zipfile.ZipFile(out).namelist()
     assert "redpajama_v2_processing_spark/cli.py" in names
     assert any(n.endswith("operators/minhash_lsh.py") for n in names)
+
+
+def test_commit_is_crash_safe_and_gcs_old_versions(spark, tmp_path, pages_small):
+    """Versioned-commit contract: (1) a new commit supersedes the old
+    version atomically and GCs it; (2) a crash mid-commit (new data dir
+    written, snapshot NOT yet renamed) leaves the previous snapshot and
+    its data readable — resume never observes a half-state."""
+    import os
+
+    tdir = str(tmp_path / "vtable")
+    a = pages_small.select("url", "lang").limit(10)
+    commit_table(a, tdir)
+    snap1 = read_snapshot(tdir)
+    assert read_table(spark, tdir).count() == 10
+
+    b = pages_small.select("url", "lang").limit(25)
+    commit_table(b, tdir)
+    snap2 = read_snapshot(tdir)
+    assert snap2["data_dir"] != snap1["data_dir"]
+    assert read_table(spark, tdir).count() == 25
+    # old version was garbage-collected
+    assert not os.path.exists(os.path.join(tdir, snap1["data_dir"]))
+
+    # simulate a crash: orphan data dir exists, snapshot still points at v2
+    orphan = os.path.join(tdir, "data-deadbeef")
+    os.makedirs(orphan)
+    assert table_committed(tdir)
+    assert read_snapshot(tdir)["data_dir"] == snap2["data_dir"]
+    assert read_table(spark, tdir).count() == 25  # untouched by the orphan
+    # next successful commit cleans the orphan up
+    commit_table(a, tdir)
+    assert not os.path.exists(orphan)
+    assert read_table(spark, tdir).count() == 10

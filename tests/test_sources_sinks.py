@@ -28,9 +28,9 @@ def test_commit_compression_codec(spark, tmp_path, pages_small):
 
     tdir = str(tmp_path / "zstd_table")
     commit_table(pages_small.select("url", "lang"), tdir, compression="zstd")
-    files = glob.glob(f"{tdir}/data/*.zstd.parquet") + glob.glob(
-        f"{tdir}/data/*zstd*.parquet"
-    )
+    from redpajama_v2_processing_spark.tableio import _live_data_dir
+
+    files = glob.glob(f"{_live_data_dir(tdir)}/*zstd*.parquet")
     assert files
 
 
