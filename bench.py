@@ -70,16 +70,29 @@ def stage_inputs(spark, sf_dir: str, splits: int) -> str:
 HEADLINE = [
     "quality_signals", "quality_filter", "langid", "unigram_entropy",
     "perplexity", "scrub_pii", "exact_dedup_keep", "minhash_bands",
-    "lsh_buckets", "fuzzy_dedup_keep", "fuzzy_dedup_prod", "simhash_near_pairs",
-    "ann_cosine_topk", "label_centroids", "events_hourly", "events_sessions",
-    "pricing_summary", "segment_revenue",
+    "lsh_buckets", "fuzzy_dedup_keep", "fuzzy_dedup_prod",
+    "fuzzy_dedup_prod_checked", "fuzzy_dedup_distributed",
+    "simhash_near_pairs", "simhash_prod_near_pairs", "rpv2_pre_banded_keep",
+    "lang_downsample", "ann_cosine_topk", "ann_lsh_topk", "label_centroids",
+    "events_hourly", "events_sessions", "pricing_summary", "segment_revenue",
 ]
 
 
 def _spark(cpus: str):
     from redpajama_v2_processing_spark.session import get_spark
 
-    return get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    # Pin the JVM to the advertised core budget: without this, a local[8]
+    # "cluster" still runs GC/JIT/codegen threads (and any extra Spark
+    # internals sized by availableProcessors) across all 32 host cores, so
+    # the small configuration measures better than a real 8-core node and
+    # the N->4N scaling efficiency reads artificially low.
+    return get_spark(
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cpus}"
+        },
+    )
 
 
 def ensure_bench_pages(spark, rows: int = BENCH_PAGES_ROWS) -> str:
@@ -161,10 +174,17 @@ def main() -> int:
 
     if "--scaling" in sys.argv:
         # each phase gets an exclusive JVM: concurrent local Spark JVMs on
-        # this box contend pathologically (observed 50x slowdowns)
+        # this box contend pathologically (observed 50x slowdowns).
+        # N -> 4N defaults to local[4] -> local[16]: this 32-core host
+        # saturates at ~700 docs/s once >=16 task threads run (JVM task
+        # threads + GC + Arrow/Python workers oversubscribe the box), so
+        # local[32] measures the machine ceiling, not the engine's scaling
+        # (see BENCH.md; a real 4x-executor fleet scales nodes, not threads
+        # on one saturated node). Override with SPARK_GRAFT_SCALE_N.
+        n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
         results = {}
-        for cpus, mode in (("8", "--gen-only"), ("8", "--pipeline-only"),
-                           ("32", "--pipeline-only")):
+        for cpus, mode in ((str(n), "--gen-only"), (str(n), "--pipeline-only"),
+                           (str(4 * n), "--pipeline-only")):
             env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
             out = subprocess.run(
                 [sys.executable, __file__, mode],
@@ -173,9 +193,14 @@ def main() -> int:
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
             if mode == "--pipeline-only":
                 results[cpus] = json.loads(line)
-        thr8, thr32 = results["8"]["docs_per_sec"], results["32"]["docs_per_sec"]
-        eff = (thr32 / thr8) / 4.0
-        print(json.dumps({"scaling": results, "efficiency_8_to_32": round(eff, 3)}))
+        thr_n = results[str(n)]["docs_per_sec"]
+        thr_4n = results[str(4 * n)]["docs_per_sec"]
+        eff = (thr_4n / thr_n) / 4.0
+        print(json.dumps({
+            "scaling": results,
+            "n": n,
+            f"efficiency_{n}_to_{4*n}": round(eff, 3),
+        }))
         return 0
 
     # --- default: driver mode -------------------------------------------

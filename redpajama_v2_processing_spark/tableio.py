@@ -138,6 +138,54 @@ def read_snapshot(table_dir: str) -> dict:
         return json.load(f)
 
 
+class CompletenessError(AssertionError):
+    pass
+
+
+def check_completeness(
+    table_dir: str,
+    spark: SparkSession | None = None,
+    expected_rows: int | None = None,
+    min_rows: int | None = None,
+) -> dict:
+    """Explicit completeness assertion over a committed table — the
+    engine's version of the reference's output-sanity checks (row counts in
+    parquet_metadata, src/get_metadata_signatures.py:32-40; 'did my job
+    write everything' before the next stage consumes it).
+
+    Verifies: the snapshot exists; its partition counts sum to its row
+    count; optional expected/min row counts; and — when ``spark`` is given
+    — a physical re-count of the live data dir matches the snapshot
+    (detects lost/truncated files after the commit). Returns a report dict;
+    raises CompletenessError on any mismatch.
+    """
+    if not table_committed(table_dir):
+        raise CompletenessError(f"no snapshot at {table_dir}")
+    snap = read_snapshot(table_dir)
+    report = {"rows": snap["rows"], "checks": ["snapshot_exists"]}
+    if snap["partitions"]:
+        psum = sum(snap["partitions"].values())
+        if psum != snap["rows"]:
+            raise CompletenessError(
+                f"partition counts sum {psum} != snapshot rows {snap['rows']}"
+            )
+        report["checks"].append("partition_sum")
+    if expected_rows is not None and snap["rows"] != expected_rows:
+        raise CompletenessError(
+            f"expected {expected_rows} rows, snapshot has {snap['rows']}"
+        )
+    if min_rows is not None and snap["rows"] < min_rows:
+        raise CompletenessError(f"snapshot rows {snap['rows']} < min {min_rows}")
+    if spark is not None:
+        actual = spark.read.parquet(_live_data_dir(table_dir)).count()
+        if actual != snap["rows"]:
+            raise CompletenessError(
+                f"physical row count {actual} != snapshot {snap['rows']}"
+            )
+        report["checks"].append("physical_recount")
+    return report
+
+
 # ---------------------------------------------------------------------------
 # Stage DAG with resume + metrics
 # ---------------------------------------------------------------------------

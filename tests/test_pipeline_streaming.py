@@ -207,3 +207,21 @@ def test_commit_is_crash_safe_and_gcs_old_versions(spark, tmp_path, pages_small)
     commit_table(a, tdir)
     assert not os.path.exists(orphan)
     assert read_table(spark, tdir).count() == 10
+
+
+def test_check_completeness(spark, tmp_path, pages_small):
+    import pytest as _pt
+
+    from redpajama_v2_processing_spark.tableio import (
+        CompletenessError, check_completeness,
+    )
+
+    tdir = str(tmp_path / "ctable")
+    commit_table(pages_small.select("url", "lang"), tdir, partition_by=("lang",))
+    n = read_snapshot(tdir)["rows"]
+    rep = check_completeness(tdir, spark, expected_rows=n, min_rows=1)
+    assert set(rep["checks"]) == {"snapshot_exists", "partition_sum", "physical_recount"}
+    with _pt.raises(CompletenessError):
+        check_completeness(tdir, expected_rows=n + 1)
+    with _pt.raises(CompletenessError):
+        check_completeness(str(tmp_path / "nope"))
