@@ -96,3 +96,23 @@ def fingerprint_int(col: Column | str) -> Column:
     """60-bit integer fingerprint: first 15 hex chars of md5 as bigint.
     Portable: DuckDB computes the identical value (see oracle.sql_md5int)."""
     return F.conv(F.substring(fingerprint_hex(col), 1, 15), 16, 10).cast("bigint")
+
+
+# BPE-ish subword pattern: letter runs, digit runs, single non-alnum marks
+# (the classic pre-tokenizer split; same subset works in Java regex and
+# RE2, so the count is oracle-portable). A real BPE merges within these
+# pieces, so this is a deterministic upper bound ~ proportional to BPE
+# token counts — the cheap per-doc budget signal a curation pipeline needs.
+SUBWORD_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_token_count(col: Column | str) -> Column:
+    """Whitespace token count (same contract as tokens())."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(tokens(c)).cast("long")
+
+
+def subword_count(col: Column | str) -> Column:
+    """Count of BPE-ish subword pieces (SUBWORD_PATTERN matches)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(SUBWORD_PATTERN), 0)).cast("long")

@@ -116,6 +116,64 @@ def ann_lsh_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int = 8,
+) -> DataFrame:
+    """DF(src, dst, cos), src < dst: embedding near-duplicates — pairs in
+    the SAME hyperplane-LSH bucket with rounded cosine >= threshold.
+
+    The bucket equi-self-join bounds candidates to ~n^2/2^nbits (the
+    bucket key is the shuffle key — no all-pairs). With nbits hyperplanes,
+    vectors within angle theta collide with prob (1 - theta/pi)^nbits, so
+    high-cosine near-dups almost always share the full signature; raise
+    recall at scale by re-running with band-split signatures (as MinHash
+    does) — semantics identical per bucket.
+    """
+    sig = hyperplane_signature(F.col(vec_col), dim, nbits)
+    b = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_bucket")
+    )
+    a = b.select(F.col("_id").alias("src"), F.col("_v").alias("_va"), "_bucket")
+    c = b.select(F.col("_id").alias("dst"), F.col("_v").alias("_vb"), "_bucket")
+    cos = F.round(cosine(F.col("_va"), F.col("_vb")), ANN_ROUND) + 0.0
+    return (
+        a.join(c, "_bucket")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def embedding_dedup_keep(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int = 8,
+) -> DataFrame:
+    """DF(id): keep-list — one vector (min id) per near-dup component
+    (connected components over the near-dup pair graph), singletons kept.
+    Same keep rule as the text dedup family (root == id)."""
+    from .connected_components import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        embeddings, threshold, id_col, vec_col, dim, nbits
+    )
+    cc = connected_components(pairs.select("src", "dst"))
+    ids = embeddings.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(cc, "id", "left")
+        .where(F.coalesce("root", F.col("id")) == F.col("id"))
+        .select("id")
+    )
+
+
 def label_centroids(
     embeddings: DataFrame,
     label_col: str = "label",

@@ -186,6 +186,16 @@ SELECT doc_id,
 FROM s"""
 
 
+def q_token_counts() -> str:
+    from .functions.text import SUBWORD_PATTERN
+
+    return f"""
+SELECT doc_id,
+  len({tokens('text')})::BIGINT AS ws_tokens,
+  len(regexp_extract_all(text, '{SUBWORD_PATTERN}'))::BIGINT AS subword_tokens
+FROM documents"""
+
+
 def q_fingerprint() -> str:
     n = norm("text")
     return f"""
@@ -528,11 +538,10 @@ def q_ann_cosine_topk(query_vec_id: int = 0, k: int = ANN_TOPK) -> str:
     return _COS.format(qid=query_vec_id, rnd=ANN_ROUND, k=k)
 
 
-def q_ann_lsh_topk(query_vec_id: int = 0, dim: int = 64, nbits: int = 8,
-                   k: int = ANN_TOPK) -> str:
-    """Twin of operators/ann.ann_lsh_topk: identical literal hyperplanes
-    (plane_weights — derived once from md5, inlined in both engines),
-    identical bit rule (round(dot,6) > 0), bucket-filtered exact rerank."""
+def _hyperplane_sig_ctes(dim: int, nbits: int, table: str = "embeddings") -> str:
+    """planes + sig CTEs: identical literal hyperplanes (plane_weights —
+    derived once from md5, inlined in both engines), identical bit rule
+    (round(dot,6) > 0). Yields sig(vec_id, bucket)."""
     from .operators.ann import plane_weights
 
     planes = plane_weights(dim, nbits)
@@ -541,14 +550,79 @@ def q_ann_lsh_topk(query_vec_id: int = 0, dim: int = 64, nbits: int = 8,
     )
     dot = ("list_aggregate(list_transform(range(1, " + str(dim + 1) + "), "
            "i -> e.embedding[i::INT]::DOUBLE * p.w[i::INT]), 'sum')")
-    return f"""
-WITH planes(p, w) AS (VALUES
+    return f"""planes(p, w) AS (VALUES
     {rows}),
 sig AS (
   SELECT e.vec_id,
     sum(CASE WHEN round({dot}, 6) > 0 THEN (1::BIGINT << p.p) ELSE 0 END)::BIGINT
       AS bucket
-  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id),
+  FROM {table} e CROSS JOIN planes p GROUP BY e.vec_id)"""
+
+
+def _pair_cos(a: str, b: str) -> str:
+    return f"""(
+    SELECT CASE WHEN den = 0 THEN 0.0 ELSE num / den END FROM (
+      SELECT
+        list_aggregate(list_transform(range(1, len({a})+1),
+          i -> {a}[i::INT]::DOUBLE * {b}[i::INT]::DOUBLE), 'sum') AS num,
+        sqrt(list_aggregate(list_transform(range(1, len({a})+1),
+          i -> {a}[i::INT]::DOUBLE * {a}[i::INT]::DOUBLE), 'sum')) *
+        sqrt(list_aggregate(list_transform(range(1, len({b})+1),
+          i -> {b}[i::INT]::DOUBLE * {b}[i::INT]::DOUBLE), 'sum')) AS den))"""
+
+
+# the random synthetic embeddings contain no organic near-dups (max
+# pairwise cosine ~0.5), so the oracle-checked near-dup queries augment
+# the table with perturbed copies of every 25th vector — built with the
+# IDENTICAL float arithmetic in both engines (first component * 1.02)
+_AUG_EMB = """
+aug AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+    list_concat([embedding[1]::DOUBLE * 1.02],
+                list_transform(embedding[2:], x -> x::DOUBLE))
+  FROM embeddings WHERE vec_id % 25 = 0)"""
+
+
+def _near_dup_pairs_ctes(threshold: float, dim: int, nbits: int) -> str:
+    cos = _pair_cos("a.embedding", "b.embedding")
+    return f"""{_AUG_EMB},
+{_hyperplane_sig_ctes(dim, nbits, table="aug")},
+v AS (SELECT e.vec_id, e.embedding, s.bucket
+      FROM aug e JOIN sig s USING (vec_id)),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+    (round({cos}, {ANN_ROUND}) + 0.0)::DOUBLE AS cos
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+nd AS (SELECT src, dst, cos FROM pairs WHERE cos >= {threshold})"""
+
+
+def q_embedding_near_dup_pairs(threshold: float = 0.95, dim: int = 64,
+                               nbits: int = 8) -> str:
+    return f"WITH {_near_dup_pairs_ctes(threshold, dim, nbits)}\nSELECT src, dst, cos FROM nd"
+
+
+def q_embedding_dedup_keep(threshold: float = 0.95, dim: int = 64,
+                           nbits: int = 8) -> str:
+    return f"""
+WITH RECURSIVE {_near_dup_pairs_ctes(threshold, dim, nbits)},
+sym AS MATERIALIZED (SELECT src, dst FROM nd UNION SELECT dst, src FROM nd),
+reach(id, root) AS (
+  SELECT vec_id, vec_id FROM aug
+  UNION
+  SELECT s.src, r.root FROM sym s JOIN reach r ON s.dst = r.id
+)
+SELECT id AS vec_id FROM reach GROUP BY id HAVING min(root) = id"""
+
+
+def q_ann_lsh_topk(query_vec_id: int = 0, dim: int = 64, nbits: int = 8,
+                   k: int = ANN_TOPK) -> str:
+    """Twin of operators/ann.ann_lsh_topk: bucket-filtered exact rerank
+    over the shared literal-hyperplane signature CTE."""
+    return f"""
+WITH {_hyperplane_sig_ctes(dim, nbits)},
 q AS (
   SELECT s.bucket AS qb, e.embedding AS qe
   FROM sig s JOIN embeddings e USING (vec_id) WHERE s.vec_id = {query_vec_id}),

@@ -19,7 +19,13 @@ from .functions.perplexity import with_unigram_perplexity
 from .functions.scrub import mask_flagged_words, scrub_pii
 from .functions.signals import with_signals
 from .functions.text import fingerprint_hex, fingerprint_int
-from .operators.ann import ann_lsh_topk, cosine_topk, label_centroids
+from .operators.ann import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_dedup_keep,
+    embedding_near_dup_pairs,
+    label_centroids,
+)
 from .operators.entropy import unigram_entropy
 from .operators.exact_dedup import anti_join_duplicates, exact_keep_ids
 from .operators.jaccard import jaccard_vs_query
@@ -78,6 +84,18 @@ def q_perplexity(spark, sf_dir):
 def q_langid(spark, sf_dir):
     return with_langid(_docs(spark, sf_dir), score_col="score").select(
         "doc_id", "langid", "score"
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    """Per-doc token budget: whitespace tokens + BPE-ish subword pieces
+    (pre-tokenizer split: letter runs / digit runs / single marks)."""
+    from .functions.text import subword_count, ws_token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ws_token_count("text").alias("ws_tokens"),
+        subword_count("text").alias("subword_tokens"),
     )
 
 
@@ -279,6 +297,41 @@ def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, _query_vec(spark, sf_dir), k=ANN_TOPK)
 
 
+EMB_NEAR_DUP_THRESHOLD = 0.95
+
+
+def _augmented_embeddings(spark, sf_dir):
+    """The random fixture has no organic near-dups (max pairwise cosine
+    ~0.5), so add a perturbed copy of every 25th vector — identical float
+    arithmetic to the oracle's aug CTE (first component * 1.02)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dup = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) * F.lit(1.02)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(dup)
+
+
+def q_embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: hyperplane-LSH bucket self-join +
+    rounded-cosine verify (never all-pairs)."""
+    return embedding_near_dup_pairs(
+        _augmented_embeddings(spark, sf_dir), EMB_NEAR_DUP_THRESHOLD
+    )
+
+
+def q_embedding_dedup_keep(spark, sf_dir):
+    """Keep-list over the embedding near-dup graph (component min id)."""
+    return embedding_dedup_keep(
+        _augmented_embeddings(spark, sf_dir), EMB_NEAR_DUP_THRESHOLD
+    ).select(F.col("id").alias("vec_id"))
+
+
 def q_label_centroids(spark, sf_dir):
     return label_centroids(_t(spark, sf_dir, "embeddings")).select(
         "label", F.col("pos").cast("long").alias("pos"), "centroid"
@@ -456,6 +509,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_entropy": q_unigram_entropy,
     "perplexity": q_perplexity,
     "langid": q_langid,
+    "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "scrub_pii": q_scrub,
     "quality_filter": q_quality_filter,
@@ -477,6 +531,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "simhash_prod_near_pairs": q_simhash_prod_near_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "embedding_dedup_keep": q_embedding_dedup_keep,
     "label_centroids": q_label_centroids,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
@@ -505,6 +561,7 @@ ORACLES: dict[str, str] = {
     "unigram_entropy": oracle.q_unigram_entropy(),
     "perplexity": oracle.q_perplexity(),
     "langid": oracle.q_langid(),
+    "token_counts": oracle.q_token_counts(),
     "fingerprint": oracle.q_fingerprint(),
     "scrub_pii": oracle.q_scrub(),
     "quality_filter": oracle.q_quality_filter(),
@@ -531,6 +588,8 @@ ORACLES: dict[str, str] = {
         bits=PROD_SIMHASH["bits"],
     ),
     "ann_cosine_topk": oracle.q_ann_cosine_topk(),
+    "embedding_near_dup_pairs": oracle.q_embedding_near_dup_pairs(EMB_NEAR_DUP_THRESHOLD),
+    "embedding_dedup_keep": oracle.q_embedding_dedup_keep(EMB_NEAR_DUP_THRESHOLD),
     "label_centroids": oracle.q_label_centroids(),
     "events_hourly": oracle.q_events_hourly(),
     "events_sessions": oracle.q_events_sessions(),

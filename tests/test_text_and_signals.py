@@ -73,3 +73,22 @@ def test_entropy_hand_computed(spark):
     assert out[0] == round(math.log(3) - 2 * math.log(2) / 3, 6)
     assert out[1] == 0.0
     assert out[2] == 0.0
+
+
+def test_token_counts(spark):
+    from redpajama_v2_processing_spark.functions.text import (
+        subword_count, ws_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "Hello, world! abc123 x"), (1, ""), (2, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.ws, r.sw) for r in df.select(
+        "doc_id",
+        ws_token_count("text").alias("ws"),
+        subword_count("text").alias("sw"),
+    ).collect()}
+    # "Hello, world! abc123 x" -> ws: 4; subwords: Hello , world ! abc 123 x = 7
+    assert out[0] == (4, 7)
+    assert out[1] == (0, 0) and out[2] == (0, 0)
