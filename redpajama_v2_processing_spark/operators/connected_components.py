@@ -127,13 +127,15 @@ def connected_components(
     )
     if driver_threshold > 0:
         # hybrid strategy: graphs under the threshold are union-found on
-        # the driver (one job); only genuinely large graphs pay the
-        # distributed fixpoint. limit()+count probes cheaply.
-        if cur.limit(driver_threshold + 1).count() <= driver_threshold:
-            rows = cur.collect()
+        # the driver; only genuinely large graphs pay the distributed
+        # fixpoint. One take() both probes and fetches (the old
+        # limit+count probe then collect was two jobs).
+        rows = cur.take(driver_threshold + 1)
+        if len(rows) <= driver_threshold:
             result = _driver_side_cc(edges, rows)
             _unpersist(sc, _persistent_ids(sc) - pre_existing)
             return result
+        del rows
     prev_sig = None
     for _ in range(max_iter):
         cur = _small_star(_large_star(cur)).localCheckpoint()

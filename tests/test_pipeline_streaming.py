@@ -225,3 +225,50 @@ def test_check_completeness(spark, tmp_path, pages_small):
         check_completeness(tdir, expected_rows=n + 1)
     with _pt.raises(CompletenessError):
         check_completeness(str(tmp_path / "nope"))
+
+
+def test_stateful_streaming_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization: gap-closed sessions emit in
+    the batch that observes the gap; still-open sessions flush when the
+    event-time watermark (advanced by a later file/batch) passes
+    last_event + gap. Results must match the batch lag-window semantics."""
+    import datetime as dt
+
+    from redpajama_v2_processing_spark.streaming.stateful import stream_sessions
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, ts, uid):
+        return (eid, ts, uid, "click", 1.0, "{}")
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    m = dt.timedelta(minutes=1)
+    real = [
+        # user 1: session A (3 events), 2h gap, session B (2 events)
+        ev(1, t0, 1), ev(2, t0 + 5 * m, 1), ev(3, t0 + 10 * m, 1),
+        ev(4, t0 + 130 * m, 1), ev(5, t0 + 131 * m, 1),
+        # user 2: one session (2 events)
+        ev(6, t0 + 2 * m, 2), ev(7, t0 + 20 * m, 2),
+    ]
+    sentinel = [ev(99, t0 + dt.timedelta(days=30), 99)]
+    src = str(tmp_path / "events_stream")
+    spark.createDataFrame(real, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(sentinel, schema).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "sessions_out")
+    q = stream_sessions(
+        spark, src, out, str(tmp_path / "ckpt"), gap_minutes=30,
+        max_files_per_trigger=1, available_now=True,
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+        if r.user_id != 99
+    }
+    assert got == {
+        (1, t0, t0 + 10 * m, 3),
+        (1, t0 + 130 * m, t0 + 131 * m, 2),
+        (2, t0 + 2 * m, t0 + 20 * m, 2),
+    }
