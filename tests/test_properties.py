@@ -1,0 +1,97 @@
+"""Hypothesis property gates for the text primitives: the Spark
+expressions must agree with an independent pure-Python model of the
+contract on arbitrary (ASCII) inputs — catching regex-dialect and
+empty/edge-case drift that example tests miss. ASCII alphabet on purpose:
+Java's \\s is ASCII-only while Python's str.split is unicode-aware, and
+the engine's tokenization contract is defined over the ASCII class."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from redpajama_v2_processing_spark.config import PII_PATTERNS
+from redpajama_v2_processing_spark.functions.scrub import scrub_pii
+from redpajama_v2_processing_spark.functions.text import (
+    SUBWORD_PATTERN, fingerprint_int, subword_count, tokens, ws_token_count,
+)
+
+ASCII = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=60,
+)
+TEXTS = st.lists(ASCII | st.just("") | ASCII.map(lambda s: f" {s}\n\t{s} "),
+                 min_size=1, max_size=25)
+SETTINGS = dict(max_examples=4, deadline=None)
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+
+
+@given(texts=TEXTS)
+@settings(**SETTINGS)
+def test_tokens_match_python_split(spark, texts):
+    got = _df(spark, texts).select("i", F.size(tokens("t")).alias("n")).collect()
+    for r in got:
+        assert r.n == len(texts[r.i].split()), repr(texts[r.i])
+
+
+@given(texts=TEXTS)
+@settings(**SETTINGS)
+def test_token_counts_match_python(spark, texts):
+    got = _df(spark, texts).select(
+        "i", ws_token_count("t").alias("ws"), subword_count("t").alias("sw")
+    ).collect()
+    for r in got:
+        assert r.ws == len(texts[r.i].split())
+        assert r.sw == len(re.findall(SUBWORD_PATTERN, texts[r.i]))
+
+
+@given(texts=TEXTS)
+@settings(**SETTINGS)
+def test_scrub_is_idempotent(spark, texts):
+    once = scrub_pii(F.col("t"))
+    got = _df(spark, texts).select(
+        once.alias("a"), scrub_pii(once).alias("b")
+    ).collect()
+    for r in got:
+        assert r.a == r.b
+
+
+@given(texts=TEXTS)
+@settings(**SETTINGS)
+def test_scrub_matches_python_re(spark, texts):
+    def model(s: str) -> str:
+        for pat, repl in PII_PATTERNS:
+            s = re.sub(pat, repl, s)
+        return s
+
+    got = _df(spark, texts).select("i", scrub_pii(F.col("t")).alias("s")).collect()
+    for r in got:
+        assert r.s == model(texts[r.i]), repr(texts[r.i])
+
+
+@given(texts=TEXTS)
+@settings(**SETTINGS)
+def test_fingerprint_normalization_invariance(spark, texts):
+    """fingerprint = md5int of lowercased, whitespace-collapsed text: case
+    and whitespace-run changes must not alter it, and it must equal the
+    python model of the same contract."""
+    def model(s: str) -> int:
+        n = re.sub(r"\s+", " ", s.lower()).strip()
+        return int(hashlib.md5(n.encode()).hexdigest()[:15], 16)
+
+    df = _df(spark, texts).select(
+        "i",
+        fingerprint_int(F.col("t")).alias("a"),
+        fingerprint_int(F.upper("t")).alias("b"),
+        fingerprint_int(F.regexp_replace("t", " ", "   ")).alias("c"),
+    )
+    for r in df.collect():
+        assert r.a == r.b == r.c == model(texts[r.i]), repr(texts[r.i])
