@@ -17,7 +17,7 @@ from __future__ import annotations
 import hashlib
 from functools import lru_cache
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import ANN_ROUND, ANN_TOPK
@@ -171,6 +171,80 @@ def embedding_dedup_keep(
         ids.join(cc, "id", "left")
         .where(F.coalesce("root", F.col("id")) == F.col("id"))
         .select("id")
+    )
+
+
+def _centroid_vectors(
+    embeddings: DataFrame, label_col: str, vec_col: str
+) -> DataFrame:
+    """DF(label, cv): per-label mean vector, each component rounded to
+    ANN_ROUND (+0.0 normalizes -0.0) so both engines derive bit-identical
+    centroids regardless of float summation order."""
+    return (
+        embeddings.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .groupBy("label", "pos")
+        .agg((F.round(F.avg(F.col("x").cast("double")), ANN_ROUND) + 0.0).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_probe: int = 3,
+    k: int = ANN_TOPK,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: a coarse quantizer (per-label centroid
+    vectors) assigns every vector to its nearest cell; the query probes its
+    ``n_probe`` nearest cells and reranks only those vectors exactly.
+
+    The scale path alongside hyperplane LSH: candidates shrink to
+    ~n_probe/K of the corpus, the centroid table (K rows) broadcasts, and
+    at warehouse scale the assigned cell is a partition key so the probe
+    prunes files. Everything is rounded at ANN_ROUND before ranking (ties
+    on label/id) so the plan is engine-portable and oracle-checked.
+    """
+    cent = F.broadcast(_centroid_vectors(embeddings, label_col, vec_col))
+    ccos = F.round(cosine(F.col(vec_col), F.col("cv")), ANN_ROUND) + 0.0
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_ccos").desc(), F.col("label").asc()
+    )
+    assign = (
+        embeddings.select(id_col, vec_col)
+        .join(cent)
+        .withColumn("_ccos", ccos)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "label")
+    )
+    qcos = F.round(cosine(_lit_vec(query_vec), F.col("cv")), ANN_ROUND) + 0.0
+    probe = (
+        cent.select("label", qcos.alias("_qc"))
+        .orderBy(F.col("_qc").desc(), F.col("label").asc())
+        .limit(n_probe)
+        .select("label")
+    )
+    # select only (id, vec) first: embeddings' own label column must not
+    # shadow the ASSIGNED cell label in the probe semi-join
+    cand = embeddings.select(id_col, vec_col).join(assign, id_col).join(
+        F.broadcast(probe), "label", "left_semi"
+    )
+    c = F.round(cosine(F.col(vec_col), _lit_vec(query_vec)), ANN_ROUND) + 0.0
+    return (
+        cand.select(F.col(id_col), c.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
     )
 
 

@@ -662,6 +662,50 @@ SELECT id, kind, w::INT AS width, h::INT AS height,
 FROM b"""
 
 
+def _cos_expr(a: str, b: str) -> str:
+    """Inline (subquery-free) cosine — usable inside window ORDER BY."""
+    num = (f"list_aggregate(list_transform(range(1, len({a})+1), "
+           f"i -> {a}[i::INT]::DOUBLE * {b}[i::INT]::DOUBLE), 'sum')")
+    den = (f"(sqrt(list_aggregate(list_transform(range(1, len({a})+1), "
+           f"i -> {a}[i::INT]::DOUBLE * {a}[i::INT]::DOUBLE), 'sum')) * "
+           f"sqrt(list_aggregate(list_transform(range(1, len({b})+1), "
+           f"i -> {b}[i::INT]::DOUBLE * {b}[i::INT]::DOUBLE), 'sum')))")
+    return f"(CASE WHEN {den} = 0 THEN 0.0 ELSE ({num}) / {den} END)"
+
+
+def q_ann_ivf_topk(query_vec_id: int = 0, dim: int = 64, n_probe: int = 3,
+                   k: int = ANN_TOPK) -> str:
+    """Twin of operators/ann.ann_ivf_topk: rounded per-label centroid
+    vectors, nearest-cell assignment (window argmin), probe the query's
+    n_probe cells, exact rerank."""
+    ccos = f"(round({_cos_expr('e.embedding', 'v.cv')}, {ANN_ROUND}) + 0.0)"
+    qcos = f"(round({_cos_expr('q.qe', 'v.cv')}, {ANN_ROUND}) + 0.0)"
+    rcos = f"(round({_cos_expr('c.embedding', 'q.qe')}, {ANN_ROUND}) + 0.0)"
+    return f"""
+WITH cent AS (
+  SELECT label, (i.i - 1) AS pos,
+    (round(avg(embedding[i.i::INT]::DOUBLE), {ANN_ROUND}) + 0.0) AS c
+  FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS i) i
+  GROUP BY 1, 2),
+centv AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT v.label FROM centv v, q
+  ORDER BY {qcos} DESC, v.label LIMIT {n_probe}),
+assign AS (
+  SELECT vec_id, label FROM (
+    SELECT e.vec_id, v.label,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {ccos} DESC, v.label) AS rn
+    FROM embeddings e CROSS JOIN centv v) WHERE rn = 1),
+cand AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e
+  JOIN assign a ON e.vec_id = a.vec_id
+  JOIN probe p ON a.label = p.label)
+SELECT c.vec_id, {rcos}::DOUBLE AS cos
+FROM cand c, q ORDER BY cos DESC, c.vec_id LIMIT {k}"""
+
+
 def q_label_centroids(dim: int = 64) -> str:
     return f"""
 SELECT label, (i.i - 1)::BIGINT AS pos,

@@ -20,6 +20,7 @@ from .functions.scrub import mask_flagged_words, scrub_pii
 from .functions.signals import with_signals
 from .functions.text import fingerprint_hex, fingerprint_int
 from .operators.ann import (
+    ann_ivf_topk,
     ann_lsh_topk,
     cosine_topk,
     embedding_dedup_keep,
@@ -297,6 +298,12 @@ def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, _query_vec(spark, sf_dir), k=ANN_TOPK)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat scale path: nearest-centroid cells, probe 3, exact rerank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, _query_vec(spark, sf_dir), n_probe=3)
+
+
 EMB_NEAR_DUP_THRESHOLD = 0.95
 
 
@@ -531,6 +538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "simhash_prod_near_pairs": q_simhash_prod_near_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_dedup_keep": q_embedding_dedup_keep,
     "label_centroids": q_label_centroids,
@@ -588,6 +596,7 @@ ORACLES: dict[str, str] = {
         bits=PROD_SIMHASH["bits"],
     ),
     "ann_cosine_topk": oracle.q_ann_cosine_topk(),
+    "ann_ivf_topk": oracle.q_ann_ivf_topk(),
     "embedding_near_dup_pairs": oracle.q_embedding_near_dup_pairs(EMB_NEAR_DUP_THRESHOLD),
     "embedding_dedup_keep": oracle.q_embedding_dedup_keep(EMB_NEAR_DUP_THRESHOLD),
     "label_centroids": oracle.q_label_centroids(),

@@ -149,3 +149,23 @@ def test_label_centroids_match_numpy(spark):
         mean = vecs[np.array(labels) == lb].astype("float64").mean(axis=0)
         for p in range(4):
             assert abs(got[(lb, p)] - round(float(mean[p]), 4)) <= 1e-4
+
+
+def test_ann_ivf_matches_brute_force_on_clusters(spark):
+    """On label-clustered vectors (label = true cluster), IVF with
+    n_probe=1 must return the same top-k as exact brute force: all true
+    neighbors live in the query's own cell."""
+    from redpajama_v2_processing_spark.operators.ann import ann_ivf_topk
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 16) * 3
+    rows = []
+    for i in range(80):
+        lbl = i % 4
+        rows.append((i, lbl, [float(x) for x in centers[lbl] + rng.randn(16) * 0.1]))
+    df = spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>")
+    q = rows[5][2]  # a member of cluster 1
+    exact = [r.vec_id for r in cosine_topk(df, q, k=10).collect()]
+    ivf = [r.vec_id for r in ann_ivf_topk(df, q, n_probe=1, k=10).collect()]
+    assert ivf == exact
+    assert all(v % 4 == 1 for v in ivf)  # all from the query's cluster
