@@ -77,6 +77,73 @@ def decode_media_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     return df.select(id_col, bin_col).mapInPandas(batches, META_SCHEMA)
 
 
+def resize_stub(
+    df: DataFrame, id_col: str, bin_col: str, max_dim: int = 256
+) -> DataFrame:
+    """Resize plumbing: (id, width, height, payload) -> capped dims
+    preserving aspect ratio, payload rewritten with the new header. A real
+    implementation swaps the dimension math + header rewrite for
+    PIL.Image.thumbnail over BytesIO; the binary-in/binary-out Arrow batch
+    shape, schema and partition behavior are identical."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, outs = [], [], [], []
+            for i, r in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(r) if r is not None else b""
+                kind, wd, ht, ok = _decode_header(raw)
+                if not ok or wd <= 0 or ht <= 0:
+                    nw, nh = -1, -1
+                    payload = raw
+                else:
+                    scale = min(1.0, max_dim / max(wd, ht))
+                    nw, nh = max(int(wd * scale), 1), max(int(ht * scale), 1)
+                    body = raw.split(b"|", 4)[4] if raw.count(b"|") >= 4 else b""
+                    payload = b"|".join(
+                        [b"MM1", kind.encode(), str(nw).encode(),
+                         str(nh).encode(), body]
+                    )
+                ids.append(int(i)); ws.append(nw); hs.append(nh); outs.append(payload)
+            yield pd.DataFrame({
+                "id": pd.array(ids, dtype="int64"),
+                "width": pd.array(ws, dtype="int32"),
+                "height": pd.array(hs, dtype="int32"),
+                "payload": outs,
+            })
+
+    return df.select(id_col, bin_col).mapInPandas(
+        batches, "id long, width int, height int, payload binary"
+    )
+
+
+def extract_features_stub(
+    df: DataFrame, id_col: str, bin_col: str, dim: int = 8
+) -> DataFrame:
+    """Feature-extraction plumbing: binary payload -> float vector. The
+    deterministic stand-in is a normalized byte histogram over ``dim``
+    buckets (real math over the real bytes — exercises the binary->vector
+    Arrow path end to end); a real extractor replaces the histogram with a
+    model forward pass, same signature and schema."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, feats = [], []
+            for i, r in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(r) if r is not None else b""
+                hist = [0.0] * dim
+                for b in raw:
+                    hist[b % dim] += 1.0
+                n = float(len(raw)) or 1.0
+                ids.append(int(i))
+                feats.append([v / n for v in hist])
+            yield pd.DataFrame({"id": pd.array(ids, dtype="int64"),
+                                "features": feats})
+
+    return df.select(id_col, bin_col).mapInPandas(
+        batches, "id long, features array<double>"
+    )
+
+
 def frame_sample_stub(df: DataFrame, id_col: str, bin_col: str, every_n: int = 10) -> DataFrame:
     """Video frame-sampling stub: emits (id, frame_idx) rows for frames the
     decoder WOULD extract (height acts as fake frame count). Real impl would

@@ -1,0 +1,65 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson, Aiken — the
+MOSS local fingerprinting algorithm).
+
+Whole-document fingerprints (functions/text.fingerprint_*) only catch
+exact duplicates; winnowing selects a GUARANTEED-coverage subset of
+k-gram hashes (one minimum per window of w consecutive k-grams), so two
+documents sharing any sufficiently long substring share fingerprints —
+the standard primitive for substring-level dedup / provenance at scale.
+
+Relational formulation (no per-row Python, no interpreted array lambdas):
+explode k-gram positions, hash each k-gram (portable md5int), sliding
+min via a ROWS BETWEEN window, distinct. One shuffle on the doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5int
+from ..functions.text import normalize
+
+WINNOW_K = 5  # k-gram length (chars, over normalized text)
+WINNOW_W = 4  # window: one fingerprint per w consecutive k-grams
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """DF(id, fp): distinct winnowing fingerprints per document.
+
+    Documents shorter than k (normalized) emit no rows. Guarantee: any
+    shared substring of length >= k + w - 1 yields at least one shared
+    fingerprint; no shared substring shorter than k is ever matched.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"), normalize(F.col(text_col)).alias("_n")
+    ).where(F.length("_n") >= k)
+    grams = base.select(
+        "id",
+        F.posexplode(F.sequence(F.lit(1), F.length("_n") - (k - 1))).alias(
+            "_i", "pos"
+        ),
+        F.col("_n"),
+    ).select(
+        "id", "pos", md5int(F.col("_n").substr(F.col("pos"), F.lit(k))).alias("_h")
+    )
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    n_grams = Window.partitionBy("id")
+    mins = grams.select(
+        "id",
+        "pos",
+        F.min("_h").over(win).alias("fp"),
+        F.count("*").over(n_grams).alias("_cnt"),
+    )
+    # only full windows (the tail windows of < w grams are not windows)
+    return (
+        mins.where(F.col("pos") <= F.col("_cnt") - (w - 1))
+        .select("id", "fp")
+        .distinct()
+    )

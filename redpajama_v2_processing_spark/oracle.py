@@ -186,6 +186,25 @@ SELECT doc_id,
 FROM s"""
 
 
+def q_winnow_fingerprints(k: int = 5, w: int = 4) -> str:
+    """Twin of operators/winnow.winnow_fingerprints: same normalized text,
+    same md5int k-gram hashes, same full-window sliding minima."""
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, {norm('text')} AS n FROM documents
+  WHERE length({norm('text')}) >= {k}),
+g AS (
+  SELECT id, i.i AS pos, {md5int(f'substr(n, i.i::INT, {k})')} AS h
+  FROM base, LATERAL (SELECT unnest(range(1, length(n) - {k - 2})) AS i) i),
+m AS (
+  SELECT id, pos,
+    min(h) OVER (PARTITION BY id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
+    count(*) OVER (PARTITION BY id) AS cnt
+  FROM g)
+SELECT DISTINCT id, fp FROM m WHERE pos <= cnt - {w - 1}"""
+
+
 def q_token_counts() -> str:
     from .functions.text import SUBWORD_PATTERN
 

@@ -100,6 +100,14 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """MOSS-style winnowing fingerprints: substring-level dedup primitive
+    (one selected k-gram hash per window of w consecutive k-grams)."""
+    from .operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), "doc_id")
+
+
 def q_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id",
@@ -518,6 +526,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid": q_langid,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "scrub_pii": q_scrub,
     "quality_filter": q_quality_filter,
     "quality_thresholds": q_quality_thresholds,
@@ -571,6 +580,7 @@ ORACLES: dict[str, str] = {
     "langid": oracle.q_langid(),
     "token_counts": oracle.q_token_counts(),
     "fingerprint": oracle.q_fingerprint(),
+    "winnow_fingerprints": oracle.q_winnow_fingerprints(),
     "scrub_pii": oracle.q_scrub(),
     "quality_filter": oracle.q_quality_filter(),
     "quality_thresholds": oracle.q_quality_thresholds(),

@@ -272,3 +272,34 @@ def test_stateful_streaming_sessionize(spark, tmp_path):
         (1, t0 + 130 * m, t0 + 131 * m, 2),
         (2, t0 + 2 * m, t0 + 20 * m, 2),
     }
+
+
+def test_multimodal_resize_and_features(spark):
+    from redpajama_v2_processing_spark.operators.multimodal import (
+        decode_media_meta, extract_features_stub, make_fake_payload, resize_stub,
+    )
+
+    df = spark.range(4).select(
+        F.col("id"),
+        make_fake_payload(
+            "image", (F.col("id") * 400 + 100).cast("int"), F.lit(200), F.lit("b|dy"),
+        ).alias("payload"),
+    )
+    rs = {r.id: r for r in resize_stub(df, "id", "payload", max_dim=256).collect()}
+    # id=0: 100x200 fits; id=1: 500x200 -> 256x102 (aspect preserved)
+    assert (rs[0].width, rs[0].height) == (100, 200)
+    assert (rs[1].width, rs[1].height) == (256, 102)
+    assert all(max(r.width, r.height) <= 256 for r in rs.values())
+    # resized payloads re-decode with the new dims and keep the body
+    redec = {r.id: r for r in decode_media_meta(
+        spark.createDataFrame(
+            [(i, bytes(r.payload)) for i, r in rs.items()], "id long, payload binary"
+        ), "id", "payload").collect()}
+    assert redec[1].width == 256 and redec[1].height == 102 and redec[1].ok
+
+    fe = {r.id: r.features for r in extract_features_stub(df, "id", "payload", dim=8).collect()}
+    assert all(len(v) == 8 for v in fe.values())
+    assert all(abs(sum(v) - 1.0) < 1e-9 for v in fe.values())  # normalized
+    # deterministic
+    fe2 = {r.id: r.features for r in extract_features_stub(df, "id", "payload", dim=8).collect()}
+    assert fe == fe2

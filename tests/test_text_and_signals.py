@@ -92,3 +92,28 @@ def test_token_counts(spark):
     # "Hello, world! abc123 x" -> ws: 4; subwords: Hello , world ! abc 123 x = 7
     assert out[0] == (4, 7)
     assert out[1] == (0, 0) and out[2] == (0, 0)
+
+
+def test_winnow_fingerprint_guarantee(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= k+w-1
+    share at least one fingerprint; disjoint-alphabet docs share none;
+    identical docs have identical fingerprint sets."""
+    from redpajama_v2_processing_spark.operators.winnow import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (0, f"prefix alpha {shared} suffix beta"),
+            (1, f"totally other start {shared} and another end"),
+            (2, "zzz www qqq kkk vvv xxx yyy uuu"),
+            (3, f"prefix alpha {shared} suffix beta"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, "doc_id").collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1]          # shared substring detected
+    assert not (by_doc[0] & by_doc[2])    # disjoint docs share nothing
+    assert by_doc[0] == by_doc[3]         # identical docs identical sets
