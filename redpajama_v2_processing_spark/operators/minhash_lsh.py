@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import ORACLE_MINHASH
-from ..functions.hashing import PERM_PRIME, md5int, md5int_seeded, perm_coeffs
+from ..functions.hashing import PERM_PRIME, md5int, perm_coeffs
 from ..functions.text import tokens, word_ngrams, normalize
 from .connected_components import connected_components
 
@@ -98,35 +98,32 @@ def minhash_bands(
     equivalent nested higher-order-function expression, which Spark
     evaluates interpreted (no codegen inside array lambdas).
 
-    ``portable=True`` is the oracle hash family (one md5 per permutation —
-    reproducible anywhere, but md5 is the cost). ``portable=False`` is the
-    production scheme: hash the (variable-length) shingle string ONCE, then
-    derive the k permutations with the universal integer family
-    (a_i*h32 + b_i mod P — pure codegen arithmetic). ``base`` picks that
-    single string hash: "xxhash" (JVM-native, fastest) or "md5" (portable —
-    makes the ENTIRE production plan shape DuckDB-checkable; only the base
-    hash differs from the deployed profile).
+    Every profile hashes the (variable-length) shingle string ONCE and
+    derives the k permutations with the universal integer family
+    (a_i*h32 + b_i mod P — pure codegen arithmetic; hashing per
+    permutation would cost k string hashes per shingle). ``portable``
+    (equivalently ``base="md5"``) uses the md5int base hash so the
+    IDENTICAL arithmetic runs in the DuckDB oracle; ``portable=False``
+    with the default base uses JVM-native xxhash64 — the deployed profile,
+    differing ONLY in that base hash.
     """
     k, b, r = cfg["num_perm"], cfg["bands"], cfg["rows"]
     flat = with_shingles(docs, id_col, text_col, cfg["shingle"]).select(
         "id", F.explode("_sh").alias("_s")
     )
     if portable:
-        hashed = flat.select(
-            "id", *[md5int_seeded(i, F.col("_s")).alias(f"_h{i}") for i in range(k)]
-        )
-    else:
-        base_h = F.xxhash64("_s") if base == "xxhash" else md5int(F.col("_s"))
-        coeffs = perm_coeffs(k)
-        hashed = flat.withColumn(
-            "_h32", F.pmod(base_h, F.lit(1 << 32))
-        ).select(
-            "id",
-            *[
-                ((F.lit(a) * F.col("_h32") + F.lit(bb)) % F.lit(PERM_PRIME)).alias(f"_h{i}")
-                for i, (a, bb) in enumerate(coeffs)
-            ],
-        )
+        base = "md5"
+    base_h = F.xxhash64("_s") if base == "xxhash" else md5int(F.col("_s"))
+    coeffs = perm_coeffs(k)
+    hashed = flat.withColumn(
+        "_h32", F.pmod(base_h, F.lit(1 << 32))
+    ).select(
+        "id",
+        *[
+            ((F.lit(a) * F.col("_h32") + F.lit(bb)) % F.lit(PERM_PRIME)).alias(f"_h{i}")
+            for i, (a, bb) in enumerate(coeffs)
+        ],
+    )
     minh = hashed.groupBy("id").agg(
         *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(k)]
     )

@@ -350,27 +350,12 @@ WHERE EXISTS (
 
 
 def _minhash_ctes(cfg=ORACLE_MINHASH) -> str:
-    k, b, r, n = cfg["num_perm"], cfg["bands"], cfg["rows"], cfg["shingle"]
-    gram = " || ' ' || ".join(f"t[(i+{j})::INT]" for j in range(n))
-    return f"""
-base AS (SELECT doc_id, {norm('text')} AS nrm FROM documents),
-tk AS (SELECT doc_id, nrm, {tokens('nrm')} AS t FROM base),
-shg AS (
-  SELECT doc_id,
-    CASE WHEN len(t) < {n}
-         THEN (CASE WHEN trim(nrm) = '' THEN []::VARCHAR[] ELSE [nrm] END)
-         ELSE list_distinct(list_transform(range(1, len(t) - {n - 2}), i -> {gram}))
-    END AS sh
-  FROM tk),
-mh AS (
-  SELECT doc_id,
-    list_transform(range(0, {k}),
-      p -> list_aggregate(list_transform(sh, s -> {md5int("p::VARCHAR || ':' || s")}), 'min')) AS sig
-  FROM shg WHERE len(sh) > 0),
-bands AS (
-  SELECT doc_id AS id, bb.b AS band_idx,
-    {md5int(f"bb.b::VARCHAR || '#' || array_to_string(sig[(bb.b*{r}+1)::INT:(bb.b*{r}+{r})::INT], '|')")} AS band_hash
-  FROM mh, (SELECT unnest(range(0, {b})) AS b) bb)"""
+    """Universal-scheme minhash chain (operators/minhash_lsh.minhash_bands
+    portable=True): one md5 base hash per shingle, k integer permutations
+    (a_i*h32 + b_i mod P with the same literal coefficients), band hashes
+    of the per-perm minima. Relational formulation — see
+    _minhash_ctes_universal."""
+    return _minhash_ctes_universal(cfg)
 
 
 def q_minhash_bands() -> str:
