@@ -23,7 +23,21 @@ def tumbling_counts(
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), round_to).alias("avg_value"),
+            # engine-exact mean: per-value fixed-point micro-units summed
+            # as integers (double sum order flips the rounded 4th decimal
+            # across engines/partitionings — observed at sf0.1), then the
+            # 4-decimal HALF_UP quotient computed in integer arithmetic
+            # (floor((2*num + den) / (2*den))) — float rounding of exact
+            # .00005 boundaries differs between Spark (decimal expansion)
+            # and DuckDB (scaled multiply). Valid for value >= 0;
+            # magnitudes stay far below 2^53 per group.
+            (
+                F.floor(
+                    (F.sum(F.round(F.col("value") * 1e6).cast("bigint")) * 2
+                     + F.count("*") * 100)
+                    / (F.count("*") * 200)
+                ).cast("bigint") / F.lit(10000.0)
+            ).alias("avg_value"),
         )
     )
 

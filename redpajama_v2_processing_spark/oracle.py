@@ -726,7 +726,9 @@ GROUP BY 1, 2"""
 def q_events_hourly() -> str:
     return """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-  event_type, count(*) AS n_events, round(avg(value), 4)::DOUBLE AS avg_value
+  event_type, count(*) AS n_events,
+  (floor((sum(round(value * 1e6)::BIGINT) * 2 + count(*) * 100)
+         / (count(*) * 200))::BIGINT / 10000.0)::DOUBLE AS avg_value
 FROM events GROUP BY 1, 2"""
 
 

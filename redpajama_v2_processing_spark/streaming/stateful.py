@@ -65,6 +65,8 @@ def _session_fn(gap_seconds: int):
         for pdf in pdfs:
             ts_us.extend(int(t.value // 1000) for t in pdf["ts"])
         ts_us.sort()
+        if not ts_us and not state.exists:
+            return  # empty batch for an unseen key: nothing to track
         start, last, n = state.get if state.exists else (None, None, 0)
         closed: list[tuple[int, int, int]] = []
         for t in ts_us:
