@@ -174,19 +174,34 @@ def embedding_dedup_keep(
     )
 
 
+def exact_mean4(col: Column) -> Column:
+    """Aggregate: order-independent 4-decimal mean. Per-value fixed-point
+    micro-units summed as exact integers, then the quotient rounded to 4
+    decimals IN INTEGER ARITHMETIC (floor((2n+d)/(2d)) — ties toward
+    +inf): double summation order differs across engines/partitionings,
+    and float rounding of exact half boundaries differs between Spark and
+    DuckDB, so both steps must stay integral. Magnitudes must keep
+    2*sum(|x|*1e6) below 2^53 per group (true for bounded signals)."""
+    num = F.sum(F.round(col.cast("double") * 1e6).cast("bigint")) * 2
+    den = F.count("*") * 200
+    return (
+        F.floor((num + F.count("*") * 100) / den).cast("bigint") / F.lit(10000.0)
+    )
+
+
 def _centroid_vectors(
     embeddings: DataFrame, label_col: str, vec_col: str
 ) -> DataFrame:
-    """DF(label, cv): per-label mean vector, each component rounded to
-    ANN_ROUND (+0.0 normalizes -0.0) so both engines derive bit-identical
-    centroids regardless of float summation order."""
+    """DF(label, cv): per-label mean vector via exact_mean4 so both
+    engines derive bit-identical centroids regardless of float summation
+    order (+0.0 normalizes -0.0)."""
     return (
         embeddings.select(
             F.col(label_col).alias("label"),
             F.posexplode(F.col(vec_col)).alias("pos", "x"),
         )
         .groupBy("label", "pos")
-        .agg((F.round(F.avg(F.col("x").cast("double")), ANN_ROUND) + 0.0).alias("c"))
+        .agg((exact_mean4(F.col("x")) + 0.0).alias("c"))
         .groupBy("label")
         .agg(
             F.transform(
@@ -264,6 +279,6 @@ def label_centroids(
             F.posexplode(F.col(vec_col)).alias("pos", "x"),
         )
         .groupBy("label", "pos")
-        # +0.0 normalizes IEEE negative zero (round can yield -0.0)
-        .agg((F.round(F.avg(F.col("x").cast("double")), ANN_ROUND) + 0.0).alias("centroid"))
+        # +0.0 normalizes IEEE negative zero
+        .agg((exact_mean4(F.col("x")) + 0.0).alias("centroid"))
     )

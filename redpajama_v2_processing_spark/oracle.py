@@ -688,7 +688,7 @@ def q_ann_ivf_topk(query_vec_id: int = 0, dim: int = 64, n_probe: int = 3,
     return f"""
 WITH cent AS (
   SELECT label, (i.i - 1) AS pos,
-    (round(avg(embedding[i.i::INT]::DOUBLE), {ANN_ROUND}) + 0.0) AS c
+    ({_exact_mean4('embedding[i.i::INT]::DOUBLE')} + 0.0) AS c
   FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS i) i
   GROUP BY 1, 2),
 centv AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
@@ -710,10 +710,19 @@ SELECT c.vec_id, {rcos}::DOUBLE AS cos
 FROM cand c, q ORDER BY cos DESC, c.vec_id LIMIT {k}"""
 
 
+def _exact_mean4(expr: str) -> str:
+    """Twin of operators/ann.exact_mean4: order-independent integer-exact
+    4-decimal mean (micro-unit sums + integer HALF-toward-+inf quotient)."""
+    return (
+        f"(floor((sum(round({expr} * 1e6)::BIGINT) * 2 + count(*) * 100) "
+        f"/ (count(*) * 200))::BIGINT / 10000.0)"
+    )
+
+
 def q_label_centroids(dim: int = 64) -> str:
     return f"""
 SELECT label, (i.i - 1)::BIGINT AS pos,
-  (round(avg(embedding[i.i::INT]::DOUBLE), {ANN_ROUND}) + 0.0)::DOUBLE AS centroid
+  ({_exact_mean4('embedding[i.i::INT]::DOUBLE')} + 0.0)::DOUBLE AS centroid
 FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS i) i
 GROUP BY 1, 2"""
 
