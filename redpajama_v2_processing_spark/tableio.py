@@ -39,19 +39,54 @@ def _snapshot_path(table_dir: str) -> str:
     return os.path.join(table_dir, "_snapshot.json")
 
 
+def _history_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "_history.jsonl")
+
+
+def snapshot_history(table_dir: str) -> list[dict]:
+    """All snapshots ever committed (oldest first) — the Iceberg snapshot
+    log analog. Entries whose data dir was garbage-collected have
+    ``"retained": False``."""
+    if not os.path.exists(_history_path(table_dir)):
+        return []
+    out = []
+    with open(_history_path(table_dir)) as f:
+        for line in f:
+            snap = json.loads(line)
+            snap["retained"] = os.path.isdir(
+                os.path.join(table_dir, snap.get("data_dir", "data"))
+            )
+            out.append(snap)
+    return out
+
+
 def table_committed(table_dir: str) -> bool:
     return os.path.exists(_snapshot_path(table_dir))
 
 
-def _live_data_dir(table_dir: str) -> str:
-    snap = read_snapshot(table_dir)
+def _live_data_dir(table_dir: str, version: int | None = None) -> str:
+    if version is None:
+        snap = read_snapshot(table_dir)
+    else:
+        matches = [s for s in snapshot_history(table_dir) if s["version"] == version]
+        if not matches:
+            raise ValueError(f"no snapshot version {version} at {table_dir}")
+        snap = matches[0]
+        if not snap["retained"]:
+            raise ValueError(
+                f"version {version} was garbage-collected (raise keep_versions)"
+            )
     return os.path.join(table_dir, snap.get("data_dir", "data"))
 
 
-def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
     """Read the committed table: the snapshot names the live data dir
-    (``data_dir``), so readers can never observe an in-flight commit."""
-    return spark.read.parquet(_live_data_dir(table_dir))
+    (``data_dir``), so readers can never observe an in-flight commit.
+    ``version`` time-travels to an older retained snapshot (Iceberg
+    ``VERSION AS OF`` analog; retention set by commit_table(keep_versions))."""
+    return spark.read.parquet(_live_data_dir(table_dir, version))
 
 
 def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
@@ -72,6 +107,7 @@ def commit_table(
     derive_date_from: str | None = None,
     meta: dict | None = None,
     compression: str = "zstd",
+    keep_versions: int = 1,
 ) -> dict:
     """Write ``df`` as a committed table; returns the snapshot dict.
 
@@ -103,7 +139,11 @@ def commit_table(
         }
     else:
         part_counts = {}
+    prev_version = (
+        read_snapshot(table_dir).get("version", 0) if table_committed(table_dir) else 0
+    )
     snapshot = {
+        "version": prev_version + 1,
         "rows": committed.count(),
         "partitions": part_counts,
         "partition_by": parts,
@@ -113,16 +153,26 @@ def commit_table(
     }
     # PUBLISH: one rename flips readers to the new version; the previous
     # snapshot + data dir stay valid until this instant (crash-safe at
-    # every point of the commit)
+    # every point of the commit). The history log (append-only) is the
+    # Iceberg snapshot-log analog backing time-travel reads.
     tmp_snap = _snapshot_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp_snap, "w") as f:
         json.dump(snapshot, f, indent=1)
     os.rename(tmp_snap, _snapshot_path(table_dir))
-    # GC superseded/orphaned versions (old data-* dirs, legacy data/,
-    # stale snapshot temps); failures here never affect correctness
+    with open(_history_path(table_dir), "a") as f:
+        f.write(json.dumps(snapshot) + "\n")
+    # GC: retain the newest ``keep_versions`` data dirs; delete older
+    # versions, orphans from crashed commits, legacy data/ layouts and
+    # stale snapshot temps. Failures here never affect correctness.
+    retained = {
+        s["data_dir"]
+        for s in snapshot_history(table_dir)[-max(keep_versions, 1):]
+        if "data_dir" in s
+    }
+    retained.add(data_dir)
     for name in os.listdir(table_dir):
         p = os.path.join(table_dir, name)
-        if name == data_dir or not (
+        if name in retained or not (
             name == "data" or name.startswith("data-")
             or name.startswith("_snapshot.json.tmp-")
         ):

@@ -303,3 +303,23 @@ def test_multimodal_resize_and_features(spark):
     # deterministic
     fe2 = {r.id: r.features for r in extract_features_stub(df, "id", "payload", dim=8).collect()}
     assert fe == fe2
+
+
+def test_snapshot_history_and_time_travel(spark, tmp_path, pages_small):
+    import pytest as _pt
+
+    from redpajama_v2_processing_spark.tableio import snapshot_history
+
+    tdir = str(tmp_path / "tt")
+    for n in (5, 10, 15):
+        commit_table(pages_small.select("url").limit(n), tdir, keep_versions=2)
+    hist = snapshot_history(tdir)
+    assert [s["version"] for s in hist] == [1, 2, 3]
+    assert [s["rows"] for s in hist] == [5, 10, 15]
+    assert [s["retained"] for s in hist] == [False, True, True]  # keep 2
+    assert read_table(spark, tdir).count() == 15            # latest
+    assert read_table(spark, tdir, version=2).count() == 10  # time travel
+    with _pt.raises(ValueError):
+        read_table(spark, tdir, version=1)   # GC'd
+    with _pt.raises(ValueError):
+        read_table(spark, tdir, version=9)   # never existed
