@@ -137,5 +137,12 @@ DOWNSAMPLE_DEFAULT_RATIO = 1.0  # langs without a configured ratio pass through
 ANN_TOPK = 20
 ANN_ROUND = 4  # decimals for cosine similarity rounding (cross-engine safety)
 
+# Production embedding near-dup LSH: 64 hyperplanes split into 4 bands of
+# 16 bits (65,536 keys per band). Candidates = union over bands, so random
+# pairs collide with p ~ 4/2^16 (bucket joins stay ~linear in corpus size)
+# while near-identical vectors (cos >= 0.99) hit >= 1 band with p > 0.92
+# (the single-signature 8-bit test profile is n^2/256 — fixture only).
+PROD_EMB_LSH = {"nbits": 64, "band_bits": 16}
+
 # Sessionization gap for events
 SESSION_GAP_MINUTES = 30

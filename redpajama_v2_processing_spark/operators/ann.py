@@ -17,7 +17,7 @@ from __future__ import annotations
 import hashlib
 from functools import lru_cache
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import ANN_ROUND, ANN_TOPK
@@ -59,6 +59,19 @@ def plane_weights(dim: int, nbits: int) -> tuple[tuple[float, ...], ...]:
     return tuple(tuple(w(p, d) for d in range(dim)) for p in range(nbits))
 
 
+def _plane_bit(vec_col: Column, planes, p: int, shift: int) -> Column:
+    """(1 << shift) iff round(dot(vec, plane_p), 6) > 0 else 0."""
+    w_arr = F.array(*[F.lit(w) for w in planes[p]])
+    d = F.aggregate(
+        F.zip_with(vec_col, w_arr, lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(F.round(d, 6) > 0, F.lit(1 << shift).cast("bigint")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+
+
 def hyperplane_signature(vec_col: Column, dim: int, nbits: int) -> Column:
     """Deterministic random-hyperplane LSH signature (bigint).
 
@@ -69,22 +82,34 @@ def hyperplane_signature(vec_col: Column, dim: int, nbits: int) -> Column:
     janino method and deoptimize the whole stage to interpreted anyway).
     """
     planes = plane_weights(dim, nbits)
-
-    def bit(p: int) -> Column:
-        w_arr = F.array(*[F.lit(w) for w in planes[p]])
-        d = F.aggregate(
-            F.zip_with(vec_col, w_arr, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.when(F.round(d, 6) > 0, F.lit(1 << p).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-
-    out = bit(0)
+    out = _plane_bit(vec_col, planes, 0, 0)
     for p in range(1, nbits):
-        out = out + bit(p)
+        out = out + _plane_bit(vec_col, planes, p, p)
     return out
+
+
+def hyperplane_band_keys(vec_col: Column, dim: int, nbits: int, band_bits: int) -> Column:
+    """array<struct<band:int, key:bigint>>: the nbits-plane signature split
+    into nbits/band_bits bands, band b's key built from planes
+    [b*band_bits, (b+1)*band_bits). Two vectors are LSH candidates iff they
+    agree on ANY band — the same banding scheme MinHash/SimHash use
+    (union-of-bands recall, per-band 2^band_bits key space bounding
+    candidate volume)."""
+    planes = plane_weights(dim, nbits)
+    n_bands = nbits // band_bits
+
+    def band_key(b: int) -> Column:
+        out = _plane_bit(vec_col, planes, b * band_bits, 0)
+        for j in range(1, band_bits):
+            out = out + _plane_bit(vec_col, planes, b * band_bits + j, j)
+        return out
+
+    return F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
+            for b in range(n_bands)
+        ]
+    )
 
 
 def ann_lsh_topk(
@@ -123,27 +148,64 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     nbits: int = 8,
+    band_bits: int | None = None,
 ) -> DataFrame:
-    """DF(src, dst, cos), src < dst: embedding near-duplicates — pairs in
-    the SAME hyperplane-LSH bucket with rounded cosine >= threshold.
+    """DF(src, dst, cos), src < dst: embedding near-duplicates — LSH
+    candidate pairs with rounded cosine >= threshold (never all-pairs).
 
-    The bucket equi-self-join bounds candidates to ~n^2/2^nbits (the
-    bucket key is the shuffle key — no all-pairs). With nbits hyperplanes,
-    vectors within angle theta collide with prob (1 - theta/pi)^nbits, so
-    high-cosine near-dups almost always share the full signature; raise
-    recall at scale by re-running with band-split signatures (as MinHash
-    does) — semantics identical per bucket.
+    ``band_bits=None`` (oracle test profile): one bucket = the FULL
+    nbits-plane signature; candidates ~n^2/2^nbits. Fine for small nbits
+    test fixtures, quadratic-over-a-constant at corpus scale.
+
+    ``band_bits=r`` (production, config.PROD_EMB_LSH): the signature is
+    split into nbits/r bands; candidates = UNION over bands of per-band
+    bucket joins, deduped BEFORE the cosine verify. Per-band key space is
+    2^r, so expected bucket width is n/2^r — pick r so 2^r >> corpus
+    bucket count (r=16 -> 65,536 keys/band). Recall for vectors at angle
+    theta: 1 - (1 - (1-theta/pi)^r)^(nbits/r) — near-identical vectors
+    (cos >= 0.99) collide on >=1 band with p > 0.92 at 64/16, while random
+    pairs collide with p ~ (nbits/r)/2^r. Same banding scheme as
+    PROD_MINHASH / PROD_SIMHASH (the reference's band scheme,
+    /root/reference/src/minhashlsh.py:101).
+
+    Plan shape (banded): explode band keys (id + 2 ints per row — vectors
+    do NOT travel through the band shuffle), equi-self-join per (band,
+    key), distinct (src, dst), then re-join the vectors for the exact
+    cosine verify. The distinct collapses multi-band hits before the
+    expensive cosine, and both verify joins shuffle on the id key.
     """
-    sig = hyperplane_signature(F.col(vec_col), dim, nbits)
-    b = embeddings.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_bucket")
+    if band_bits is None:
+        sig = hyperplane_signature(F.col(vec_col), dim, nbits)
+        b = embeddings.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_bucket")
+        )
+        a = b.select(F.col("_id").alias("src"), F.col("_v").alias("_va"), "_bucket")
+        c = b.select(F.col("_id").alias("dst"), F.col("_v").alias("_vb"), "_bucket")
+        cos = F.round(cosine(F.col("_va"), F.col("_vb")), ANN_ROUND) + 0.0
+        return (
+            a.join(c, "_bucket")
+            .where(F.col("src") < F.col("dst"))
+            .select("src", "dst", cos.alias("cos"))
+            .where(F.col("cos") >= threshold)
+        )
+    keys = hyperplane_band_keys(F.col(vec_col), dim, nbits, band_bits)
+    banded = embeddings.select(
+        F.col(id_col).alias("_id"), F.explode(keys).alias("_bk")
+    ).select("_id", "_bk.band", "_bk.key")
+    a = banded.select(F.col("_id").alias("src"), "band", "key")
+    c = banded.select(F.col("_id").alias("dst"), "band", "key")
+    cand = (
+        a.join(c, ["band", "key"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
     )
-    a = b.select(F.col("_id").alias("src"), F.col("_v").alias("_va"), "_bucket")
-    c = b.select(F.col("_id").alias("dst"), F.col("_v").alias("_vb"), "_bucket")
+    va = embeddings.select(F.col(id_col).alias("src"), F.col(vec_col).alias("_va"))
+    vb = embeddings.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("_vb"))
     cos = F.round(cosine(F.col("_va"), F.col("_vb")), ANN_ROUND) + 0.0
     return (
-        a.join(c, "_bucket")
-        .where(F.col("src") < F.col("dst"))
+        cand.join(va, "src")
+        .join(vb, "dst")
         .select("src", "dst", cos.alias("cos"))
         .where(F.col("cos") >= threshold)
     )
@@ -156,6 +218,7 @@ def embedding_dedup_keep(
     vec_col: str = "embedding",
     dim: int = 64,
     nbits: int = 8,
+    band_bits: int | None = None,
 ) -> DataFrame:
     """DF(id): keep-list — one vector (min id) per near-dup component
     (connected components over the near-dup pair graph), singletons kept.
@@ -163,7 +226,7 @@ def embedding_dedup_keep(
     from .connected_components import connected_components
 
     pairs = embedding_near_dup_pairs(
-        embeddings, threshold, id_col, vec_col, dim, nbits
+        embeddings, threshold, id_col, vec_col, dim, nbits, band_bits
     )
     cc = connected_components(pairs.select("src", "dst"))
     ids = embeddings.select(F.col(id_col).alias("id"))
@@ -176,12 +239,17 @@ def embedding_dedup_keep(
 
 def exact_mean4(col: Column) -> Column:
     """Aggregate: order-independent 4-decimal mean. Per-value fixed-point
-    micro-units summed as exact integers, then the quotient rounded to 4
-    decimals IN INTEGER ARITHMETIC (floor((2n+d)/(2d)) — ties toward
-    +inf): double summation order differs across engines/partitionings,
-    and float rounding of exact half boundaries differs between Spark and
-    DuckDB, so both steps must stay integral. Magnitudes must keep
-    2*sum(|x|*1e6) below 2^53 per group (true for bounded signals)."""
+    micro-units summed as exact integers, then the quotient floor((2n+d)/(2d))
+    (ties toward +inf): double summation order differs across
+    engines/partitionings, and float rounding of exact half boundaries
+    differs between Spark and DuckDB, so the SUM must stay integral. The
+    division itself is IEEE double division in both engines (bigint `/` is
+    double-valued in Spark and DuckDB alike), so the result is
+    cross-engine-deterministic — but exactly at a half boundary the
+    quotient's half-ulp can cross the floor edge, deviating from true
+    HALF_UP. Keep 2*sum(|x|*1e6) well below 2^53 per group (bounded
+    signals easily satisfy this with margin, keeping the quotient ulp
+    below 1/den)."""
     num = F.sum(F.round(col.cast("double") * 1e6).cast("bigint")) * 2
     den = F.count("*") * 200
     return (
@@ -232,16 +300,20 @@ def ann_ivf_topk(
     """
     cent = F.broadcast(_centroid_vectors(embeddings, label_col, vec_col))
     ccos = F.round(cosine(F.col(vec_col), F.col("cv")), ANN_ROUND) + 0.0
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_ccos").desc(), F.col("label").asc()
-    )
+    # assignment argmax as ONE partial-agg-friendly aggregation:
+    # min_by over (-cos, label) == max cos, ties to the smallest label.
+    # (The previous row_number window shuffled all K*n joined rows on id;
+    # min_by combines map-side, so the exchange carries one row per id.)
     assign = (
         embeddings.select(id_col, vec_col)
         .join(cent)
         .withColumn("_ccos", ccos)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, "label")
+        .groupBy(id_col)
+        .agg(
+            F.min_by(
+                "label", F.struct((-F.col("_ccos")).alias("a"), F.col("label").alias("b"))
+            ).alias("label")
+        )
     )
     qcos = F.round(cosine(_lit_vec(query_vec), F.col("cv")), ANN_ROUND) + 0.0
     probe = (

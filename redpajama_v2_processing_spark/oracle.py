@@ -563,6 +563,28 @@ sig AS (
   FROM {table} e CROSS JOIN planes p GROUP BY e.vec_id)"""
 
 
+def _hyperplane_band_ctes(dim: int, nbits: int, band_bits: int,
+                          table: str = "embeddings") -> str:
+    """planes + bands CTEs — twin of operators/ann.hyperplane_band_keys:
+    the nbits-plane signature split into nbits/band_bits bands, band =
+    p // band_bits, key bit = p % band_bits. Yields bands(vec_id, band, key)."""
+    from .operators.ann import plane_weights
+
+    planes = plane_weights(dim, nbits)
+    rows = ",\n    ".join(
+        f"({p}, {list(ws)}::DOUBLE[])" for p, ws in enumerate(planes)
+    )
+    dot = ("list_aggregate(list_transform(range(1, " + str(dim + 1) + "), "
+           "i -> e.embedding[i::INT]::DOUBLE * p.w[i::INT]), 'sum')")
+    return f"""planes(p, w) AS (VALUES
+    {rows}),
+bands AS (
+  SELECT e.vec_id, (p.p // {band_bits})::INT AS band,
+    sum(CASE WHEN round({dot}, 6) > 0
+        THEN (1::BIGINT << (p.p % {band_bits})) ELSE 0 END)::BIGINT AS key
+  FROM {table} e CROSS JOIN planes p GROUP BY e.vec_id, p.p // {band_bits})"""
+
+
 def _pair_cos(a: str, b: str) -> str:
     return f"""(
     SELECT CASE WHEN den = 0 THEN 0.0 ELSE num / den END FROM (
@@ -606,6 +628,44 @@ nd AS (SELECT src, dst, cos FROM pairs WHERE cos >= {threshold})"""
 def q_embedding_near_dup_pairs(threshold: float = 0.95, dim: int = 64,
                                nbits: int = 8) -> str:
     return f"WITH {_near_dup_pairs_ctes(threshold, dim, nbits)}\nSELECT src, dst, cos FROM nd"
+
+
+def _banded_near_dup_ctes(threshold: float, dim: int, nbits: int,
+                          band_bits: int) -> str:
+    """Twin of the banded production path: distinct candidate pairs from
+    the union of per-band bucket joins, cosine verify on the deduped set."""
+    cos = _pair_cos("ea.embedding", "eb.embedding")
+    return f"""{_AUG_EMB},
+{_hyperplane_band_ctes(dim, nbits, band_bits, table="aug")},
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+nd AS (
+  SELECT c.src, c.dst, (round({cos}, {ANN_ROUND}) + 0.0)::DOUBLE AS cos
+  FROM cand c
+  JOIN aug ea ON ea.vec_id = c.src
+  JOIN aug eb ON eb.vec_id = c.dst
+  WHERE round({cos}, {ANN_ROUND}) + 0.0 >= {threshold})"""
+
+
+def q_embedding_near_dup_prod_pairs(threshold: float = 0.95, dim: int = 64,
+                                    nbits: int = 64, band_bits: int = 16) -> str:
+    return (f"WITH {_banded_near_dup_ctes(threshold, dim, nbits, band_bits)}\n"
+            "SELECT src, dst, cos FROM nd")
+
+
+def q_embedding_dedup_prod_keep(threshold: float = 0.95, dim: int = 64,
+                                nbits: int = 64, band_bits: int = 16) -> str:
+    return f"""
+WITH RECURSIVE {_banded_near_dup_ctes(threshold, dim, nbits, band_bits)},
+sym AS MATERIALIZED (SELECT src, dst FROM nd UNION SELECT dst, src FROM nd),
+reach(id, root) AS (
+  SELECT vec_id, vec_id FROM aug
+  UNION
+  SELECT s.src, r.root FROM sym s JOIN reach r ON s.dst = r.id
+)
+SELECT id AS vec_id FROM reach GROUP BY id HAVING min(root) = id"""
 
 
 def q_embedding_dedup_keep(threshold: float = 0.95, dim: int = 64,

@@ -13,7 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import oracle
-from .config import ANN_TOPK, ORACLE_MINHASH, PROD_MINHASH, PROD_SIMHASH
+from .config import (
+    ANN_TOPK, ORACLE_MINHASH, PROD_EMB_LSH, PROD_MINHASH, PROD_SIMHASH,
+)
 from .functions.langid import with_langid
 from .functions.perplexity import with_unigram_perplexity
 from .functions.scrub import mask_flagged_words, scrub_pii
@@ -347,6 +349,24 @@ def q_embedding_dedup_keep(spark, sf_dir):
     ).select(F.col("id").alias("vec_id"))
 
 
+def q_embedding_near_dup_prod_pairs(spark, sf_dir):
+    """Production banded profile (PROD_EMB_LSH: 64 planes, 4 bands of 16
+    bits): candidates = union over bands, deduped before the cosine verify
+    — the scale path (65,536 keys/band keeps bucket joins ~linear)."""
+    return embedding_near_dup_pairs(
+        _augmented_embeddings(spark, sf_dir), EMB_NEAR_DUP_THRESHOLD,
+        nbits=PROD_EMB_LSH["nbits"], band_bits=PROD_EMB_LSH["band_bits"],
+    )
+
+
+def q_embedding_dedup_prod_keep(spark, sf_dir):
+    """Keep-list over the banded production near-dup graph."""
+    return embedding_dedup_keep(
+        _augmented_embeddings(spark, sf_dir), EMB_NEAR_DUP_THRESHOLD,
+        nbits=PROD_EMB_LSH["nbits"], band_bits=PROD_EMB_LSH["band_bits"],
+    ).select(F.col("id").alias("vec_id"))
+
+
 def q_label_centroids(spark, sf_dir):
     return label_centroids(_t(spark, sf_dir, "embeddings")).select(
         "label", F.col("pos").cast("long").alias("pos"), "centroid"
@@ -550,6 +570,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_dedup_keep": q_embedding_dedup_keep,
+    "embedding_near_dup_prod_pairs": q_embedding_near_dup_prod_pairs,
+    "embedding_dedup_prod_keep": q_embedding_dedup_prod_keep,
     "label_centroids": q_label_centroids,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
@@ -609,6 +631,14 @@ ORACLES: dict[str, str] = {
     "ann_ivf_topk": oracle.q_ann_ivf_topk(),
     "embedding_near_dup_pairs": oracle.q_embedding_near_dup_pairs(EMB_NEAR_DUP_THRESHOLD),
     "embedding_dedup_keep": oracle.q_embedding_dedup_keep(EMB_NEAR_DUP_THRESHOLD),
+    "embedding_near_dup_prod_pairs": oracle.q_embedding_near_dup_prod_pairs(
+        EMB_NEAR_DUP_THRESHOLD,
+        nbits=PROD_EMB_LSH["nbits"], band_bits=PROD_EMB_LSH["band_bits"],
+    ),
+    "embedding_dedup_prod_keep": oracle.q_embedding_dedup_prod_keep(
+        EMB_NEAR_DUP_THRESHOLD,
+        nbits=PROD_EMB_LSH["nbits"], band_bits=PROD_EMB_LSH["band_bits"],
+    ),
     "label_centroids": oracle.q_label_centroids(),
     "events_hourly": oracle.q_events_hourly(),
     "events_sessions": oracle.q_events_sessions(),

@@ -109,6 +109,43 @@ def test_simhash_bucket_cap(spark):
     assert simhash_near_pairs(df, "doc_id", max_bucket=1).count() == 0
 
 
+def test_emb_lsh_banded_recall_and_subquadratic(spark):
+    """PROD_EMB_LSH (64 planes, 4 bands of 16 bits) must (a) find a planted
+    near-identical pair via >= 1 shared band and (b) keep CANDIDATE volume
+    ~linear on a random corpus, while the old single 8-bit-signature
+    profile emits n^2/256 candidates (quadratic-over-a-constant)."""
+    from redpajama_v2_processing_spark.config import PROD_EMB_LSH
+    from redpajama_v2_processing_spark.operators.ann import embedding_near_dup_pairs
+
+    def corpus(n):
+        rng = np.random.RandomState(100 + n)
+        vecs = rng.randn(n, 64).astype("float64")
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+        # planted near-dup of vector 0 (cosine ~ 1.0)
+        rows.append((n, [float(x) * 1.001 for x in vecs[0]]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def prod_candidates(df):
+        # threshold=-1 accepts every LSH candidate -> measures volume
+        return embedding_near_dup_pairs(
+            df, -1.0, nbits=PROD_EMB_LSH["nbits"],
+            band_bits=PROD_EMB_LSH["band_bits"],
+        ).count()
+
+    # (a) recall: the planted pair survives the real threshold
+    found = embedding_near_dup_pairs(
+        corpus(60), 0.95, nbits=PROD_EMB_LSH["nbits"],
+        band_bits=PROD_EMB_LSH["band_bits"],
+    ).collect()
+    assert any(r.src == 0 and r.dst == 60 for r in found)
+
+    # (b) candidate growth ~linear for banded prod, quadratic for 8-bit
+    small, big = prod_candidates(corpus(60)), prod_candidates(corpus(300))
+    assert big <= max(small, 1) * 10  # ~linear, not 25x
+    quad = embedding_near_dup_pairs(corpus(300), -1.0, nbits=8).count()
+    assert quad > big * 10  # the old default really is the quadratic one
+
+
 def test_cosine_topk_matches_numpy(spark):
     rng = np.random.RandomState(3)
     vecs = rng.randn(50, 16).astype("float32")

@@ -58,6 +58,20 @@ def test_profiled_thresholds_single_pass(pages_small):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_ivf_assign_has_no_window_exchange(spark):
+    """IVF-Flat cell assignment must be a grouped argmax (min_by — partial
+    agg, map-side combine), never a row_number window over the K*n joined
+    rows: at corpus scale the window exchange would dominate the plan."""
+    from redpajama_v2_processing_spark.operators.ann import ann_ivf_topk
+
+    df = spark.createDataFrame(
+        [(i, i % 3, [float(i), 1.0, 0.5, -0.25]) for i in range(30)],
+        "vec_id long, label long, embedding array<float>",
+    )
+    plan = _physical(ann_ivf_topk(df, [1.0, 0.0, 0.0, 0.0], n_probe=2, k=5))
+    assert "Window" not in plan
+
+
 def test_whole_stage_codegen_covers_signals(pages_small):
     plan = _physical(with_signals(pages_small).select("url", "number_of_words"))
     # "*(n)" prefixes mark WholeStageCodegen stages in the short plan form
