@@ -46,13 +46,25 @@ def _history_path(table_dir: str) -> str:
 def snapshot_history(table_dir: str) -> list[dict]:
     """All snapshots ever committed (oldest first) — the Iceberg snapshot
     log analog. Entries whose data dir was garbage-collected have
-    ``"retained": False``."""
+    ``"retained": False``.
+
+    Torn/malformed lines are SKIPPED, not fatal: the log is appended after
+    the atomic snapshot rename, so a crash mid-append leaves a torn tail
+    line; the commit itself is still valid (the 'crash at ANY point'
+    contract) and commit_table reconciles the missing entry on the next
+    commit."""
     if not os.path.exists(_history_path(table_dir)):
         return []
     out = []
     with open(_history_path(table_dir)) as f:
         for line in f:
-            snap = json.loads(line)
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                snap = json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue  # torn append from a crashed commit
             snap["retained"] = os.path.isdir(
                 os.path.join(table_dir, snap.get("data_dir", "data"))
             )
@@ -139,9 +151,8 @@ def commit_table(
         }
     else:
         part_counts = {}
-    prev_version = (
-        read_snapshot(table_dir).get("version", 0) if table_committed(table_dir) else 0
-    )
+    prev_snap = read_snapshot(table_dir) if table_committed(table_dir) else None
+    prev_version = prev_snap.get("version", 0) if prev_snap else 0
     snapshot = {
         "version": prev_version + 1,
         "rows": committed.count(),
@@ -159,28 +170,52 @@ def commit_table(
     with open(tmp_snap, "w") as f:
         json.dump(snapshot, f, indent=1)
     os.rename(tmp_snap, _snapshot_path(table_dir))
+    # History append — reconcile first: a crash between a previous commit's
+    # snapshot rename and its history append leaves a committed version
+    # missing from the log (it would be GC'd out of its retention window
+    # and invisible to time travel). Re-log it before the new entry.
+    logged_versions = {s.get("version") for s in snapshot_history(table_dir)}
     with open(_history_path(table_dir), "a") as f:
+        if os.path.getsize(_history_path(table_dir)) and not _ends_with_newline(
+            _history_path(table_dir)
+        ):
+            f.write("\n")  # isolate a torn tail from a crashed append
+        if prev_snap is not None and prev_snap.get("version") not in logged_versions:
+            f.write(json.dumps(prev_snap) + "\n")
         f.write(json.dumps(snapshot) + "\n")
     # GC: retain the newest ``keep_versions`` data dirs; delete older
     # versions, orphans from crashed commits, legacy data/ layouts and
-    # stale snapshot temps. Failures here never affect correctness.
-    retained = {
-        s["data_dir"]
-        for s in snapshot_history(table_dir)[-max(keep_versions, 1):]
-        if "data_dir" in s
-    }
-    retained.add(data_dir)
-    for name in os.listdir(table_dir):
-        p = os.path.join(table_dir, name)
-        if name in retained or not (
-            name == "data" or name.startswith("data-")
-            or name.startswith("_snapshot.json.tmp-")
-        ):
-            continue
-        shutil.rmtree(p, ignore_errors=True)
-        if os.path.isfile(p):
-            os.unlink(p)
+    # stale snapshot temps. Failures here never affect correctness — the
+    # whole block is best-effort (a corrupt history or racing FS op must
+    # never fail a commit that already published).
+    try:
+        retained = {
+            s["data_dir"]
+            for s in snapshot_history(table_dir)[-max(keep_versions, 1):]
+            if "data_dir" in s
+        }
+        retained.add(data_dir)
+        if prev_snap is not None and "data_dir" in prev_snap and keep_versions > 1:
+            retained.add(prev_snap["data_dir"])
+        for name in os.listdir(table_dir):
+            p = os.path.join(table_dir, name)
+            if name in retained or not (
+                name == "data" or name.startswith("data-")
+                or name.startswith("_snapshot.json.tmp-")
+            ):
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+            if os.path.isfile(p):
+                os.unlink(p)
+    except OSError:
+        pass
     return snapshot
+
+
+def _ends_with_newline(path: str) -> bool:
+    with open(path, "rb") as f:
+        f.seek(-1, os.SEEK_END)
+        return f.read(1) == b"\n"
 
 
 def read_snapshot(table_dir: str) -> dict:
@@ -255,12 +290,21 @@ def run_stages(
     stages: list[Stage],
     warehouse: str,
     resume: bool = True,
+    verify: bool = True,
+    physical_recount: bool = False,
 ) -> tuple[DataFrame, list[dict]]:
     """Run a linear stage DAG; each stage's output is a committed table
     under ``warehouse/<stage>``. With ``resume=True``, committed stages are
     read back instead of recomputed (snapshot-checkpoint resume). Appends
     one metrics record per executed/skipped stage to
-    ``warehouse/_metrics.jsonl``."""
+    ``warehouse/_metrics.jsonl``.
+
+    ``verify=True`` runs check_completeness on every stage table the DAG
+    consumes — freshly committed AND resumed ones — so a lost/truncated
+    table fails HERE (CompletenessError) instead of surfacing as silently
+    wrong counts three stages downstream. ``physical_recount=True``
+    additionally re-counts the parquet files against the snapshot (one
+    extra count job per stage; off by default)."""
     os.makedirs(warehouse, exist_ok=True)
     metrics_path = os.path.join(warehouse, "_metrics.jsonl")
     cur = source
@@ -269,6 +313,8 @@ def run_stages(
         tdir = os.path.join(warehouse, st.name)
         t0 = time.time()
         if resume and table_committed(tdir):
+            if verify:
+                check_completeness(tdir, spark if physical_recount else None)
             cur = read_table(spark, tdir)
             rec = {
                 "stage": st.name, "skipped": True,
@@ -281,6 +327,8 @@ def run_stages(
                 out, tdir, st.partition_by, st.derive_date_from,
                 meta={"stage": st.name, "rows_in": rows_in},
             )
+            if verify:
+                check_completeness(tdir, spark if physical_recount else None)
             cur = read_table(spark, tdir)
             rec = {
                 "stage": st.name, "skipped": False, "rows_in": rows_in,

@@ -209,6 +209,86 @@ def test_commit_is_crash_safe_and_gcs_old_versions(spark, tmp_path, pages_small)
     assert read_table(spark, tdir).count() == 10
 
 
+def test_history_torn_line_tolerated(spark, tmp_path, pages_small):
+    """A crash mid-history-append leaves a torn (non-JSON) tail line. The
+    log reader must skip it, later commits must still succeed, and the
+    torn fragment must never merge with the next appended record."""
+    import os
+
+    tdir = str(tmp_path / "torn")
+    commit_table(pages_small.select("url").limit(5), tdir, keep_versions=3)
+    commit_table(pages_small.select("url").limit(7), tdir, keep_versions=3)
+    from redpajama_v2_processing_spark.tableio import snapshot_history
+
+    assert len(snapshot_history(tdir)) == 2
+    # simulate the torn append: half a JSON object, no trailing newline
+    with open(os.path.join(tdir, "_history.jsonl"), "a") as f:
+        f.write('{"version": 99, "rows":')
+    assert len(snapshot_history(tdir)) == 2  # torn line skipped, no raise
+    commit_table(pages_small.select("url").limit(9), tdir, keep_versions=3)
+    hist = snapshot_history(tdir)
+    assert [s["version"] for s in hist] == [1, 2, 3]  # fragment isolated
+    assert read_table(spark, tdir, version=2).count() == 7  # time travel ok
+
+
+def test_commit_reconciles_unlogged_snapshot(spark, tmp_path, pages_small):
+    """A crash between the snapshot rename and the history append leaves a
+    committed version missing from the log. The next commit must re-log it
+    so keep_versions retention covers it (no silent time-travel loss)."""
+    import os
+
+    from redpajama_v2_processing_spark.tableio import snapshot_history
+
+    tdir = str(tmp_path / "reconcile")
+    commit_table(pages_small.select("url").limit(5), tdir, keep_versions=2)
+    # simulate the crash: v1 committed but its history entry lost
+    os.unlink(os.path.join(tdir, "_history.jsonl"))
+    commit_table(pages_small.select("url").limit(7), tdir, keep_versions=2)
+    hist = snapshot_history(tdir)
+    assert [s["version"] for s in hist] == [1, 2]
+    assert all(s["retained"] for s in hist)  # v1's data dir NOT GC'd
+    assert read_table(spark, tdir, version=1).count() == 5
+
+
+def test_run_stages_verifies_completeness(spark, tmp_path, pages_small):
+    """run_stages must fail fast (CompletenessError) when a committed
+    stage table no longer matches its snapshot, instead of propagating
+    wrong counts downstream."""
+    import glob
+    import os
+
+    import pytest as _pt
+
+    from redpajama_v2_processing_spark.tableio import CompletenessError, Stage
+
+    warehouse = str(tmp_path / "vwh")
+    stages = [Stage("ident", lambda df: df, partition_by=("lang",))]
+    run_stages(spark, pages_small.select("url", "lang"), stages, warehouse)
+
+    # tamper: snapshot claims one more row than its partition counts sum to
+    sp = os.path.join(warehouse, "ident", "_snapshot.json")
+    snap = json.loads(open(sp).read())
+    snap["rows"] += 1
+    open(sp, "w").write(json.dumps(snap))
+    with _pt.raises(CompletenessError):
+        run_stages(spark, pages_small.select("url", "lang"), stages, warehouse)
+
+    # restore, then lose a data file: only physical_recount catches that
+    snap["rows"] -= 1
+    open(sp, "w").write(json.dumps(snap))
+    part = glob.glob(
+        os.path.join(warehouse, "ident", snap["data_dir"], "**", "*.parquet"),
+        recursive=True,
+    )
+    os.unlink(part[0])
+    run_stages(spark, pages_small.select("url", "lang"), stages, warehouse)  # passes
+    with _pt.raises(CompletenessError):
+        run_stages(
+            spark, pages_small.select("url", "lang"), stages, warehouse,
+            physical_recount=True,
+        )
+
+
 def test_check_completeness(spark, tmp_path, pages_small):
     import pytest as _pt
 
