@@ -52,7 +52,7 @@ def jaccard_candidate_pairs(
     id_col: str,
     text_col: str = "text",
     cfg: dict = ORACLE_MINHASH,
-    portable: bool = True,
+    base: str = "md5",
     min_sim: float = 0.5,
 ) -> DataFrame:
     """Exact Jaccard over LSH candidate pairs (verification stage).
@@ -63,7 +63,7 @@ def jaccard_candidate_pairs(
     sh = with_shingles(docs, id_col, text_col, cfg["shingle"]).withColumnRenamed(
         "id", "_jid"
     )
-    pairs = candidate_edges(minhash_bands(docs, id_col, text_col, cfg, portable))
+    pairs = candidate_edges(minhash_bands(docs, id_col, text_col, cfg, base))
     return (
         pairs.join(sh.withColumnRenamed("_jid", "src").withColumnRenamed("_sh", "_sh_a"), "src")
         .join(sh.withColumnRenamed("_jid", "dst").withColumnRenamed("_sh", "_sh_b"), "dst")

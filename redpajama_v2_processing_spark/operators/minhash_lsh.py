@@ -86,8 +86,7 @@ def minhash_bands(
     id_col: str,
     text_col: str = "text",
     cfg: dict = ORACLE_MINHASH,
-    portable: bool = True,
-    base: str = "xxhash",
+    base: str = "md5",
 ) -> DataFrame:
     """DF(id, band_idx, band_hash) — one row per (doc, band).
 
@@ -101,18 +100,18 @@ def minhash_bands(
     Every profile hashes the (variable-length) shingle string ONCE and
     derives the k permutations with the universal integer family
     (a_i*h32 + b_i mod P — pure codegen arithmetic; hashing per
-    permutation would cost k string hashes per shingle). ``portable``
-    (equivalently ``base="md5"``) uses the md5int base hash so the
-    IDENTICAL arithmetic runs in the DuckDB oracle; ``portable=False``
-    with the default base uses JVM-native xxhash64 — the deployed profile,
-    differing ONLY in that base hash.
+    permutation would cost k string hashes per shingle). ``base`` is the
+    single portability knob: ``"md5"`` (default) uses the md5int base hash
+    so the IDENTICAL arithmetic runs in the DuckDB oracle; ``"xxhash"``
+    uses JVM-native xxhash64 — the deployed profile, differing ONLY in
+    that base hash.
     """
+    if base not in ("md5", "xxhash"):
+        raise ValueError(f"base must be 'md5' or 'xxhash', got {base!r}")
     k, b, r = cfg["num_perm"], cfg["bands"], cfg["rows"]
     flat = with_shingles(docs, id_col, text_col, cfg["shingle"]).select(
         "id", F.explode("_sh").alias("_s")
     )
-    if portable:
-        base = "md5"
     base_h = F.xxhash64("_s") if base == "xxhash" else md5int(F.col("_s"))
     coeffs = perm_coeffs(k)
     hashed = flat.withColumn(
@@ -128,7 +127,7 @@ def minhash_bands(
         *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(k)]
     )
 
-    band_portable = portable or base == "md5"
+    band_portable = base == "md5"
 
     def band_hash(bi: int):
         joined = F.concat_ws(
@@ -209,13 +208,12 @@ def fuzzy_dedup_labels(
     id_col: str,
     text_col: str = "text",
     cfg: dict = ORACLE_MINHASH,
-    portable: bool = True,
+    base: str = "md5",
     salted: bool = False,
     cc_driver_threshold: int | None = None,
-    base: str = "xxhash",
 ) -> DataFrame:
     """DF(id, root): component root per doc id (root==id for singletons)."""
-    bands = minhash_bands(docs, id_col, text_col, cfg, portable, base)
+    bands = minhash_bands(docs, id_col, text_col, cfg, base)
     edges = salted_bucket_edges(bands) if salted else candidate_edges(bands)
     cc = connected_components(edges, driver_threshold=cc_driver_threshold)
     ids = docs.select(F.col(id_col).alias("id"))
@@ -229,14 +227,13 @@ def fuzzy_dedup_keep_ids(
     id_col: str,
     text_col: str = "text",
     cfg: dict = ORACLE_MINHASH,
-    portable: bool = True,
+    base: str = "md5",
     salted: bool = False,
     cc_driver_threshold: int | None = None,
-    base: str = "xxhash",
 ) -> DataFrame:
     """DF(id): the keep-list — one doc (the min id) per near-dup component,
     singletons included. Mirrors src/minhashlsh.py:169 (keep root==id)."""
     labels = fuzzy_dedup_labels(
-        docs, id_col, text_col, cfg, portable, salted, cc_driver_threshold, base
+        docs, id_col, text_col, cfg, base, salted, cc_driver_threshold
     )
     return labels.where(F.col("root") == F.col("id")).select("id")

@@ -62,6 +62,6 @@ def full_pipeline(docs: DataFrame, id_col: str = "doc_id",
     # staged tableio pipeline materializes to parquet instead)
     survivors = labeled.join(exact, id_col, "left_semi").persist()
     fuzzy = fuzzy_dedup_keep_ids(
-        survivors, id_col, text_col, cfg=PROD_MINHASH, portable=False, salted=True
+        survivors, id_col, text_col, cfg=PROD_MINHASH, base="xxhash", salted=True
     ).withColumnRenamed("id", id_col)
     return survivors.join(fuzzy, id_col, "left_semi")

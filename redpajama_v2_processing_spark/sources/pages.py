@@ -64,7 +64,7 @@ def pages_stages(minhash_cfg: dict = PROD_MINHASH) -> list[Stage]:
 
     def fuzzy(df: DataFrame) -> DataFrame:
         keep = fuzzy_dedup_keep_ids(
-            df, "id_int", "text", cfg=minhash_cfg, portable=False, salted=True
+            df, "id_int", "text", cfg=minhash_cfg, base="xxhash", salted=True
         ).withColumnRenamed("id", "id_int")
         return df.join(keep, "id_int", "left_semi")
 

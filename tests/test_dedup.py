@@ -87,10 +87,11 @@ def test_fuzzy_dedup_idempotent(spark):
 
 
 def _prod_keep(df, **kw):
+    kw.setdefault("base", "xxhash")
     return sorted(
         r.id
         for r in fuzzy_dedup_keep_ids(
-            df, "doc_id", cfg=PROD_MINHASH, portable=False, salted=True, **kw
+            df, "doc_id", cfg=PROD_MINHASH, salted=True, **kw
         ).collect()
     )
 
