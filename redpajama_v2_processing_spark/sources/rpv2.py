@@ -13,6 +13,15 @@ same digest.
 This module reads that layout and runs the engine's band-bucket shuffle +
 connected components over the PRE-BANDED signatures — the first thing a
 real RPv2 user needs to switch engines without recomputing signatures.
+
+uint64 note: Spark's parquet reader surfaces the reference's
+``id_int: uint64`` as ``decimal(20,0)``; ids >= 2^63 would overflow (or,
+under ANSI mode, throw on) a naive bigint cast. The CC key is therefore
+derived with an ORDER-PRESERVING shift — ``id_int - 2^63`` maps
+[0, 2^64) monotonically onto the full bigint range [-2^63, 2^63) — so the
+component-minimum keep rule picks exactly the doc the reference's
+UnionFind would, and the original ``id_int`` is carried through to the
+output unchanged.
 """
 
 from __future__ import annotations
@@ -26,6 +35,8 @@ from ..operators.minhash_lsh import candidate_edges, salted_bucket_edges
 # reference band counts per similarity level (src/minhashlsh.py:101)
 RPV2_BAND_COUNTS: dict[str, int] = {"0.7": 14, "0.8": 9, "0.9": 5, "1.0": 1}
 
+_U63 = 1 << 63
+
 
 def read_rpv2_signatures(
     spark: SparkSession, path: str, sim_level: str = "0.8"
@@ -35,7 +46,9 @@ def read_rpv2_signatures(
     Mirrors the reference's rename/select
     (src/minhashlsh.py:83-85: rename signature_sim{level} -> signature,
     select [signature, id, id_int]) as a pruned parquet scan — only the
-    chosen level's column is read.
+    chosen level's column is read. ``id_int`` keeps whatever type the
+    parquet surfaces (``decimal(20,0)`` for genuine uint64 files, long for
+    re-exported ones); downstream ops handle both.
     """
     # backticks: the level's dot would otherwise parse as a struct accessor
     col = f"`signature_sim{sim_level}`"
@@ -44,8 +57,24 @@ def read_rpv2_signatures(
     )
 
 
+def _cc_key(signatures: DataFrame):
+    """Long CC key column, order-isomorphic to ``id_int``.
+
+    decimal(20,0) (the uint64 surface) is shifted by -2^63 into bigint
+    range — a monotone bijection, so per-component minima are preserved;
+    integral types cast directly."""
+    dt = dict(signatures.dtypes)["id_int"]
+    if dt.startswith("decimal"):
+        # 2^63 exceeds the long literal range: route it through a string
+        return (
+            F.col("id_int") - F.lit(str(_U63)).cast("decimal(20,0)")
+        ).cast("long")
+    return F.col("id_int").cast("long")
+
+
 def pre_banded_bands(signatures: DataFrame) -> DataFrame:
-    """DF(id, band_idx, band_hash) from DF(..., id_int, signature).
+    """DF(id, band_idx, band_hash) from DF(..., id_int, signature); ``id``
+    is the long CC key (shifted iff the source is uint64 — see _cc_key).
 
     posexplode over the band list: position = band index (band identity is
     positional in the reference layout). Null signatures (the reference's
@@ -53,21 +82,39 @@ def pre_banded_bands(signatures: DataFrame) -> DataFrame:
     unsignable docs are never candidates — and survive dedup.
     """
     return signatures.select(
-        F.col("id_int").alias("id"),
+        _cc_key(signatures).alias("id"),
         F.posexplode("signature").alias("band_idx", "band_hash"),
     )
 
 
 def rpv2_keep_ids(signatures: DataFrame, salted: bool = False) -> DataFrame:
-    """DF(id): keep-list (component min id per LSH cluster + singletons)
-    over pre-banded signatures — the reference's UnionFind keep rule
-    (src/minhashlsh.py:140,169) via distributed CC."""
+    """DF(id, id_int): keep-list (component min per LSH cluster +
+    singletons) over pre-banded signatures — the reference's UnionFind keep
+    rule (src/minhashlsh.py:140,169) via distributed CC.
+
+    ``id`` is the reference's STRING document id (its keep-lists and
+    downstream joins key on it, src/minhashlsh.py:171-188); ``id_int``
+    rides along in its original type (long, or decimal(20,0) for uint64
+    files) for numeric consumers.
+    """
     bands = pre_banded_bands(signatures)
     edges = salted_bucket_edges(bands) if salted else candidate_edges(bands)
-    cc = connected_components(edges)
-    ids = signatures.select(F.col("id_int").alias("id"))
+    cc = connected_components(edges).withColumnRenamed("id", "_cc_id")
+    keyed = signatures.select("id", "id_int", _cc_key(signatures).alias("_k"))
     return (
-        ids.join(cc, "id", "left")
-        .where(F.coalesce("root", F.col("id")) == F.col("id"))
-        .select("id")
+        keyed.join(cc, keyed["_k"] == cc["_cc_id"], "left")
+        .where(F.coalesce("root", F.col("_k")) == F.col("_k"))
+        .select("id", "id_int")
     )
+
+
+def filter_fuzzy_duplicates(
+    docs: DataFrame, keep: DataFrame, doc_id_col: str = "id"
+) -> DataFrame:
+    """Keep only non-duplicate documents: semi-join ``docs`` against a
+    keep-list on the string id — the engine's version of the reference's
+    filter_fuzzy_duplicates consumer (src/filter_duplicates.py), which
+    walks duplicate-id JSONs row by row; here it is one (broadcast-able)
+    semi-join that preserves every docs column."""
+    keep_ids = keep.select(F.col("id").alias(doc_id_col))
+    return docs.join(keep_ids, doc_id_col, "left_semi")

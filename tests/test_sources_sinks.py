@@ -66,8 +66,57 @@ def test_rpv2_signature_interop_roundtrip(spark, tmp_path):
 
     sigs = read_rpv2_signatures(spark, src, "0.8")
     assert sigs.columns == ["id", "id_int", "signature"]
-    kept = sorted(r.id for r in rpv2_keep_ids(sigs).collect())
-    assert kept == [1, 3, 4]  # 2 clusters with 1 (shared band 0); null survives
+    kept = rpv2_keep_ids(sigs).collect()
+    # keep-list carries the reference's STRING join key plus numeric id_int
+    assert sorted(r.id for r in kept) == ["a", "c", "d"]
+    assert sorted(r.id_int for r in kept) == [1, 3, 4]
+
+    # filter_fuzzy_duplicates: semi-join a docs frame on the string id
+    from redpajama_v2_processing_spark.sources.rpv2 import filter_fuzzy_duplicates
+
+    docs = spark.createDataFrame(
+        [("a", "t1"), ("b", "t2"), ("c", "t3"), ("d", "t4")], "id string, text string"
+    )
+    surv = filter_fuzzy_duplicates(docs, rpv2_keep_ids(sigs))
+    assert sorted(r.id for r in surv.collect()) == ["a", "c", "d"]
+    assert surv.columns == ["id", "text"]
+
+
+def test_rpv2_uint64_id_int_interop(spark, tmp_path):
+    """The reference writes id_int as parquet uint64
+    (src/minhashlsh_partial.py:148); Spark surfaces that as decimal(20,0).
+    Ids >= 2^63 must survive dedup without overflow, with the keep rule
+    (component MIN id_int) and the original values preserved exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from redpajama_v2_processing_spark.sources.rpv2 import (
+        read_rpv2_signatures, rpv2_keep_ids,
+    )
+
+    lo, hi1, hi2, top = 5, 2**63 + 2, 2**63 + 10, 2**64 - 1
+    table = pa.table(
+        {
+            "shard_id": pa.array(["s0"] * 4, pa.string()),
+            "id": pa.array(["a", "b", "c", "d"], pa.string()),
+            "id_int": pa.array([lo, hi2, hi1, top], pa.uint64()),
+            "signature_sim0.8": pa.array(
+                # b and c share band 0 -> one cluster; a and d singletons
+                [[b"bandA"], [b"bandX"], [b"bandX"], [b"bandZ"]],
+                pa.list_(pa.binary()),
+            ),
+        }
+    )
+    src = str(tmp_path / "rpv2_u64")
+    pq.write_table(table, src + ".parquet")
+
+    sigs = read_rpv2_signatures(spark, src + ".parquet", "0.8")
+    assert dict(sigs.dtypes)["id_int"] == "decimal(20,0)"  # the uint64 surface
+    kept = rpv2_keep_ids(sigs).collect()
+    # cluster {b: 2^63+10, c: 2^63+2} keeps c (min id_int ABOVE 2^63 —
+    # exactly where a naive bigint cast corrupts the ordering or throws)
+    assert sorted(r.id for r in kept) == ["a", "c", "d"]
+    assert sorted(int(r.id_int) for r in kept) == [lo, hi1, top]
 
 
 def test_lang_ratio_downsample_deterministic_and_ratioed(spark):
