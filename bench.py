@@ -140,7 +140,7 @@ def run_pages_pipeline(spark, pages_dir: str) -> tuple[int, float]:
     labeled = label_documents(docs, id_col="id_int").where(F.col("keep"))
     exact = labeled.join(exact_keep_ids(labeled, "id_int"), "id_int", "left_semi")
     fuzzy_keep = fuzzy_dedup_keep_ids(
-        exact, "id_int", cfg=PROD_MINHASH, portable=False, salted=True
+        exact, "id_int", cfg=PROD_MINHASH, base="xxhash", salted=True
     ).withColumnRenamed("id", "id_int")
     survivors = exact.join(fuzzy_keep, "id_int", "left_semi")
     survivors.write.mode("overwrite").format("noop").save()
@@ -166,6 +166,129 @@ def main() -> int:
         print(json.dumps({"cpus": int(CPUS), "docs": n, "seconds": round(secs, 2),
                           "docs_per_sec": round(n / secs, 1),
                           "runs": [round(s, 2) for _, s in runs]}))
+        return 0
+
+    if "--growth" in sys.argv:
+        # Candidate-volume growth evidence for the production dedup family
+        # (BENCH.md): candidate counts at 5k vs 50k docs must grow ~10x
+        # (linear), not ~100x (quadratic). Candidates, not verified pairs:
+        # the candidate join IS the scale cost.
+        from pyspark.sql import functions as F
+
+        from redpajama_v2_processing_spark.config import (
+            PROD_EMB_LSH, PROD_MINHASH, PROD_SIMHASH,
+        )
+        from redpajama_v2_processing_spark.fixtures import write_pages
+        from redpajama_v2_processing_spark.functions.extract import extract_text
+        from redpajama_v2_processing_spark.operators.ann import (
+            embedding_near_dup_pairs,
+        )
+        from redpajama_v2_processing_spark.operators.minhash_lsh import (
+            minhash_bands, salted_bucket_edges,
+        )
+        from redpajama_v2_processing_spark.operators.simhash_dedup import (
+            simhash_near_pairs,
+        )
+        from redpajama_v2_processing_spark.sources.pages import read_pages, with_ids
+
+        spark = _spark(CPUS)
+        report: dict[str, dict] = {}
+        for n in (5000, 50000):
+            pdir = f"/tmp/rpv2_growth_pages_{n}"
+            if not os.path.exists(os.path.join(pdir, "_SUCCESS_META")):
+                write_pages(spark, pdir, n_rows=n, seed=42, partitions=32)
+                with open(os.path.join(pdir, "_SUCCESS_META"), "w") as f:
+                    json.dump({"rows": n}, f)
+            docs = with_ids(
+                read_pages(spark, pdir)
+                .withColumn("text", extract_text(F.col("html").cast("string")))
+                .drop("html")
+            )
+            # deterministic synthetic embeddings (seeded integer hash ->
+            # [-1, 1] components), JVM-side, no fixture file needed
+            emb = spark.range(n).select(
+                F.col("id").alias("vec_id"),
+                F.array(*[
+                    (
+                        (F.pmod(F.xxhash64(F.col("id"), F.lit(d)), F.lit(2001))
+                         - 1000) / 1000.0
+                    ).cast("double")
+                    for d in range(64)
+                ]).alias("embedding"),
+            )
+            row: dict[str, float] = {"docs": n}
+            t0 = time.time()
+            row["minhash_candidates"] = salted_bucket_edges(
+                minhash_bands(docs, "id_int", cfg=PROD_MINHASH, base="xxhash")
+            ).count()
+            row["minhash_sec"] = round(time.time() - t0, 1)
+            for label, cap in (("uncapped", None),
+                               ("capped", PROD_SIMHASH["max_bucket"])):
+                t0 = time.time()
+                row[f"simhash_{label}_candidates"] = simhash_near_pairs(
+                    docs, "id_int", bits=PROD_SIMHASH["bits"],
+                    band_bits=PROD_SIMHASH["band_bits"],
+                    max_hamming=PROD_SIMHASH["bits"],  # no verify: raw candidates
+                    portable=False, max_bucket=cap,
+                ).count()
+                row[f"simhash_{label}_sec"] = round(time.time() - t0, 1)
+            for label, cap in (("uncapped", None),
+                               ("capped", PROD_EMB_LSH["max_bucket"])):
+                t0 = time.time()
+                row[f"emb_{label}_candidates"] = embedding_near_dup_pairs(
+                    emb, -1.0, nbits=PROD_EMB_LSH["nbits"],
+                    band_bits=PROD_EMB_LSH["band_bits"], max_bucket=cap,
+                ).count()
+                row[f"emb_{label}_sec"] = round(time.time() - t0, 1)
+            # star-edge candidate volume (the linear-by-construction dedup
+            # path): member -> bucket-min edges before the verify
+            from redpajama_v2_processing_spark.operators.ann import (
+                hyperplane_band_keys,
+            )
+            from redpajama_v2_processing_spark.operators.simhash_dedup import (
+                _banded_simhash, with_simhash,
+            )
+
+            t0 = time.time()
+            sh = with_simhash(docs, "id_int", bits=PROD_SIMHASH["bits"],
+                              portable=False)
+            sb = _banded_simhash(sh, PROD_SIMHASH["bits"],
+                                 PROD_SIMHASH["band_bits"])
+            sbk = sb.groupBy("band", "key").agg(F.min("id").alias("_m"))
+            row["simhash_star_candidates"] = (
+                sb.join(sbk, ["band", "key"])
+                .where(F.col("id") != F.col("_m"))
+                .select("id", "_m").distinct().count()
+            )
+            row["simhash_star_sec"] = round(time.time() - t0, 1)
+            t0 = time.time()
+            ek = emb.select(
+                F.col("vec_id").alias("_id"),
+                F.explode(hyperplane_band_keys(
+                    F.col("embedding"), 64, PROD_EMB_LSH["nbits"],
+                    PROD_EMB_LSH["band_bits"],
+                )).alias("_bk"),
+            ).select("_id", "_bk.band", "_bk.key")
+            ebk = ek.groupBy("band", "key").agg(F.min("_id").alias("_m"))
+            row["emb_star_candidates"] = (
+                ek.join(ebk, ["band", "key"])
+                .where(F.col("_id") != F.col("_m"))
+                .select("_id", "_m").distinct().count()
+            )
+            row["emb_star_sec"] = round(time.time() - t0, 1)
+            report[str(n)] = row
+        ratios = {
+            k: round(report["50000"][k] / max(report["5000"][k], 1), 2)
+            for k in (
+                "minhash_candidates",
+                "simhash_uncapped_candidates", "simhash_capped_candidates",
+                "simhash_star_candidates",
+                "emb_uncapped_candidates", "emb_capped_candidates",
+                "emb_star_candidates",
+            )
+        }
+        print(json.dumps({"growth": report, "ratio_50k_over_5k": ratios,
+                          "linear_is_10x": True}))
         return 0
 
     if "--gen-only" in sys.argv:

@@ -109,10 +109,14 @@ PROD_MINHASH = {"num_perm": 117, "bands": 9, "rows": 13, "shingle": 3}
 
 SIMHASH_BITS = 16  # oracle-checkable small profile (see PROD_SIMHASH)
 # Production simhash: 60-bit hash (the portable md5int width), 15-bit bands
-# -> 4 bands x 32768 keys/band. Bucket population is ~n/32768 per band, so
-# the band self-join stays ~linear (the 16-bit/4-bit profile above has only
-# 16 keys/band and is O(n^2/16) — test fixture only).
-PROD_SIMHASH = {"bits": 60, "band_bits": 15, "max_hamming": 3}
+# -> 4 bands x 32768 keys/band (the 16-bit/4-bit profile above has only
+# 16 keys/band and is O(n^2/16) — test fixture only). max_bucket caps each
+# (band, key) bucket at its 64 smallest ids: near-identical template pages
+# share simhash band keys BY DESIGN, so hot buckets otherwise grow with
+# corpus size and the self-join goes quadratic (measured 104x candidates at
+# 10x docs uncapped vs ~linear capped, BENCH.md); the cap bounds any bucket
+# to C(64,2) pairs while dup clusters stay connected through their minima.
+PROD_SIMHASH = {"bits": 60, "band_bits": 15, "max_hamming": 3, "max_bucket": 64}
 
 # Connected components: edge sets at or below this count are union-found on
 # the driver in one job (a collected edge Row is ~100 bytes on the driver,
@@ -138,11 +142,13 @@ ANN_TOPK = 20
 ANN_ROUND = 4  # decimals for cosine similarity rounding (cross-engine safety)
 
 # Production embedding near-dup LSH: 64 hyperplanes split into 4 bands of
-# 16 bits (65,536 keys per band). Candidates = union over bands, so random
-# pairs collide with p ~ 4/2^16 (bucket joins stay ~linear in corpus size)
-# while near-identical vectors (cos >= 0.99) hit >= 1 band with p > 0.92
-# (the single-signature 8-bit test profile is n^2/256 — fixture only).
-PROD_EMB_LSH = {"nbits": 64, "band_bits": 16}
+# 16 bits (65,536 keys per band); near-identical vectors (cos >= 0.99) hit
+# >= 1 band with p > 0.92 (the single-signature 8-bit test profile is
+# n^2/256 — fixture only). Random pairs still collide at p ~ 4/2^16, which
+# is n^2-over-a-large-constant; max_bucket=64 caps each (band, key) bucket
+# (smallest ids kept) so hot half-space clusters cannot re-quadratize the
+# join (measured 99x candidates at 10x docs uncapped vs ~linear capped).
+PROD_EMB_LSH = {"nbits": 64, "band_bits": 16, "max_bucket": 64}
 
 # Sessionization gap for events
 SESSION_GAP_MINUTES = 30

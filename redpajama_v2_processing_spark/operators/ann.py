@@ -149,6 +149,7 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     nbits: int = 8,
     band_bits: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """DF(src, dst, cos), src < dst: embedding near-duplicates — LSH
     candidate pairs with rounded cosine >= threshold (never all-pairs).
@@ -173,6 +174,13 @@ def embedding_near_dup_pairs(
     key), distinct (src, dst), then re-join the vectors for the exact
     cosine verify. The distinct collapses multi-band hits before the
     expensive cosine, and both verify joins shuffle on the id key.
+
+    ``max_bucket`` (banded path only) caps each (band, key) bucket at its
+    ``max_bucket`` smallest ids before the self-join: dense half-space
+    clusters otherwise make bucket width grow with corpus size and the
+    join quadratic again; the cap bounds any bucket to C(cap, 2) pairs
+    (approximation — members beyond the cap can still match through
+    another band; oracle-pinned in the prod queries).
     """
     if band_bits is None:
         sig = hyperplane_signature(F.col(vec_col), dim, nbits)
@@ -192,6 +200,15 @@ def embedding_near_dup_pairs(
     banded = embeddings.select(
         F.col(id_col).alias("_id"), F.explode(keys).alias("_bk")
     ).select("_id", "_bk.band", "_bk.key")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key").orderBy("_id")
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
     a = banded.select(F.col("_id").alias("src"), "band", "key")
     c = banded.select(F.col("_id").alias("dst"), "band", "key")
     cand = (
@@ -219,6 +236,7 @@ def embedding_dedup_keep(
     dim: int = 64,
     nbits: int = 8,
     band_bits: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """DF(id): keep-list — one vector (min id) per near-dup component
     (connected components over the near-dup pair graph), singletons kept.
@@ -226,9 +244,67 @@ def embedding_dedup_keep(
     from .connected_components import connected_components
 
     pairs = embedding_near_dup_pairs(
-        embeddings, threshold, id_col, vec_col, dim, nbits, band_bits
+        embeddings, threshold, id_col, vec_col, dim, nbits, band_bits, max_bucket
     )
     cc = connected_components(pairs.select("src", "dst"))
+    ids = embeddings.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(cc, "id", "left")
+        .where(F.coalesce("root", F.col("id")) == F.col("id"))
+        .select("id")
+    )
+
+
+def embedding_dedup_star_keep(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int = 64,
+    band_bits: int = 16,
+) -> DataFrame:
+    """DF(id): keep-list via STAR edges — the linear-candidate production
+    dedup path for embeddings.
+
+    The pairs formulation (embedding_near_dup_pairs) emits every
+    same-bucket pair: candidate volume is bands*n^2/2^band_bits even on
+    random data — quadratic over a constant, and no per-bucket cap fixes
+    that (measured: the cap never binds on dispersed small buckets,
+    BENCH.md). Here each bucket member links only to its bucket MIN id
+    (one grouped arg_min aggregation), the single edge is verified with
+    rounded cosine >= threshold, and connected components assign roots:
+    candidates <= n * n_bands BY CONSTRUCTION — the same star-edge shape
+    that keeps MinHash-LSH linear (operators/minhash_lsh.candidate_edges).
+
+    Recall model: a vector near-identical to a bucket-mate but not to the
+    bucket min still clusters when any of the other bands links it;
+    near-dup clusters at high cosine share most band keys, so their
+    members reach a common min with probability ~the banding recall curve.
+    """
+    from .connected_components import connected_components
+
+    keys = hyperplane_band_keys(F.col(vec_col), dim, nbits, band_bits)
+    banded = embeddings.select(
+        F.col(id_col).alias("_id"), F.explode(keys).alias("_bk")
+    ).select("_id", "_bk.band", "_bk.key")
+    buckets = banded.groupBy("band", "key").agg(F.min("_id").alias("_min_id"))
+    cand = (
+        banded.join(buckets, ["band", "key"])
+        .where(F.col("_id") != F.col("_min_id"))
+        .select(F.col("_id").alias("src"), F.col("_min_id").alias("dst"))
+        .distinct()
+    )
+    va = embeddings.select(F.col(id_col).alias("src"), F.col(vec_col).alias("_va"))
+    vb = embeddings.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("_vb"))
+    cos = F.round(cosine(F.col("_va"), F.col("_vb")), ANN_ROUND) + 0.0
+    edges = (
+        cand.join(va, "src")
+        .join(vb, "dst")
+        .where(cos >= threshold)
+        .select("src", "dst")
+    )
+    cc = connected_components(edges)
     ids = embeddings.select(F.col(id_col).alias("id"))
     return (
         ids.join(cc, "id", "left")

@@ -59,6 +59,80 @@ def with_simhash(docs: DataFrame, id_col: str, text_col: str = "text",
     )
 
 
+def _banded_simhash(sh: DataFrame, bits: int, band_bits: int) -> DataFrame:
+    """DF(id, simhash, band, key): one row per (doc, band)."""
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    return sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask)).alias("key"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.key")
+
+
+def simhash_dedup_keep(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = 3,
+    band_bits: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """DF(id): keep-list (component min id + singletons) via STAR edges.
+
+    The scalable production dedup path: instead of the all-pairs bucket
+    self-join (O(sum of bucket_width^2) — quadratic whenever template
+    pages flood a bucket), each bucket member links only to its bucket's
+    MIN id (arg_min over one grouped aggregation, map-side combinable),
+    the edge is verified with hamming(member, min) <= max_hamming, and
+    connected components assign cluster roots. Candidate volume is
+    <= n * n_bands BY CONSTRUCTION — linear at any bucket width, the same
+    star-edge shape that keeps MinHash-LSH linear
+    (operators/minhash_lsh.candidate_edges).
+
+    Approximation vs all-pairs: a member within max_hamming of another
+    member but NOT of the bucket min clusters only if some other band
+    links it — with multiple bands near-identical docs share several
+    bucket mins, so high-similarity clusters stay connected (exactly the
+    LSH recall model).
+    """
+    from .connected_components import connected_components
+
+    sh = with_simhash(docs, id_col, text_col, bits, portable)
+    banded = _banded_simhash(sh, bits, band_bits)
+    buckets = banded.groupBy("band", "key").agg(
+        F.min("id").alias("_min_id"), F.min_by("simhash", "id").alias("_min_sim")
+    )
+    edges = (
+        banded.join(buckets, ["band", "key"])
+        .where(
+            (F.col("id") != F.col("_min_id"))
+            & (
+                F.bit_count(F.col("simhash").bitwiseXOR(F.col("_min_sim")))
+                <= max_hamming
+            )
+        )
+        .select(F.col("id").alias("src"), F.col("_min_id").alias("dst"))
+        .distinct()
+    )
+    cc = connected_components(edges)
+    ids = sh.select("id")
+    return (
+        ids.join(cc, "id", "left")
+        .where(F.coalesce("root", F.col("id")) == F.col("id"))
+        .select("id")
+    )
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     id_col: str,
@@ -77,21 +151,7 @@ def simhash_near_pairs(
     exact semantics (oracle-checked profiles).
     """
     sh = with_simhash(docs, id_col, text_col, bits, portable)
-    n_bands = bits // band_bits
-    mask = (1 << band_bits) - 1
-    banded = sh.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask)).alias("key"),
-                )
-                for b in range(n_bands)
-            ])
-        ).alias("bk"),
-    ).select("id", "simhash", "bk.band", "bk.key")
+    banded = _banded_simhash(sh, bits, band_bits)
     if max_bucket is not None:
         w = Window.partitionBy("band", "key").orderBy("id")
         banded = (

@@ -33,8 +33,10 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """DF(id, fp): distinct winnowing fingerprints per document.
 
-    Documents shorter than k (normalized) emit no rows. Guarantee: any
-    shared substring of length >= k + w - 1 yields at least one shared
+    Only FULL windows of w consecutive k-grams select a fingerprint, so a
+    document needs normalized length >= k + w - 1 (at least w k-grams) to
+    emit any rows; shorter docs emit none and can never match. Guarantee:
+    any shared substring of length >= k + w - 1 yields at least one shared
     fingerprint; no shared substring shorter than k is ever matched.
     """
     base = docs.select(

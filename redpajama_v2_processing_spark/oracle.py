@@ -471,7 +471,7 @@ reach(id, root) AS (
   UNION
   SELECT s.src, r.root FROM sym s JOIN reach r ON s.dst = r.id
 )
-SELECT id AS doc_id FROM reach GROUP BY id HAVING min(root) = id"""
+SELECT id AS doc_id, id::VARCHAR AS id FROM reach GROUP BY id HAVING min(root) = id"""
 
 
 def q_jaccard_vs_query(query_doc_id: int = 0, min_sim: float = 0.0) -> str:
@@ -486,9 +486,9 @@ WHERE {ratio("len(list_filter(s.sh, x -> list_contains(q.qs, x)))",
              "len(s.sh) + len(q.qs) - len(list_filter(s.sh, x -> list_contains(q.qs, x)))")} >= {min_sim}"""
 
 
-def _simhash_ctes(bits: int = SIMHASH_BITS) -> str:
+def _simhash_ctes(bits: int = SIMHASH_BITS, table: str = "documents") -> str:
     return f"""
-tk AS (SELECT doc_id, {tokens(norm('text'))} AS t FROM documents),
+tk AS (SELECT doc_id, {tokens(norm('text'))} AS t FROM {table}),
 hx AS (SELECT doc_id, {md5int("'0:' || tok")} AS hv FROM (SELECT doc_id, unnest(t) AS tok FROM tk)),
 bits AS (
   SELECT doc_id, bb.b AS b,
@@ -498,7 +498,7 @@ bits AS (
 sh AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
        FROM bits GROUP BY 1),
 shall AS (SELECT d.doc_id AS id, coalesce(sh.simhash, 0)::BIGINT AS simhash
-          FROM documents d LEFT JOIN sh USING (doc_id))"""
+          FROM {table} d LEFT JOIN sh USING (doc_id))"""
 
 
 def q_simhash() -> str:
@@ -506,17 +506,122 @@ def q_simhash() -> str:
 
 
 def q_simhash_near_pairs(max_hamming: int = 3, band_bits: int = 4,
-                         bits: int = SIMHASH_BITS) -> str:
+                         bits: int = SIMHASH_BITS,
+                         max_bucket: int | None = None) -> str:
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
+    join_src = "banded"
+    cap_cte = ""
+    if max_bucket is not None:
+        join_src = "capped"
+        cap_cte = f""",
+capped AS (
+  SELECT id, simhash, band, key FROM (
+    SELECT *, row_number() OVER (PARTITION BY band, key ORDER BY id) AS rn
+    FROM banded) WHERE rn <= {max_bucket})"""
     return f"""
 WITH {_simhash_ctes(bits)},
 banded AS (
   SELECT id, simhash, bb.b AS band, (simhash >> (bb.b * {band_bits})) & {mask} AS key
-  FROM shall, (SELECT unnest(range(0, {n_bands})) AS b) bb)
+  FROM shall, (SELECT unnest(range(0, {n_bands})) AS b) bb){cap_cte}
 SELECT DISTINCT a.id AS src, b.id AS dst, bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+FROM {join_src} a JOIN {join_src} b ON a.band = b.band AND a.key = b.key AND a.id < b.id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+# Spark-side twin: queries.q_simhash_capped_near_pairs appends this exact
+# flood to the corpus (40 identical boilerplate docs from one hot host)
+SIMHASH_FLOOD_TEXT = (
+    "boilerplate cookie banner accept all terms privacy policy footer "
+    "navigation copyright widget"
+)
+SIMHASH_FLOOD_DOCS = 40
+
+
+def q_simhash_capped_near_pairs(max_bucket: int = 8, max_hamming: int = 3,
+                                band_bits: int = 4,
+                                bits: int = SIMHASH_BITS) -> str:
+    """Twin of simhash_near_pairs(max_bucket=...) on a corpus with a
+    deliberate boilerplate flood: per-(band, key) bucket width is capped at
+    ``max_bucket`` rows in ascending id order (row_number), so the flood
+    contributes C(cap,2) pairs instead of C(flood,2) — the approximation's
+    semantics, pinned cross-engine."""
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH flooded AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, '{SIMHASH_FLOOD_TEXT}'
+  FROM documents WHERE doc_id < {SIMHASH_FLOOD_DOCS}),
+{_simhash_ctes(bits, table="flooded")},
+banded AS (
+  SELECT id, simhash, bb.b AS band, (simhash >> (bb.b * {band_bits})) & {mask} AS key
+  FROM shall, (SELECT unnest(range(0, {n_bands})) AS b) bb),
+capped AS (
+  SELECT id, simhash, band, key FROM (
+    SELECT *, row_number() OVER (PARTITION BY band, key ORDER BY id) AS rn
+    FROM banded) WHERE rn <= {max_bucket})
+SELECT DISTINCT a.id AS src, b.id AS dst,
+  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+def q_simhash_dedup_keep(max_hamming: int = 3, band_bits: int = 15,
+                         bits: int = 60) -> str:
+    """Twin of operators/simhash_dedup.simhash_dedup_keep: star edges
+    (member -> bucket arg_min, hamming-verified) + recursive CC keep."""
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH RECURSIVE {_simhash_ctes(bits)},
+banded AS (
+  SELECT id, simhash, bb.b AS band, (simhash >> (bb.b * {band_bits})) & {mask} AS key
+  FROM shall, (SELECT unnest(range(0, {n_bands})) AS b) bb),
+buckets AS (
+  SELECT band, key, min(id) AS min_id, arg_min(simhash, id) AS min_sim
+  FROM banded GROUP BY band, key),
+edges AS (
+  SELECT DISTINCT b.id AS src, k.min_id AS dst
+  FROM banded b JOIN buckets k USING (band, key)
+  WHERE b.id != k.min_id
+    AND bit_count(xor(b.simhash, k.min_sim)) <= {max_hamming}),
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(id, root) AS (
+  SELECT id, id FROM shall
+  UNION
+  SELECT s.src, r.root FROM sym s JOIN reach r ON s.dst = r.id
+)
+SELECT id AS doc_id FROM reach GROUP BY id HAVING min(root) = id"""
+
+
+def q_embedding_dedup_star_keep(threshold: float = 0.95, dim: int = 64,
+                                nbits: int = 64, band_bits: int = 16) -> str:
+    """Twin of operators/ann.embedding_dedup_star_keep: star edges per
+    hyperplane band bucket, cosine-verified, recursive CC keep."""
+    cos = _pair_cos("ea.embedding", "eb.embedding")
+    return f"""
+WITH RECURSIVE {_AUG_EMB},
+{_hyperplane_band_ctes(dim, nbits, band_bits, table="aug")},
+buckets AS (SELECT band, key, min(vec_id) AS min_id FROM bands GROUP BY band, key),
+cand AS (
+  SELECT DISTINCT b.vec_id AS src, k.min_id AS dst
+  FROM bands b JOIN buckets k USING (band, key)
+  WHERE b.vec_id != k.min_id),
+edges AS (
+  SELECT c.src, c.dst
+  FROM cand c
+  JOIN aug ea ON ea.vec_id = c.src
+  JOIN aug eb ON eb.vec_id = c.dst
+  WHERE round({cos}, {ANN_ROUND}) + 0.0 >= {threshold}),
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(id, root) AS (
+  SELECT vec_id, vec_id FROM aug
+  UNION
+  SELECT s.src, r.root FROM sym s JOIN reach r ON s.dst = r.id
+)
+SELECT id AS vec_id FROM reach GROUP BY id HAVING min(root) = id"""
 
 
 # ---------------------------------------------------------------------------
@@ -631,15 +736,28 @@ def q_embedding_near_dup_pairs(threshold: float = 0.95, dim: int = 64,
 
 
 def _banded_near_dup_ctes(threshold: float, dim: int, nbits: int,
-                          band_bits: int) -> str:
+                          band_bits: int,
+                          max_bucket: int | None = None) -> str:
     """Twin of the banded production path: distinct candidate pairs from
-    the union of per-band bucket joins, cosine verify on the deduped set."""
+    the union of per-band bucket joins (each bucket capped at its
+    ``max_bucket`` smallest ids when set), cosine verify on the deduped
+    set."""
     cos = _pair_cos("ea.embedding", "eb.embedding")
+    join_src = "bands"
+    cap_cte = ""
+    if max_bucket is not None:
+        join_src = "capped"
+        cap_cte = f"""
+capped AS (
+  SELECT vec_id, band, key FROM (
+    SELECT vec_id, band, key,
+      row_number() OVER (PARTITION BY band, key ORDER BY vec_id) AS rn
+    FROM bands) WHERE rn <= {max_bucket}),"""
     return f"""{_AUG_EMB},
-{_hyperplane_band_ctes(dim, nbits, band_bits, table="aug")},
+{_hyperplane_band_ctes(dim, nbits, band_bits, table="aug")},{cap_cte}
 cand AS (
   SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-  FROM bands a JOIN bands b
+  FROM {join_src} a JOIN {join_src} b
     ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
 nd AS (
   SELECT c.src, c.dst, (round({cos}, {ANN_ROUND}) + 0.0)::DOUBLE AS cos
@@ -650,15 +768,17 @@ nd AS (
 
 
 def q_embedding_near_dup_prod_pairs(threshold: float = 0.95, dim: int = 64,
-                                    nbits: int = 64, band_bits: int = 16) -> str:
-    return (f"WITH {_banded_near_dup_ctes(threshold, dim, nbits, band_bits)}\n"
+                                    nbits: int = 64, band_bits: int = 16,
+                                    max_bucket: int | None = None) -> str:
+    return (f"WITH {_banded_near_dup_ctes(threshold, dim, nbits, band_bits, max_bucket)}\n"
             "SELECT src, dst, cos FROM nd")
 
 
 def q_embedding_dedup_prod_keep(threshold: float = 0.95, dim: int = 64,
-                                nbits: int = 64, band_bits: int = 16) -> str:
+                                nbits: int = 64, band_bits: int = 16,
+                                max_bucket: int | None = None) -> str:
     return f"""
-WITH RECURSIVE {_banded_near_dup_ctes(threshold, dim, nbits, band_bits)},
+WITH RECURSIVE {_banded_near_dup_ctes(threshold, dim, nbits, band_bits, max_bucket)},
 sym AS MATERIALIZED (SELECT src, dst FROM nd UNION SELECT dst, src FROM nd),
 reach(id, root) AS (
   SELECT vec_id, vec_id FROM aug

@@ -225,8 +225,7 @@ def q_fuzzy_dedup_prod_checked(spark, sf_dir):
     permutations, salted edges) with the md5 base hash so DuckDB can verify
     it end-to-end. Only the base string hash differs from fuzzy_dedup_prod."""
     return fuzzy_dedup_keep_ids(
-        _docs(spark, sf_dir), "doc_id", cfg=PROD_MINHASH,
-        portable=False, base="md5", salted=True,
+        _docs(spark, sf_dir), "doc_id", cfg=PROD_MINHASH, base="md5", salted=True,
     ).select(F.col("id").alias("doc_id"))
 
 
@@ -272,7 +271,9 @@ def q_rpv2_pre_banded_keep(spark, sf_dir):
         did.alias("id_int"),
         F.array(*[band(b) for b in range(9)]).alias("signature"),
     )
-    return rpv2_keep_ids(sigs, salted=True).select(F.col("id").alias("doc_id"))
+    return rpv2_keep_ids(sigs, salted=True).select(
+        F.col("id_int").cast("long").alias("doc_id"), "id"
+    )
 
 
 def q_simhash(spark, sf_dir):
@@ -285,11 +286,54 @@ def q_simhash_near_pairs(spark, sf_dir):
 
 def q_simhash_prod_near_pairs(spark, sf_dir):
     """Production banding: 60-bit simhash, 15-bit bands (32768 keys/band)
-    — candidate volume is ~n^2/2^15 instead of the test profile's n^2/16."""
+    + the 64-row hot-bucket cap — template pages share band keys by
+    design, so uncapped buckets grow with corpus size (measured 104x
+    candidates at 10x docs on the synthetic web corpus; capped: linear)."""
     return simhash_near_pairs(
         _docs(spark, sf_dir), "doc_id",
         bits=PROD_SIMHASH["bits"], band_bits=PROD_SIMHASH["band_bits"],
         max_hamming=PROD_SIMHASH["max_hamming"],
+        max_bucket=PROD_SIMHASH["max_bucket"],
+    )
+
+
+def q_simhash_dedup_keep(spark, sf_dir):
+    """Linear-candidate simhash dedup (star edges -> hamming verify -> CC
+    keep): the production path whose candidate volume is <= n * n_bands
+    regardless of bucket width (the pairs API is quadratic per bucket)."""
+    from .operators.simhash_dedup import simhash_dedup_keep
+
+    return simhash_dedup_keep(
+        _docs(spark, sf_dir), "doc_id",
+        bits=PROD_SIMHASH["bits"], band_bits=PROD_SIMHASH["band_bits"],
+        max_hamming=PROD_SIMHASH["max_hamming"],
+    ).select(F.col("id").alias("doc_id"))
+
+
+def q_embedding_dedup_star_keep(spark, sf_dir):
+    """Linear-candidate embedding dedup: star edges per hyperplane band
+    bucket, cosine-verified, CC keep-list."""
+    from .operators.ann import embedding_dedup_star_keep
+
+    return embedding_dedup_star_keep(
+        _augmented_embeddings(spark, sf_dir), EMB_NEAR_DUP_THRESHOLD,
+        nbits=PROD_EMB_LSH["nbits"], band_bits=PROD_EMB_LSH["band_bits"],
+    ).select(F.col("id").alias("vec_id"))
+
+
+def q_simhash_capped_near_pairs(spark, sf_dir):
+    """Hot-bucket cap under an adversarial boilerplate flood: 40 identical
+    boilerplate docs (one per doc_id < 40, offset by 1e6) all hash into the
+    same (band, key) buckets; max_bucket=8 caps each bucket at its 8
+    smallest ids, so the flood contributes C(8,2) pairs instead of
+    C(40,2)=780 — the approximation semantics, oracle-pinned."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    flood = docs.where(F.col("doc_id") < oracle.SIMHASH_FLOOD_DOCS).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit(oracle.SIMHASH_FLOOD_TEXT).alias("text"),
+    )
+    return simhash_near_pairs(
+        docs.unionByName(flood), "doc_id", max_bucket=8
     )
 
 
@@ -356,6 +400,7 @@ def q_embedding_near_dup_prod_pairs(spark, sf_dir):
     return embedding_near_dup_pairs(
         _augmented_embeddings(spark, sf_dir), EMB_NEAR_DUP_THRESHOLD,
         nbits=PROD_EMB_LSH["nbits"], band_bits=PROD_EMB_LSH["band_bits"],
+        max_bucket=PROD_EMB_LSH["max_bucket"],
     )
 
 
@@ -364,6 +409,7 @@ def q_embedding_dedup_prod_keep(spark, sf_dir):
     return embedding_dedup_keep(
         _augmented_embeddings(spark, sf_dir), EMB_NEAR_DUP_THRESHOLD,
         nbits=PROD_EMB_LSH["nbits"], band_bits=PROD_EMB_LSH["band_bits"],
+        max_bucket=PROD_EMB_LSH["max_bucket"],
     ).select(F.col("id").alias("vec_id"))
 
 
@@ -531,7 +577,7 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 def q_fuzzy_dedup_prod(spark, sf_dir):
     return fuzzy_dedup_keep_ids(
-        _docs(spark, sf_dir), "doc_id", cfg=PROD_MINHASH, portable=False, salted=True
+        _docs(spark, sf_dir), "doc_id", cfg=PROD_MINHASH, base="xxhash", salted=True
     ).select(F.col("id").alias("doc_id"))
 
 
@@ -566,6 +612,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
     "simhash_prod_near_pairs": q_simhash_prod_near_pairs,
+    "simhash_capped_near_pairs": q_simhash_capped_near_pairs,
+    "simhash_dedup_keep": q_simhash_dedup_keep,
+    "embedding_dedup_star_keep": q_embedding_dedup_star_keep,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
@@ -626,6 +675,16 @@ ORACLES: dict[str, str] = {
         max_hamming=PROD_SIMHASH["max_hamming"],
         band_bits=PROD_SIMHASH["band_bits"],
         bits=PROD_SIMHASH["bits"],
+        max_bucket=PROD_SIMHASH["max_bucket"],
+    ),
+    "simhash_capped_near_pairs": oracle.q_simhash_capped_near_pairs(),
+    "simhash_dedup_keep": oracle.q_simhash_dedup_keep(
+        max_hamming=PROD_SIMHASH["max_hamming"],
+        band_bits=PROD_SIMHASH["band_bits"], bits=PROD_SIMHASH["bits"],
+    ),
+    "embedding_dedup_star_keep": oracle.q_embedding_dedup_star_keep(
+        EMB_NEAR_DUP_THRESHOLD,
+        nbits=PROD_EMB_LSH["nbits"], band_bits=PROD_EMB_LSH["band_bits"],
     ),
     "ann_cosine_topk": oracle.q_ann_cosine_topk(),
     "ann_ivf_topk": oracle.q_ann_ivf_topk(),
@@ -634,10 +693,12 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup_prod_pairs": oracle.q_embedding_near_dup_prod_pairs(
         EMB_NEAR_DUP_THRESHOLD,
         nbits=PROD_EMB_LSH["nbits"], band_bits=PROD_EMB_LSH["band_bits"],
+        max_bucket=PROD_EMB_LSH["max_bucket"],
     ),
     "embedding_dedup_prod_keep": oracle.q_embedding_dedup_prod_keep(
         EMB_NEAR_DUP_THRESHOLD,
         nbits=PROD_EMB_LSH["nbits"], band_bits=PROD_EMB_LSH["band_bits"],
+        max_bucket=PROD_EMB_LSH["max_bucket"],
     ),
     "label_centroids": oracle.q_label_centroids(),
     "events_hourly": oracle.q_events_hourly(),

@@ -109,6 +109,56 @@ def test_simhash_bucket_cap(spark):
     assert simhash_near_pairs(df, "doc_id", max_bucket=1).count() == 0
 
 
+def test_simhash_star_dedup_keep(spark):
+    """Star-edge simhash dedup: near-identical docs cluster to the min id,
+    distinct docs survive, and the candidate volume is <= n * n_bands by
+    construction (no bucket self-join)."""
+    from redpajama_v2_processing_spark.config import PROD_SIMHASH
+    from redpajama_v2_processing_spark.operators.simhash_dedup import (
+        simhash_dedup_keep,
+    )
+
+    texts = (
+        ["template page header body footer same words everywhere"] * 5
+        + [f"entirely distinct document number {i} unique{i} tokens{i}" for i in range(4)]
+    )
+    df = docs_frame(spark, texts)
+    kept = sorted(
+        r.id
+        for r in simhash_dedup_keep(
+            df, "doc_id", bits=PROD_SIMHASH["bits"],
+            band_bits=PROD_SIMHASH["band_bits"],
+            max_hamming=PROD_SIMHASH["max_hamming"],
+        ).collect()
+    )
+    assert kept == [0, 5, 6, 7, 8]  # dup cluster -> min id 0; rest survive
+
+
+def test_embedding_star_dedup_keep(spark):
+    """Star-edge embedding dedup keeps one vector per near-identical
+    cluster (min id), all dispersed vectors survive."""
+    from redpajama_v2_processing_spark.config import PROD_EMB_LSH
+    from redpajama_v2_processing_spark.operators.ann import (
+        embedding_dedup_star_keep,
+    )
+
+    rng = np.random.RandomState(17)
+    base = rng.randn(64)
+    rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(10)]
+    # three near-identical copies of `base` with ids 100..102
+    for j in range(3):
+        rows.append((100 + j, [float(x) * (1.0 + 0.0005 * j) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r.id
+        for r in embedding_dedup_star_keep(
+            df, 0.95, nbits=PROD_EMB_LSH["nbits"],
+            band_bits=PROD_EMB_LSH["band_bits"],
+        ).collect()
+    )
+    assert kept == list(range(10)) + [100]  # cluster -> min id 100
+
+
 def test_emb_lsh_banded_recall_and_subquadratic(spark):
     """PROD_EMB_LSH (64 planes, 4 bands of 16 bits) must (a) find a planted
     near-identical pair via >= 1 shared band and (b) keep CANDIDATE volume
