@@ -72,9 +72,11 @@ HEADLINE = [
     "perplexity", "scrub_pii", "exact_dedup_keep", "minhash_bands",
     "lsh_buckets", "fuzzy_dedup_keep", "fuzzy_dedup_prod",
     "fuzzy_dedup_prod_checked", "fuzzy_dedup_distributed",
-    "simhash_near_pairs", "simhash_prod_near_pairs", "rpv2_pre_banded_keep",
+    "simhash_near_pairs", "simhash_prod_near_pairs", "simhash_dedup_keep",
+    "rpv2_pre_banded_keep",
     "lang_downsample", "token_counts", "ann_cosine_topk", "ann_lsh_topk",
     "ann_ivf_topk", "embedding_near_dup_pairs", "embedding_dedup_keep",
+    "embedding_near_dup_prod_pairs", "embedding_dedup_star_keep",
     "label_centroids",
     "events_hourly", "events_sessions", "pricing_summary", "segment_revenue",
 ]

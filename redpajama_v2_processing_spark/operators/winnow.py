@@ -65,3 +65,43 @@ def winnow_fingerprints(
         .select("id", "fp")
         .distinct()
     )
+
+
+def winnow_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 2,
+    max_df: int = 10,
+) -> DataFrame:
+    """DF(src, dst, shared), src < dst: documents sharing >= ``min_shared``
+    RARE winnowing fingerprints — substring-level near-dup detection (the
+    MOSS use-case: partial overlap / containment that whole-document
+    MinHash misses).
+
+    ``max_df`` drops stop-fingerprints (substrings appearing in more than
+    ``max_df`` docs — boilerplate): both a precision filter (shared
+    boilerplate is not evidence of copying) AND the scale device — the
+    fingerprint equi-join's per-key fan-out is bounded by max_df, so
+    candidate volume is <= (distinct rare fps) * max_df^2 instead of
+    quadratic in the hottest fingerprint's document frequency.
+    """
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("fp")
+    )
+    rf = fps.join(rare, "fp")
+    a = rf.select(F.col("id").alias("src"), "fp")
+    b = rf.select(F.col("id").alias("dst"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

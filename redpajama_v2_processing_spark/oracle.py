@@ -186,11 +186,9 @@ SELECT doc_id,
 FROM s"""
 
 
-def q_winnow_fingerprints(k: int = 5, w: int = 4) -> str:
-    """Twin of operators/winnow.winnow_fingerprints: same normalized text,
-    same md5int k-gram hashes, same full-window sliding minima."""
-    return f"""
-WITH base AS (
+def _winnow_ctes(k: int = 5, w: int = 4) -> str:
+    """CTEs ending in wfp(id, fp) — the distinct winnowing fingerprints."""
+    return f"""base AS (
   SELECT doc_id AS id, {norm('text')} AS n FROM documents
   WHERE length({norm('text')}) >= {k}),
 g AS (
@@ -201,8 +199,28 @@ m AS (
     min(h) OVER (PARTITION BY id ORDER BY pos
                  ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
     count(*) OVER (PARTITION BY id) AS cnt
-  FROM g)
-SELECT DISTINCT id, fp FROM m WHERE pos <= cnt - {w - 1}"""
+  FROM g),
+wfp AS (SELECT DISTINCT id, fp FROM m WHERE pos <= cnt - {w - 1})"""
+
+
+def q_winnow_fingerprints(k: int = 5, w: int = 4) -> str:
+    """Twin of operators/winnow.winnow_fingerprints: same normalized text,
+    same md5int k-gram hashes, same full-window sliding minima."""
+    return f"WITH {_winnow_ctes(k, w)}\nSELECT id, fp FROM wfp"
+
+
+def q_winnow_near_dup_pairs(min_shared: int = 2, max_df: int = 10,
+                            k: int = 5, w: int = 4) -> str:
+    """Twin of operators/winnow.winnow_near_dup_pairs: substring-level
+    near-dup pairs over rare shared winnowing fingerprints."""
+    return f"""
+WITH {_winnow_ctes(k, w)},
+rare AS (
+  SELECT fp FROM wfp GROUP BY fp HAVING count(*) BETWEEN 2 AND {max_df}),
+rf AS (SELECT w.id, w.fp FROM wfp w JOIN rare USING (fp))
+SELECT a.id AS src, b.id AS dst, count(*)::BIGINT AS shared
+FROM rf a JOIN rf b ON a.fp = b.fp AND a.id < b.id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""
 
 
 def q_token_counts() -> str:

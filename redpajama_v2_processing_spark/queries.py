@@ -110,6 +110,15 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir), "doc_id")
 
 
+def q_winnow_near_dup_pairs(spark, sf_dir):
+    """Substring-level near-dup pairs: >= 2 shared RARE winnowing
+    fingerprints (document frequency <= 10; commoner fingerprints are
+    boilerplate and are dropped, which also bounds the join fan-out)."""
+    from .operators.winnow import winnow_near_dup_pairs
+
+    return winnow_near_dup_pairs(_docs(spark, sf_dir), "doc_id")
+
+
 def q_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id",
@@ -593,6 +602,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
     "scrub_pii": q_scrub,
     "quality_filter": q_quality_filter,
     "quality_thresholds": q_quality_thresholds,
@@ -652,6 +662,7 @@ ORACLES: dict[str, str] = {
     "token_counts": oracle.q_token_counts(),
     "fingerprint": oracle.q_fingerprint(),
     "winnow_fingerprints": oracle.q_winnow_fingerprints(),
+    "winnow_near_dup_pairs": oracle.q_winnow_near_dup_pairs(),
     "scrub_pii": oracle.q_scrub(),
     "quality_filter": oracle.q_quality_filter(),
     "quality_thresholds": oracle.q_quality_thresholds(),

@@ -117,3 +117,29 @@ def test_winnow_fingerprint_guarantee(spark):
     assert by_doc[0] & by_doc[1]          # shared substring detected
     assert not (by_doc[0] & by_doc[2])    # disjoint docs share nothing
     assert by_doc[0] == by_doc[3]         # identical docs identical sets
+
+
+def test_winnow_near_dup_pairs(spark):
+    """Substring near-dup pairs: containment is detected via shared rare
+    fingerprints; boilerplate (high-document-frequency fingerprints) never
+    creates pairs once max_df drops it."""
+    from redpajama_v2_processing_spark.operators.winnow import (
+        winnow_near_dup_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (0, f"prefix alpha {shared} suffix beta"),
+        (1, f"other start {shared} another end"),  # contains doc0's core
+        (2, "zzz www qqq kkk vvv xxx yyy uuu distinct content entirely"),
+    ]
+    # 12 docs sharing ONLY a boilerplate banner: with max_df=10 the
+    # banner's fingerprints have df=12 > 10 -> no pairs among them
+    rows += [(10 + i, "standard cookie banner accept terms") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.src, r.dst): r.shared
+        for r in winnow_near_dup_pairs(df, "doc_id", min_shared=2).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert all(s < 10 for s, _ in pairs)  # no boilerplate-flood pairs
