@@ -141,6 +141,44 @@ def ann_lsh_topk(
     )
 
 
+def ann_multiprobe_lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int = 8,
+    k: int = ANN_TOPK,
+) -> DataFrame:
+    """Multiprobe hyperplane-LSH top-k: probe the query's bucket PLUS all
+    nbits Hamming-1 neighbor buckets (query signature with one bit
+    flipped), rerank candidates exactly.
+
+    The standard recall fix for single-bucket LSH: a true neighbor whose
+    signature differs in exactly one low-margin plane lands in a Hamming-1
+    bucket, so probing them recovers most of the loss without touching the
+    index layout — candidates grow only (nbits+1)-fold over one bucket
+    (still ~n(nbits+1)/2^nbits of the corpus). The probe set is nbits+1
+    literals, so at warehouse scale it prunes to nbits+1 bucket partitions.
+    """
+    sig = hyperplane_signature(F.col(vec_col), dim, nbits)
+    bucketed = embeddings.withColumn("_bucket", sig)
+    qdf = bucketed.sparkSession.createDataFrame(
+        [(query_vec,)], f"{vec_col}: array<float>"
+    )
+    qsig = qdf.select(
+        hyperplane_signature(F.col(vec_col), dim, nbits).alias("b")
+    ).collect()[0]["b"]
+    probes = [qsig] + [qsig ^ (1 << p) for p in range(nbits)]
+    c = F.round(cosine(F.col(vec_col), _lit_vec(query_vec)), ANN_ROUND) + 0.0
+    return (
+        bucketed.where(F.col("_bucket").isin(probes))
+        .select(F.col(id_col), c.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

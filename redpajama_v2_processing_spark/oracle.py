@@ -845,6 +845,36 @@ SELECT vec_id,
 FROM c ORDER BY cos DESC, vec_id LIMIT {k}"""
 
 
+def q_ann_multiprobe_lsh_topk(query_vec_id: int = 0, dim: int = 64,
+                              nbits: int = 8, k: int = ANN_TOPK) -> str:
+    """Twin of operators/ann.ann_multiprobe_lsh_topk: query bucket plus
+    all nbits Hamming-1 neighbor buckets, exact rerank."""
+    return f"""
+WITH {_hyperplane_sig_ctes(dim, nbits)},
+q AS (
+  SELECT s.bucket AS qb, e.embedding AS qe
+  FROM sig s JOIN embeddings e USING (vec_id) WHERE s.vec_id = {query_vec_id}),
+probes AS (
+  SELECT qb AS pb FROM q
+  UNION ALL
+  SELECT xor(qb, 1::BIGINT << p.p) FROM q, (SELECT unnest(range(0, {nbits})) AS p) p),
+cand AS (
+  SELECT DISTINCT e.vec_id, e.embedding
+  FROM embeddings e JOIN sig s USING (vec_id) JOIN probes ON s.bucket = probes.pb),
+c AS (
+  SELECT e.vec_id,
+    list_aggregate(list_transform(range(1, len(e.embedding)+1),
+      i -> e.embedding[i::INT]::DOUBLE * q.qe[i::INT]::DOUBLE), 'sum') AS num,
+    sqrt(list_aggregate(list_transform(range(1, len(e.embedding)+1),
+      i -> e.embedding[i::INT]::DOUBLE * e.embedding[i::INT]::DOUBLE), 'sum')) *
+    sqrt(list_aggregate(list_transform(range(1, len(q.qe)+1),
+      i -> q.qe[i::INT]::DOUBLE * q.qe[i::INT]::DOUBLE), 'sum')) AS den
+  FROM cand e, q)
+SELECT vec_id,
+  (round(CASE WHEN den = 0 THEN 0.0 ELSE num / den END, {ANN_ROUND}) + 0.0)::DOUBLE AS cos
+FROM c ORDER BY cos DESC, vec_id LIMIT {k}"""
+
+
 def q_multimodal_meta() -> str:
     """Twin of operators/multimodal.decode_media_meta over the synthetic
     MM1 payloads built by queries.q_multimodal_meta: reconstruct the same

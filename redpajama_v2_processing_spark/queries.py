@@ -584,6 +584,15 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann_lsh_topk(emb, _query_vec(spark, sf_dir), dim=64, nbits=8)
 
 
+def q_ann_multiprobe_topk(spark, sf_dir):
+    """Multiprobe LSH: query bucket + nbits Hamming-1 buckets, exact
+    rerank — recovers single-bucket recall loss at (nbits+1)x candidates."""
+    from .operators.ann import ann_multiprobe_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_multiprobe_lsh_topk(emb, _query_vec(spark, sf_dir), dim=64, nbits=8)
+
+
 def q_fuzzy_dedup_prod(spark, sf_dir):
     return fuzzy_dedup_keep_ids(
         _docs(spark, sf_dir), "doc_id", cfg=PROD_MINHASH, base="xxhash", salted=True
@@ -648,6 +657,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_counts": q_rollup_counts,
     "multimodal_meta": q_multimodal_meta,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_multiprobe_topk": q_ann_multiprobe_topk,
     # rows-only: xxhash64 base hash has no DuckDB twin; the identical plan
     # shape is oracle-checked as fuzzy_dedup_prod_checked, and pytest
     # property-checks this profile (exact-dup clustering, idempotence)
@@ -728,4 +738,5 @@ ORACLES: dict[str, str] = {
     "rollup_counts": oracle.q_rollup_counts(),
     "multimodal_meta": oracle.q_multimodal_meta(),
     "ann_lsh_topk": oracle.q_ann_lsh_topk(),
+    "ann_multiprobe_topk": oracle.q_ann_multiprobe_lsh_topk(),
 }

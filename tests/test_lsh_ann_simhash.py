@@ -211,6 +211,29 @@ def test_cosine_topk_matches_numpy(spark):
     assert got[0][0] == 7 and got[0][1] == 1.0
 
 
+def test_ann_multiprobe_recall_superset(spark):
+    """Multiprobe candidates strictly include the single-bucket ones, so
+    its top-k recall vs brute force can only improve; the query itself is
+    always rank 1."""
+    from redpajama_v2_processing_spark.operators.ann import (
+        ann_multiprobe_lsh_topk,
+    )
+
+    rng = np.random.RandomState(21)
+    vecs = rng.randn(60, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[9]]
+    exact = [r.vec_id for r in cosine_topk(df, q, k=10).collect()]
+    single = [r.vec_id for r in ann_lsh_topk(df, q, dim=8, nbits=4, k=10).collect()]
+    multi = [r.vec_id for r in ann_multiprobe_lsh_topk(df, q, dim=8, nbits=4, k=10).collect()]
+    assert multi[0] == 9
+    hits = lambda got: len(set(got) & set(exact))  # noqa: E731
+    assert hits(multi) >= hits(single)
+
+
 def test_ann_lsh_bucket_contains_query(spark):
     rng = np.random.RandomState(5)
     vecs = rng.randn(40, 8).astype("float32")

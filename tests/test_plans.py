@@ -72,6 +72,33 @@ def test_ivf_assign_has_no_window_exchange(spark):
     assert "Window" not in plan
 
 
+def test_star_dedup_plans_have_no_cartesian(spark):
+    """The star-edge dedup paths must stay equi-join shaped: no cartesian
+    or broadcast-nested-loop fallback anywhere in either plan."""
+    from redpajama_v2_processing_spark.operators.ann import (
+        embedding_dedup_star_keep,
+    )
+    from redpajama_v2_processing_spark.operators.simhash_dedup import (
+        simhash_dedup_keep,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} words tokens here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    p1 = _physical(simhash_dedup_keep(docs, "doc_id", bits=60, band_bits=15))
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, -0.5, 0.25]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    p2 = _physical(
+        embedding_dedup_star_keep(emb, 0.95, dim=4, nbits=8, band_bits=4)
+    )
+    for plan in (p1, p2):
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_whole_stage_codegen_covers_signals(pages_small):
     plan = _physical(with_signals(pages_small).select("url", "number_of_words"))
     # "*(n)" prefixes mark WholeStageCodegen stages in the short plan form
