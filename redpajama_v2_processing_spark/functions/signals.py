@@ -119,6 +119,45 @@ def word_repetition(tok: Column, n: int = 2) -> Column:
     return repetition_ratio(word_ngrams(tok, n))
 
 
+def duplicate_line_signals(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """DF(id, dup_line_fraction, dup_line_char_fraction): the Gopher-style
+    line-repetition signals (fraction of non-empty lines that repeat an
+    earlier identical line, and the character-mass version) — per-group
+    aggregation over exploded lines, map-side combinable, one shuffle on
+    the doc id. Empty docs score 0.0. Contract shared with the oracle:
+    lines = split(text, '\\n'), a line counts iff it is non-empty raw.
+    """
+    ln = df.select(
+        F.col(id_col).alias("id"), F.explode(lines(F.col(text_col))).alias("_l")
+    ).where(F.col("_l") != "")
+    grouped = ln.groupBy("id", "_l").agg(
+        F.count("*").alias("_c"), F.length("_l").alias("_len")
+    )
+    agg = grouped.groupBy("id").agg(
+        (F.sum("_c") - F.count("*")).alias("_dup"),
+        F.sum("_c").alias("_tot"),
+        F.sum(F.col("_len") * (F.col("_c") - 1)).alias("_dchar"),
+        F.sum(F.col("_len") * F.col("_c")).alias("_tchar"),
+    )
+    out = agg.select(
+        "id",
+        F.round(_ratio(F.col("_dup"), F.col("_tot")), 6).alias("dup_line_fraction"),
+        F.round(_ratio(F.col("_dchar"), F.col("_tchar")), 6).alias(
+            "dup_line_char_fraction"
+        ),
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(out, "id", "left").select(
+        "id",
+        F.coalesce("dup_line_fraction", F.lit(0.0)).alias("dup_line_fraction"),
+        F.coalesce("dup_line_char_fraction", F.lit(0.0)).alias(
+            "dup_line_char_fraction"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Wide signal frame
 # ---------------------------------------------------------------------------

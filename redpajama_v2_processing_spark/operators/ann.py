@@ -449,6 +449,77 @@ def ann_ivf_topk(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DF(cid, cv): spherical k-means centroids after ``iters`` Lloyd
+    iterations — the trained coarse quantizer for IVF (ann_ivf_topk's
+    per-label cells assume a label column; this learns cells from the
+    vectors alone).
+
+    Deterministic and engine-portable BY CONSTRUCTION, so the whole
+    iterative algorithm is oracle-checkable: init = the k smallest ids'
+    vectors; assignment = argmax ROUNDED cosine (ties to smallest cid,
+    the min_by grouped argmax — no window); update = exact_mean4 per
+    component (order-independent integer-exact means). Every iteration is
+    one broadcast join + two partial-agg-friendly aggregations; lineage is
+    cut per iteration with localCheckpoint so the plan stays O(1) deep.
+    Cells that lose all members disappear (k can shrink) — identically in
+    both engines.
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cent = emb.orderBy("id").limit(k).select(
+        F.col("id").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        ccos = F.round(cosine(F.col("v"), F.col("cv")), ANN_ROUND) + 0.0
+        assign = (
+            emb.join(F.broadcast(cent))
+            .withColumn("_c", ccos)
+            .groupBy("id")
+            .agg(
+                F.min_by(
+                    "cid", F.struct((-F.col("_c")).alias("a"), F.col("cid").alias("b"))
+                ).alias("cid")
+            )
+        )
+        cent = (
+            emb.join(assign, "id")
+            .select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg((exact_mean4(F.col("x")) + 0.0).alias("c"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+                ).alias("cv")
+            )
+            .localCheckpoint()
+        )
+    return cent
+
+
+def kmeans_cells(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DF(cid, pos, centroid): kmeans_centroids exploded to one row per
+    centroid component (the oracle-comparable surface)."""
+    return kmeans_centroids(embeddings, k, iters, id_col, vec_col).select(
+        F.col("cid").cast("long").alias("cid"),
+        F.posexplode("cv").alias("pos", "centroid"),
+    ).select("cid", F.col("pos").cast("long").alias("pos"), "centroid")
+
+
 def label_centroids(
     embeddings: DataFrame,
     label_col: str = "label",

@@ -223,6 +223,28 @@ FROM rf a JOIN rf b ON a.fp = b.fp AND a.id < b.id
 GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""
 
 
+def q_duplicate_line_signals() -> str:
+    """Twin of functions/signals.duplicate_line_signals: Gopher-style
+    line-repetition fractions over non-empty raw lines."""
+    return """
+WITH l AS (
+  SELECT doc_id, t.line AS line
+  FROM documents, unnest(string_split(text, chr(10))) AS t(line)
+  WHERE t.line != ''),
+g AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+      FROM l GROUP BY 1, 2),
+a AS (SELECT doc_id,
+  sum(c) - count(*) AS dup, sum(c) AS tot,
+  sum(len * (c - 1)) AS dchar, sum(len * c) AS tchar
+  FROM g GROUP BY 1)
+SELECT d.doc_id AS id,
+  coalesce(round(CASE WHEN tot = 0 THEN 0.0
+    ELSE dup::DOUBLE / tot::DOUBLE END, 6), 0.0)::DOUBLE AS dup_line_fraction,
+  coalesce(round(CASE WHEN tchar = 0 THEN 0.0
+    ELSE dchar::DOUBLE / tchar::DOUBLE END, 6), 0.0)::DOUBLE AS dup_line_char_fraction
+FROM documents d LEFT JOIN a USING (doc_id)"""
+
+
 def q_token_counts() -> str:
     from .functions.text import SUBWORD_PATTERN
 
@@ -945,6 +967,38 @@ def _exact_mean4(expr: str) -> str:
         f"(floor((sum(round({expr} * 1e6)::BIGINT) * 2 + count(*) * 100) "
         f"/ (count(*) * 200))::BIGINT / 10000.0)"
     )
+
+
+def q_kmeans_cells(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Twin of operators/ann.kmeans_cells: the SAME deterministic Lloyd
+    iterations, unrolled as a CTE chain (init = k smallest ids, rounded-
+    cosine argmax assignment with ties to the smallest cid, exact_mean4
+    component updates)."""
+    cos = _cos_expr("e.v", "c.cv")
+    ctes = [
+        "e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT {k})""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""a{t} AS (
+  SELECT id, cid FROM (
+    SELECT e.id, c.cid,
+      row_number() OVER (PARTITION BY e.id
+        ORDER BY (round({cos}, {ANN_ROUND}) + 0.0) DESC, c.cid) AS rn
+    FROM e CROSS JOIN c{t - 1} c) WHERE rn = 1)""")
+        ctes.append(f"""m{t} AS (
+  SELECT a.cid, (i.i - 1) AS pos, ({_exact_mean4('e.v[i.i::INT]')} + 0.0) AS c
+  FROM e JOIN a{t} a USING (id), (SELECT unnest(range(1, {dim + 1})) AS i) i
+  GROUP BY 1, 2)""")
+        ctes.append(
+            f"c{t} AS (SELECT cid, list(c ORDER BY pos) AS cv FROM m{t} GROUP BY cid)"
+        )
+    body = ",\n".join(ctes)
+    return (f"WITH {body}\n"
+            f"SELECT cid::BIGINT AS cid, pos::BIGINT AS pos, c::DOUBLE AS centroid "
+            f"FROM m{iters}")
 
 
 def q_label_centroids(dim: int = 64) -> str:

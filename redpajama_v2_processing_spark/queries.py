@@ -90,6 +90,14 @@ def q_langid(spark, sf_dir):
     )
 
 
+def q_duplicate_line_signals(spark, sf_dir):
+    """Gopher-style line-repetition signals (duplicate-line fraction by
+    count and by character mass)."""
+    from .functions.signals import duplicate_line_signals
+
+    return duplicate_line_signals(_docs(spark, sf_dir), "doc_id")
+
+
 def q_token_counts(spark, sf_dir):
     """Per-doc token budget: whitespace tokens + BPE-ish subword pieces
     (pre-tokenizer split: letter runs / digit runs / single marks)."""
@@ -422,6 +430,14 @@ def q_embedding_dedup_prod_keep(spark, sf_dir):
     ).select(F.col("id").alias("vec_id"))
 
 
+def q_kmeans_cells(spark, sf_dir):
+    """Trained IVF coarse quantizer: 3 deterministic Lloyd iterations,
+    k=8, oracle-checked end-to-end (init/assign/update all portable)."""
+    from .operators.ann import kmeans_cells
+
+    return kmeans_cells(_t(spark, sf_dir, "embeddings"), k=8, iters=3)
+
+
 def q_label_centroids(spark, sf_dir):
     return label_centroids(_t(spark, sf_dir, "embeddings")).select(
         "label", F.col("pos").cast("long").alias("pos"), "centroid"
@@ -609,6 +625,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity": q_perplexity,
     "langid": q_langid,
     "token_counts": q_token_counts,
+    "duplicate_line_signals": q_duplicate_line_signals,
     "fingerprint": q_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
@@ -641,6 +658,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_prod_pairs": q_embedding_near_dup_prod_pairs,
     "embedding_dedup_prod_keep": q_embedding_dedup_prod_keep,
     "label_centroids": q_label_centroids,
+    "kmeans_cells": q_kmeans_cells,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "hash_sample": q_hash_sample,
@@ -670,6 +688,7 @@ ORACLES: dict[str, str] = {
     "perplexity": oracle.q_perplexity(),
     "langid": oracle.q_langid(),
     "token_counts": oracle.q_token_counts(),
+    "duplicate_line_signals": oracle.q_duplicate_line_signals(),
     "fingerprint": oracle.q_fingerprint(),
     "winnow_fingerprints": oracle.q_winnow_fingerprints(),
     "winnow_near_dup_pairs": oracle.q_winnow_near_dup_pairs(),
@@ -722,6 +741,7 @@ ORACLES: dict[str, str] = {
         max_bucket=PROD_EMB_LSH["max_bucket"],
     ),
     "label_centroids": oracle.q_label_centroids(),
+    "kmeans_cells": oracle.q_kmeans_cells(k=8, iters=3),
     "events_hourly": oracle.q_events_hourly(),
     "events_sessions": oracle.q_events_sessions(),
     "hash_sample": oracle.q_hash_sample(),

@@ -261,6 +261,30 @@ def test_label_centroids_match_numpy(spark):
             assert abs(got[(lb, p)] - round(float(mean[p]), 4)) <= 1e-4
 
 
+def test_kmeans_converges_on_separated_clusters(spark):
+    """3 Lloyd iterations on 4 well-separated clusters (seeded so ids
+    0..3 land one per cluster) must recover the per-cluster means to
+    exact_mean4 precision."""
+    from redpajama_v2_processing_spark.operators.ann import kmeans_cells
+
+    rng = np.random.RandomState(31)
+    centers = np.eye(4).repeat(2, axis=1) * 5  # 4 orthogonal-ish centers, dim 8
+    rows = []
+    for i in range(80):
+        lbl = i % 4  # ids 0..3 are one point per cluster -> good init
+        rows.append((i, [float(x) for x in centers[lbl] + rng.randn(8) * 0.05]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {}
+    for r in kmeans_cells(df, k=4, iters=3).collect():
+        got.setdefault(r.cid, {})[r.pos] = r.centroid
+    assert len(got) == 4  # no cell collapsed
+    vecs = np.array([r[1] for r in rows], dtype="float64")
+    for cid in got:
+        true_mean = vecs[np.arange(80) % 4 == cid % 4].mean(axis=0)
+        for p in range(8):
+            assert abs(got[cid][p] - round(float(true_mean[p]), 4)) <= 2e-4
+
+
 def test_ann_ivf_matches_brute_force_on_clusters(spark):
     """On label-clustered vectors (label = true cluster), IVF with
     n_probe=1 must return the same top-k as exact brute force: all true

@@ -94,6 +94,30 @@ def test_token_counts(spark):
     assert out[1] == (0, 0) and out[2] == (0, 0)
 
 
+def test_duplicate_line_signals_values(spark):
+    from redpajama_v2_processing_spark.functions.signals import (
+        duplicate_line_signals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a\nb\na\n\nc"),      # non-empty lines a,b,a,c -> 1 dup of 4
+            (1, ""),                    # empty doc -> 0.0
+            (2, "x\ny"),               # no dups
+            (3, "same line\nsame line"),  # all dup mass
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: (r.dup_line_fraction, r.dup_line_char_fraction)
+        for r in duplicate_line_signals(df, "doc_id").collect()
+    }
+    assert out[0] == (0.25, 0.25)
+    assert out[1] == (0.0, 0.0)
+    assert out[2] == (0.0, 0.0)
+    assert out[3] == (0.5, 0.5)
+
+
 def test_winnow_fingerprint_guarantee(spark):
     """Winnowing guarantee: docs sharing a substring of length >= k+w-1
     share at least one fingerprint; disjoint-alphabet docs share none;
