@@ -520,6 +520,55 @@ def kmeans_cells(
     ).select("cid", F.col("pos").cast("long").alias("pos"), "centroid")
 
 
+def ann_ivf_trained_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_cells: int = 8,
+    iters: int = 3,
+    n_probe: int = 3,
+    k: int = ANN_TOPK,
+) -> DataFrame:
+    """IVF-Flat top-k over TRAINED cells: kmeans_centroids learns the
+    coarse quantizer from the vectors (no label column needed), then the
+    usual IVF probe — assign every vector to its nearest cell (grouped
+    argmax, no window), probe the query's n_probe nearest cells, rerank
+    those vectors exactly. At warehouse scale the assigned cell is the
+    partition key and training cost amortizes over every query."""
+    cent = F.broadcast(
+        kmeans_centroids(embeddings, k_cells, iters, id_col, vec_col)
+    )
+    ccos = F.round(cosine(F.col(vec_col), F.col("cv")), ANN_ROUND) + 0.0
+    assign = (
+        embeddings.select(id_col, vec_col)
+        .join(cent)
+        .withColumn("_ccos", ccos)
+        .groupBy(id_col)
+        .agg(
+            F.min_by(
+                "cid", F.struct((-F.col("_ccos")).alias("a"), F.col("cid").alias("b"))
+            ).alias("cid")
+        )
+    )
+    qcos = F.round(cosine(_lit_vec(query_vec), F.col("cv")), ANN_ROUND) + 0.0
+    probe = (
+        cent.select("cid", qcos.alias("_qc"))
+        .orderBy(F.col("_qc").desc(), F.col("cid").asc())
+        .limit(n_probe)
+        .select("cid")
+    )
+    cand = embeddings.select(id_col, vec_col).join(assign, id_col).join(
+        F.broadcast(probe), "cid", "left_semi"
+    )
+    c = F.round(cosine(F.col(vec_col), _lit_vec(query_vec)), ANN_ROUND) + 0.0
+    return (
+        cand.select(F.col(id_col), c.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def label_centroids(
     embeddings: DataFrame,
     label_col: str = "label",

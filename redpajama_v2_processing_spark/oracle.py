@@ -969,11 +969,9 @@ def _exact_mean4(expr: str) -> str:
     )
 
 
-def q_kmeans_cells(k: int = 8, iters: int = 3, dim: int = 64) -> str:
-    """Twin of operators/ann.kmeans_cells: the SAME deterministic Lloyd
-    iterations, unrolled as a CTE chain (init = k smallest ids, rounded-
-    cosine argmax assignment with ties to the smallest cid, exact_mean4
-    component updates)."""
+def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> list[str]:
+    """CTE chain for deterministic spherical k-means, ending in
+    c{iters}(cid, cv) and m{iters}(cid, pos, c)."""
     cos = _cos_expr("e.v", "c.cv")
     ctes = [
         "e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
@@ -995,10 +993,48 @@ def q_kmeans_cells(k: int = 8, iters: int = 3, dim: int = 64) -> str:
         ctes.append(
             f"c{t} AS (SELECT cid, list(c ORDER BY pos) AS cv FROM m{t} GROUP BY cid)"
         )
-    body = ",\n".join(ctes)
+    return ctes
+
+
+def q_kmeans_cells(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Twin of operators/ann.kmeans_cells: the SAME deterministic Lloyd
+    iterations, unrolled as a CTE chain (init = k smallest ids, rounded-
+    cosine argmax assignment with ties to the smallest cid, exact_mean4
+    component updates)."""
+    body = ",\n".join(_kmeans_ctes(k, iters, dim))
     return (f"WITH {body}\n"
             f"SELECT cid::BIGINT AS cid, pos::BIGINT AS pos, c::DOUBLE AS centroid "
             f"FROM m{iters}")
+
+
+def q_ann_ivf_trained_topk(query_vec_id: int = 0, k_cells: int = 8,
+                           iters: int = 3, dim: int = 64, n_probe: int = 3,
+                           k: int = ANN_TOPK) -> str:
+    """Twin of operators/ann.ann_ivf_trained_topk: IVF probe/rerank over
+    the k-means-trained cells (same CTE chain as q_kmeans_cells)."""
+    last = f"c{iters}"
+    ccos = f"(round({_cos_expr('e.v', 'v.cv')}, {ANN_ROUND}) + 0.0)"
+    qcos = f"(round({_cos_expr('q.qe', 'v.cv')}, {ANN_ROUND}) + 0.0)"
+    rcos = f"(round({_cos_expr('c.v', 'q.qe')}, {ANN_ROUND}) + 0.0)"
+    body = ",\n".join(_kmeans_ctes(k_cells, iters, dim))
+    return f"""
+WITH {body},
+q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+      FROM embeddings WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT v.cid FROM {last} v, q
+  ORDER BY {qcos} DESC, v.cid LIMIT {n_probe}),
+assign AS (
+  SELECT id, cid FROM (
+    SELECT e.id, v.cid,
+      row_number() OVER (PARTITION BY e.id ORDER BY {ccos} DESC, v.cid) AS rn
+    FROM e CROSS JOIN {last} v) WHERE rn = 1),
+cand AS (
+  SELECT e.id, e.v FROM e
+  JOIN assign a USING (id)
+  JOIN probe p ON a.cid = p.cid)
+SELECT c.id AS vec_id, {rcos}::DOUBLE AS cos
+FROM cand c, q ORDER BY cos DESC, c.id LIMIT {k}"""
 
 
 def q_label_centroids(dim: int = 64) -> str:

@@ -430,6 +430,14 @@ def q_embedding_dedup_prod_keep(spark, sf_dir):
     ).select(F.col("id").alias("vec_id"))
 
 
+def q_ann_ivf_trained_topk(spark, sf_dir):
+    """IVF top-k over the k-means-trained quantizer (no label column)."""
+    from .operators.ann import ann_ivf_trained_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_ivf_trained_topk(emb, _query_vec(spark, sf_dir), n_probe=3)
+
+
 def q_kmeans_cells(spark, sf_dir):
     """Trained IVF coarse quantizer: 3 deterministic Lloyd iterations,
     k=8, oracle-checked end-to-end (init/assign/update all portable)."""
@@ -659,6 +667,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dedup_prod_keep": q_embedding_dedup_prod_keep,
     "label_centroids": q_label_centroids,
     "kmeans_cells": q_kmeans_cells,
+    "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "hash_sample": q_hash_sample,
@@ -742,6 +751,7 @@ ORACLES: dict[str, str] = {
     ),
     "label_centroids": oracle.q_label_centroids(),
     "kmeans_cells": oracle.q_kmeans_cells(k=8, iters=3),
+    "ann_ivf_trained_topk": oracle.q_ann_ivf_trained_topk(),
     "events_hourly": oracle.q_events_hourly(),
     "events_sessions": oracle.q_events_sessions(),
     "hash_sample": oracle.q_hash_sample(),
