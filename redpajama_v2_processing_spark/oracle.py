@@ -916,6 +916,20 @@ SELECT id, kind, w::INT AS width, h::INT AS height,
 FROM b"""
 
 
+def q_image_meta() -> str:
+    """Oracle for the REAL image decode: the Spark side PARSES generated
+    PNG/GIF/JPEG bytes; this side predicts the result from the generator's
+    dimension formula (operators/multimodal.with_synth_images). A parser
+    bug on any byte layout breaks the hash match."""
+    return """
+SELECT doc_id AS id,
+  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS kind,
+  (doc_id % 64 + 1)::INT AS width,
+  (doc_id % 48 + 1)::INT AS height,
+  true AS ok
+FROM documents"""
+
+
 def _cos_expr(a: str, b: str) -> str:
     """Inline (subquery-free) cosine — usable inside window ORDER BY."""
     num = (f"list_aggregate(list_transform(range(1, len({a})+1), "

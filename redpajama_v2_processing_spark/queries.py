@@ -603,6 +603,19 @@ def q_multimodal_meta(spark, sf_dir):
     return decode_media_meta(with_bin, "doc_id", "payload")
 
 
+def q_image_meta(spark, sf_dir):
+    """REAL image decode: deterministic PNG/GIF/JPEG files are generated
+    per doc_id, then their dimensions are PARSED back from the raw bytes
+    (PNG IHDR / GIF screen descriptor / JPEG SOFn walk). The oracle is the
+    generator formula — parse(generate(id)) must reproduce it exactly."""
+    from .operators.multimodal import decode_image_meta, with_synth_images
+
+    imgs = with_synth_images(_docs(spark, sf_dir).select("doc_id"), "doc_id")
+    return decode_image_meta(imgs, "id", "payload").select(
+        "id", "kind", "width", "height", "ok"
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, _query_vec(spark, sf_dir), dim=64, nbits=8)
@@ -683,6 +696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "rollup_counts": q_rollup_counts,
     "multimodal_meta": q_multimodal_meta,
+    "image_meta": q_image_meta,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_multiprobe_topk": q_ann_multiprobe_topk,
     # rows-only: xxhash64 base hash has no DuckDB twin; the identical plan
@@ -767,6 +781,7 @@ ORACLES: dict[str, str] = {
     "set_ops": oracle.q_set_ops(),
     "rollup_counts": oracle.q_rollup_counts(),
     "multimodal_meta": oracle.q_multimodal_meta(),
+    "image_meta": oracle.q_image_meta(),
     "ann_lsh_topk": oracle.q_ann_lsh_topk(),
     "ann_multiprobe_topk": oracle.q_ann_multiprobe_lsh_topk(),
 }
