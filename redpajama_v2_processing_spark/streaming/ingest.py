@@ -50,6 +50,45 @@ def stream_labels(
     return writer.start()
 
 
+def stream_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "24 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact dedup: emit each content fingerprint's FIRST page
+    only, with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` on the content fingerprint keeps one
+    row per fingerprint and — unlike plain dropDuplicates, whose state
+    grows forever — evicts a fingerprint's state once the event-time
+    watermark passes its last sighting + the watermark delay: the standard
+    streaming analog of the batch exact-dedup keep rule (duplicates of a
+    page recrawled within the watermark horizon are dropped; a recrawl
+    after the horizon is treated as new — the bounded-state trade-off,
+    stated rather than hidden).
+    """
+    from ..functions.text import fingerprint_hex
+
+    pages = read_pages_stream(spark, input_dir)
+    deduped = (
+        pages.withColumn("fingerprint", fingerprint_hex(F.col("text")))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_lang_rates(
     spark: SparkSession,
     input_dir: str,

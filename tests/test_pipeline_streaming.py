@@ -339,6 +339,34 @@ def test_check_completeness(spark, tmp_path, pages_small):
         check_completeness(str(tmp_path / "nope"))
 
 
+def test_streaming_exact_dedup_matches_batch_count(spark, tmp_path):
+    """Streaming exact dedup keeps exactly one page per content
+    fingerprint (the fixture plants duplicate texts), matching the batch
+    distinct-fingerprint count, with bounded watermark state."""
+    from pyspark.sql import functions as F2
+
+    from redpajama_v2_processing_spark.functions.text import fingerprint_hex
+    from redpajama_v2_processing_spark.streaming.ingest import (
+        stream_exact_dedup,
+    )
+
+    src_dir = str(tmp_path / "pages_dedup_stream")
+    write_pages(spark, src_dir, n_rows=100, seed=13, partitions=3)
+    out_dir = str(tmp_path / "dedup_out")
+    q = stream_exact_dedup(spark, src_dir, out_dir, str(tmp_path / "dckpt"))
+    q.awaitTermination(120)
+
+    batch = read_pages(spark, src_dir)
+    n_distinct = (
+        batch.select(fingerprint_hex(F2.col("text")).alias("fp"))
+        .distinct()
+        .count()
+    )
+    got = spark.read.parquet(out_dir)
+    assert got.count() == n_distinct < batch.count()  # dups existed, removed
+    assert got.select("fingerprint").distinct().count() == n_distinct
+
+
 def test_stateful_streaming_sessionize(spark, tmp_path):
     """applyInPandasWithState sessionization: gap-closed sessions emit in
     the batch that observes the gap; still-open sessions flush when the
