@@ -141,6 +141,76 @@ def ann_lsh_topk(
     )
 
 
+def banded_keys_frame(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    nbits: int,
+    band_bits: int,
+) -> DataFrame:
+    """DF(_id, band, key): banded hyperplane keys, whole-stage-codegen
+    formulation — the production signature path.
+
+    The Column-expression path (hyperplane_band_keys) folds each dot
+    product with F.aggregate, a higher-order function Catalyst evaluates
+    INTERPRETED (~12x slower than codegen at 50k x 64-plane vectors,
+    measured). Here the vector explodes to (id, pos, x), joins the
+    broadcast (pos -> w_0..w_{nbits-1}) weight table, and ONE hash
+    aggregation computes all nbits dots as integer micro-unit sums
+    (sum of round(x*w*1e6) as bigint — exact integers, so the value is
+    independent of summation order and both engines agree bit-for-bit);
+    bit p = d_p > 0. Fully codegen, partial aggregation map-side, the
+    exchange carries one row per vector.
+
+    Note the bit rule differs in rounding from hyperplane_signature
+    (per-term micro-unit rounding vs round(double dot, 6)) — the two
+    formulations are distinct, internally-consistent LSH families; the
+    production queries and their oracles use THIS one."""
+    planes = plane_weights(dim, nbits)
+    spark = embeddings.sparkSession
+    rows = [(pos, *[planes[p][pos] for p in range(nbits)]) for pos in range(dim)]
+    wdf = spark.createDataFrame(
+        rows, "pos int, " + ", ".join(f"_w{p} double" for p in range(nbits))
+    )
+    ex = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "_x"),
+    )
+    sums = (
+        ex.join(F.broadcast(wdf), "pos")
+        .groupBy("_id")
+        .agg(
+            *[
+                F.sum(
+                    F.round(F.col("_x") * F.col(f"_w{p}") * 1e6).cast("bigint")
+                ).alias(f"_d{p}")
+                for p in range(nbits)
+            ]
+        )
+    )
+
+    def key(b: int) -> Column:
+        out = F.when(F.col(f"_d{b * band_bits}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for j in range(1, band_bits):
+            out = out + F.when(
+                F.col(f"_d{b * band_bits + j}") > 0, F.lit(1 << j).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        return out
+
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), key(b).alias("key"))
+            for b in range(nbits // band_bits)
+        ]
+    )
+    return sums.select("_id", F.explode(bands).alias("_bk")).select(
+        "_id", "_bk.band", "_bk.key"
+    )
+
+
 def ann_multiprobe_lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -234,10 +304,7 @@ def embedding_near_dup_pairs(
             .select("src", "dst", cos.alias("cos"))
             .where(F.col("cos") >= threshold)
         )
-    keys = hyperplane_band_keys(F.col(vec_col), dim, nbits, band_bits)
-    banded = embeddings.select(
-        F.col(id_col).alias("_id"), F.explode(keys).alias("_bk")
-    ).select("_id", "_bk.band", "_bk.key")
+    banded = banded_keys_frame(embeddings, id_col, vec_col, dim, nbits, band_bits)
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -322,10 +389,7 @@ def embedding_dedup_star_keep(
     """
     from .connected_components import connected_components
 
-    keys = hyperplane_band_keys(F.col(vec_col), dim, nbits, band_bits)
-    banded = embeddings.select(
-        F.col(id_col).alias("_id"), F.explode(keys).alias("_bk")
-    ).select("_id", "_bk.band", "_bk.key")
+    banded = banded_keys_frame(embeddings, id_col, vec_col, dim, nbits, band_bits)
     buckets = banded.groupBy("band", "key").agg(F.min("_id").alias("_min_id"))
     cand = (
         banded.join(buckets, ["band", "key"])

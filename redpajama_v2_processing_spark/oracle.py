@@ -710,9 +710,12 @@ sig AS (
 
 def _hyperplane_band_ctes(dim: int, nbits: int, band_bits: int,
                           table: str = "embeddings") -> str:
-    """planes + bands CTEs — twin of operators/ann.hyperplane_band_keys:
+    """planes + bands CTEs — twin of operators/ann.banded_keys_frame:
     the nbits-plane signature split into nbits/band_bits bands, band =
-    p // band_bits, key bit = p % band_bits. Yields bands(vec_id, band, key)."""
+    p // band_bits, key bit = p % band_bits, bit rule = INTEGER micro-unit
+    dot (sum of round(x*w*1e6) as bigint — order-independent, so the
+    engines agree regardless of summation strategy) > 0.
+    Yields bands(vec_id, band, key)."""
     from .operators.ann import plane_weights
 
     planes = plane_weights(dim, nbits)
@@ -720,12 +723,13 @@ def _hyperplane_band_ctes(dim: int, nbits: int, band_bits: int,
         f"({p}, {list(ws)}::DOUBLE[])" for p, ws in enumerate(planes)
     )
     dot = ("list_aggregate(list_transform(range(1, " + str(dim + 1) + "), "
-           "i -> e.embedding[i::INT]::DOUBLE * p.w[i::INT]), 'sum')")
+           "i -> round(e.embedding[i::INT]::DOUBLE * p.w[i::INT] * 1e6)::BIGINT)"
+           ", 'sum')")
     return f"""planes(p, w) AS (VALUES
     {rows}),
 bands AS (
   SELECT e.vec_id, (p.p // {band_bits})::INT AS band,
-    sum(CASE WHEN round({dot}, 6) > 0
+    sum(CASE WHEN {dot} > 0
         THEN (1::BIGINT << (p.p % {band_bits})) ELSE 0 END)::BIGINT AS key
   FROM {table} e CROSS JOIN planes p GROUP BY e.vec_id, p.p // {band_bits})"""
 
