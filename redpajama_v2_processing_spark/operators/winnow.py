@@ -76,7 +76,8 @@ def winnow_near_dup_pairs(
     min_shared: int = 2,
     max_df: int = 10,
 ) -> DataFrame:
-    """DF(src, dst, shared), src < dst: documents sharing >= ``min_shared``
+    """DF(src, dst, shared, src_containment, dst_containment), src < dst:
+    documents sharing >= ``min_shared``
     RARE winnowing fingerprints — substring-level near-dup detection (the
     MOSS use-case: partial overlap / containment that whole-document
     MinHash misses).
@@ -87,6 +88,11 @@ def winnow_near_dup_pairs(
     fingerprint equi-join's per-key fan-out is bounded by max_df, so
     candidate volume is <= (distinct rare fps) * max_df^2 instead of
     quadratic in the hottest fingerprint's document frequency.
+
+    Output adds MOSS-style containment fractions — ``shared`` over each
+    side's TOTAL distinct fingerprint count — so consumers can tell
+    "B contains A" (src_containment ~ 1.0, dst_containment small) apart
+    from symmetric near-duplication.
     """
     fps = winnow_fingerprints(docs, id_col, text_col, k, w)
     rare = (
@@ -95,13 +101,28 @@ def winnow_near_dup_pairs(
         .where((F.col("_df") >= 2) & (F.col("_df") <= max_df))
         .select("fp")
     )
+    counts = fps.groupBy("id").agg(F.count("*").alias("_n"))
     rf = fps.join(rare, "fp")
     a = rf.select(F.col("id").alias("src"), "fp")
     b = rf.select(F.col("id").alias("dst"), "fp")
-    return (
+    pairs = (
         a.join(b, "fp")
         .where(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count("*").cast("long").alias("shared"))
         .where(F.col("shared") >= min_shared)
+    )
+    nsrc = counts.select(F.col("id").alias("src"), F.col("_n").alias("_ns"))
+    ndst = counts.select(F.col("id").alias("dst"), F.col("_n").alias("_nd"))
+    frac = lambda num, den: F.round(  # noqa: E731
+        num.cast("double") / den.cast("double"), 6
+    )
+    return (
+        pairs.join(nsrc, "src")
+        .join(ndst, "dst")
+        .select(
+            "src", "dst", "shared",
+            frac(F.col("shared"), F.col("_ns")).alias("src_containment"),
+            frac(F.col("shared"), F.col("_nd")).alias("dst_containment"),
+        )
     )

@@ -212,15 +212,22 @@ def q_winnow_fingerprints(k: int = 5, w: int = 4) -> str:
 def q_winnow_near_dup_pairs(min_shared: int = 2, max_df: int = 10,
                             k: int = 5, w: int = 4) -> str:
     """Twin of operators/winnow.winnow_near_dup_pairs: substring-level
-    near-dup pairs over rare shared winnowing fingerprints."""
+    near-dup pairs over rare shared winnowing fingerprints, with
+    containment fractions over each side's total fingerprint count."""
     return f"""
 WITH {_winnow_ctes(k, w)},
 rare AS (
   SELECT fp FROM wfp GROUP BY fp HAVING count(*) BETWEEN 2 AND {max_df}),
-rf AS (SELECT w.id, w.fp FROM wfp w JOIN rare USING (fp))
-SELECT a.id AS src, b.id AS dst, count(*)::BIGINT AS shared
-FROM rf a JOIN rf b ON a.fp = b.fp AND a.id < b.id
-GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""
+cnt AS (SELECT id, count(*) AS n FROM wfp GROUP BY id),
+rf AS (SELECT w.id, w.fp FROM wfp w JOIN rare USING (fp)),
+p AS (
+  SELECT a.id AS src, b.id AS dst, count(*)::BIGINT AS shared
+  FROM rf a JOIN rf b ON a.fp = b.fp AND a.id < b.id
+  GROUP BY 1, 2 HAVING count(*) >= {min_shared})
+SELECT p.src, p.dst, p.shared,
+  round(p.shared::DOUBLE / cs.n::DOUBLE, 6)::DOUBLE AS src_containment,
+  round(p.shared::DOUBLE / cd.n::DOUBLE, 6)::DOUBLE AS dst_containment
+FROM p JOIN cnt cs ON cs.id = p.src JOIN cnt cd ON cd.id = p.dst"""
 
 
 def q_duplicate_line_signals() -> str:

@@ -95,3 +95,22 @@ def test_fingerprint_normalization_invariance(spark, texts):
     )
     for r in df.collect():
         assert r.a == r.b == r.c == model(texts[r.i]), repr(texts[r.i])
+
+
+@given(
+    kind=st.sampled_from(["png", "gif", "jpeg"]),
+    w=st.integers(min_value=1, max_value=65535),
+    h=st.integers(min_value=1, max_value=65535),
+)
+@settings(max_examples=40, deadline=None)
+def test_image_meta_roundtrip_property(kind, w, h):
+    """parse(synth(kind, w, h)) must recover (kind, w, h) exactly for the
+    full uint16 dimension range of the GIF/JPEG containers (PNG capped:
+    its pixel payload is materialized). Pure Python — no Spark session."""
+    from redpajama_v2_processing_spark.operators.multimodal import (
+        parse_image_meta, synth_image_bytes,
+    )
+
+    if kind == "png":
+        w, h = w % 64 + 1, h % 48 + 1  # cap payload size; header logic identical
+    assert parse_image_meta(synth_image_bytes(kind, w, h)) == (kind, w, h, True)
