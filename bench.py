@@ -246,7 +246,7 @@ def main() -> int:
             # star-edge candidate volume (the linear-by-construction dedup
             # path): member -> bucket-min edges before the verify
             from redpajama_v2_processing_spark.operators.ann import (
-                hyperplane_band_keys,
+                banded_keys_frame,
             )
             from redpajama_v2_processing_spark.operators.simhash_dedup import (
                 _banded_simhash, with_simhash,
@@ -265,13 +265,10 @@ def main() -> int:
             )
             row["simhash_star_sec"] = round(time.time() - t0, 1)
             t0 = time.time()
-            ek = emb.select(
-                F.col("vec_id").alias("_id"),
-                F.explode(hyperplane_band_keys(
-                    F.col("embedding"), 64, PROD_EMB_LSH["nbits"],
-                    PROD_EMB_LSH["band_bits"],
-                )).alias("_bk"),
-            ).select("_id", "_bk.band", "_bk.key")
+            ek = banded_keys_frame(
+                emb, "vec_id", "embedding", 64,
+                PROD_EMB_LSH["nbits"], PROD_EMB_LSH["band_bits"],
+            )
             ebk = ek.groupBy("band", "key").agg(F.min("_id").alias("_m"))
             row["emb_star_candidates"] = (
                 ek.join(ebk, ["band", "key"])

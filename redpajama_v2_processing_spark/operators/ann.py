@@ -88,30 +88,6 @@ def hyperplane_signature(vec_col: Column, dim: int, nbits: int) -> Column:
     return out
 
 
-def hyperplane_band_keys(vec_col: Column, dim: int, nbits: int, band_bits: int) -> Column:
-    """array<struct<band:int, key:bigint>>: the nbits-plane signature split
-    into nbits/band_bits bands, band b's key built from planes
-    [b*band_bits, (b+1)*band_bits). Two vectors are LSH candidates iff they
-    agree on ANY band — the same banding scheme MinHash/SimHash use
-    (union-of-bands recall, per-band 2^band_bits key space bounding
-    candidate volume)."""
-    planes = plane_weights(dim, nbits)
-    n_bands = nbits // band_bits
-
-    def band_key(b: int) -> Column:
-        out = _plane_bit(vec_col, planes, b * band_bits, 0)
-        for j in range(1, band_bits):
-            out = out + _plane_bit(vec_col, planes, b * band_bits + j, j)
-        return out
-
-    return F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
-            for b in range(n_bands)
-        ]
-    )
-
-
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -152,10 +128,11 @@ def banded_keys_frame(
     """DF(_id, band, key): banded hyperplane keys, whole-stage-codegen
     formulation — the production signature path.
 
-    The Column-expression path (hyperplane_band_keys) folds each dot
-    product with F.aggregate, a higher-order function Catalyst evaluates
-    INTERPRETED (~12x slower than codegen at 50k x 64-plane vectors,
-    measured). Here the vector explodes to (id, pos, x), joins the
+    A Column-expression formulation (folding each dot product with
+    F.aggregate, as hyperplane_signature does) evaluates INTERPRETED —
+    higher-order functions are CodegenFallback — and measured ~12x slower
+    than this at 50k x 64-plane vectors. Here the vector explodes to
+    (id, pos, x), joins the
     broadcast (pos -> w_0..w_{nbits-1}) weight table, and ONE hash
     aggregation computes all nbits dots as integer micro-unit sums
     (sum of round(x*w*1e6) as bigint — exact integers, so the value is
