@@ -42,6 +42,33 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame, ts_col: str = "ts", key_col: str = "event_type",
+    window: str = "1 hour", slide: str = "30 minutes",
+) -> DataFrame:
+    """Per (sliding-window, key): count + engine-exact mean via Spark's
+    NATIVE F.window(ts, size, slide) — each event lands in size/slide
+    overlapping windows (epoch-aligned starts), the same operator
+    Structured Streaming uses for windowed aggregations, so this plan
+    lifts to a stream with a watermark unchanged."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), window, slide).alias("w"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.floor(
+                    (F.sum(F.round(F.col("value") * 1e6).cast("bigint")) * 2
+                     + F.count("*") * 100)
+                    / (F.count("*") * 200)
+                ).cast("bigint") / F.lit(10000.0)
+            ).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), key_col, "n_events", "avg_value"
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",

@@ -1084,6 +1084,26 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
 FROM events GROUP BY 1, 2"""
 
 
+def q_events_sliding(window_s: int = 3600, slide_s: int = 1800) -> str:
+    """Twin of operators/sessionize.sliding_counts: each event belongs to
+    window/slide overlapping epoch-aligned windows — materialized by
+    unnesting the slide offsets (independent formulation of what Spark's
+    native F.window computes)."""
+    n = window_s // slide_s
+    return f"""
+WITH ex AS (
+  SELECT event_type, value,
+    TIMESTAMP '1970-01-01'
+      + ((floor(epoch(ts) / {slide_s}) * {slide_s})::BIGINT - k.k * {slide_s})
+        * INTERVAL 1 SECOND AS wstart
+  FROM events, (SELECT unnest(range(0, {n})) AS k) k)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+  count(*)::BIGINT AS n_events,
+  (floor((sum(round(value * 1e6)::BIGINT) * 2 + count(*) * 100)
+         / (count(*) * 200))::BIGINT / 10000.0)::DOUBLE AS avg_value
+FROM ex GROUP BY 1, 2"""
+
+
 def q_events_sessions() -> str:
     gap = SESSION_GAP_MINUTES * 60
     return f"""

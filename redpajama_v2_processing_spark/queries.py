@@ -460,6 +460,17 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_sliding(spark, sf_dir):
+    """Native sliding event-time windows (1h size, 30min slide)."""
+    from .operators.sessionize import sliding_counts
+
+    out = sliding_counts(_t(spark, sf_dir, "events"))
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events", "avg_value",
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     return sessionize(_t(spark, sf_dir, "events")).select(
         "user_id", F.col("n_sessions").cast("long").alias("n_sessions"), "n_events"
@@ -682,6 +693,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_cells": q_kmeans_cells,
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
     "events_hourly": q_events_hourly,
+    "events_sliding": q_events_sliding,
     "events_sessions": q_events_sessions,
     "hash_sample": q_hash_sample,
     "lang_downsample": q_lang_downsample,
@@ -767,6 +779,7 @@ ORACLES: dict[str, str] = {
     "kmeans_cells": oracle.q_kmeans_cells(k=8, iters=3),
     "ann_ivf_trained_topk": oracle.q_ann_ivf_trained_topk(),
     "events_hourly": oracle.q_events_hourly(),
+    "events_sliding": oracle.q_events_sliding(),
     "events_sessions": oracle.q_events_sessions(),
     "hash_sample": oracle.q_hash_sample(),
     "lang_downsample": oracle.q_lang_downsample(),
