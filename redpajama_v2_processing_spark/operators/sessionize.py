@@ -69,6 +69,31 @@ def sliding_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = SESSION_GAP_MINUTES,
+) -> DataFrame:
+    """Per-(user, session) event counts via Spark's NATIVE
+    F.session_window — the dynamic-gap session operator (a new session
+    starts when an event arrives >= gap after the previous one; the window
+    closes at last_event + gap). Batch here; the identical groupBy lifts
+    to Structured Streaming with a watermark. Session identity surfaces as
+    its start (= min event ts), which is what the gaps-and-islands oracle
+    reproduces independently."""
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes").alias("w"),
+            F.col(user_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user_col, F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",

@@ -1104,6 +1104,31 @@ SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
 FROM ex GROUP BY 1, 2"""
 
 
+def q_session_window_counts(gap_minutes: int = SESSION_GAP_MINUTES) -> str:
+    """Twin of operators/sessionize.session_window_counts: classic
+    gaps-and-islands (break when the gap is REACHED — Spark's session
+    window is the half-open [start, last+gap)), session identity = min ts."""
+    return f"""
+WITH x AS (
+  SELECT user_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+y AS (
+  SELECT user_id, ts,
+    CASE WHEN prev IS NULL OR ts >= prev + INTERVAL {gap_minutes} MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM x),
+z AS (
+  SELECT user_id, ts,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM y)
+SELECT user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  count(*)::BIGINT AS n_events
+FROM z GROUP BY user_id, sid"""
+
+
 def q_events_sessions() -> str:
     gap = SESSION_GAP_MINUTES * 60
     return f"""

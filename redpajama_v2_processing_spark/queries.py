@@ -471,6 +471,18 @@ def q_events_sliding(spark, sf_dir):
     )
 
 
+def q_session_windows(spark, sf_dir):
+    """Native F.session_window sessions (30 min gap), identified by their
+    start timestamp; oracle = independent gaps-and-islands SQL."""
+    from .operators.sessionize import session_window_counts
+
+    return session_window_counts(_t(spark, sf_dir, "events")).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     return sessionize(_t(spark, sf_dir, "events")).select(
         "user_id", F.col("n_sessions").cast("long").alias("n_sessions"), "n_events"
@@ -695,6 +707,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "events_sliding": q_events_sliding,
     "events_sessions": q_events_sessions,
+    "session_windows": q_session_windows,
     "hash_sample": q_hash_sample,
     "lang_downsample": q_lang_downsample,
     "rpv2_pre_banded_keep": q_rpv2_pre_banded_keep,
@@ -781,6 +794,7 @@ ORACLES: dict[str, str] = {
     "events_hourly": oracle.q_events_hourly(),
     "events_sliding": oracle.q_events_sliding(),
     "events_sessions": oracle.q_events_sessions(),
+    "session_windows": oracle.q_session_window_counts(),
     "hash_sample": oracle.q_hash_sample(),
     "lang_downsample": oracle.q_lang_downsample(),
     "rpv2_pre_banded_keep": oracle.q_rpv2_pre_banded_keep(),
