@@ -512,12 +512,16 @@ def kmeans_centroids(
     Cells that lose all members disappear (k can shrink) — identically in
     both engines.
     """
+    from .connected_components import _persistent_ids, _unpersist
+
     emb = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     cent = emb.orderBy("id").limit(k).select(
         F.col("id").alias("cid"), F.col("v").alias("cv")
     )
+    sc = embeddings.sparkSession.sparkContext
+    prev_ids: set[int] = set()
     for _ in range(iters):
         ccos = F.round(cosine(F.col("v"), F.col("cv")), ANN_ROUND) + 0.0
         assign = (
@@ -530,6 +534,7 @@ def kmeans_centroids(
                 ).alias("cid")
             )
         )
+        before = _persistent_ids(sc)
         cent = (
             emb.join(assign, "id")
             .select("cid", F.posexplode("v").alias("pos", "x"))
@@ -543,6 +548,11 @@ def kmeans_centroids(
             )
             .localCheckpoint()
         )
+        # free the superseded iteration's checkpoint blocks (the classic
+        # iterative-checkpoint slow leak — same hygiene as the CC fixpoint);
+        # the final centroids stay materialized for the caller.
+        _unpersist(sc, prev_ids)
+        prev_ids = _persistent_ids(sc) - before
     return cent
 
 
