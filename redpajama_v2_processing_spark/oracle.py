@@ -908,6 +908,21 @@ SELECT vec_id,
 FROM c ORDER BY cos DESC, vec_id LIMIT {k}"""
 
 
+def q_cube_counts() -> str:
+    return """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+  count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+FROM documents GROUP BY CUBE (lang, source)"""
+
+
+def q_top_docs_per_lang(k: int = 3) -> str:
+    return f"""
+SELECT lang, doc_id, n_chars, rk::BIGINT AS rk FROM (
+  SELECT lang, doc_id, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents) WHERE rk <= {k}"""
+
+
 def q_multimodal_meta() -> str:
     """Twin of operators/multimodal.decode_media_meta over the synthetic
     MM1 payloads built by queries.q_multimodal_meta: reconstruct the same

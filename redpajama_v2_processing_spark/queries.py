@@ -608,6 +608,37 @@ def q_rollup_counts(spark, sf_dir):
     )
 
 
+def q_cube_counts(spark, sf_dir):
+    """CUBE over (lang, source): every grouping-set combination (the
+    rollup query covers the hierarchical subset)."""
+    return (
+        _docs(spark, sf_dir)
+        .cube("lang", "source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").cast("long").alias("chars"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n", "chars",
+        )
+    )
+
+
+def q_top_docs_per_lang(spark, sf_dir):
+    """Per-group top-k: the 3 largest docs (by n_chars, ties by doc_id)
+    per language — dense window rank, the canonical grouped-top-k shape."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 3)
+        .select("lang", "doc_id", "n_chars", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 # --- rows-only (no SQL-expressible oracle) ---------------------------------
 
 
@@ -720,6 +751,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "row_number_ids": q_row_number_ids,
     "set_ops": q_set_ops,
     "rollup_counts": q_rollup_counts,
+    "cube_counts": q_cube_counts,
+    "top_docs_per_lang": q_top_docs_per_lang,
     "multimodal_meta": q_multimodal_meta,
     "image_meta": q_image_meta,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -807,6 +840,8 @@ ORACLES: dict[str, str] = {
     "row_number_ids": oracle.q_row_number_ids(),
     "set_ops": oracle.q_set_ops(),
     "rollup_counts": oracle.q_rollup_counts(),
+    "cube_counts": oracle.q_cube_counts(),
+    "top_docs_per_lang": oracle.q_top_docs_per_lang(),
     "multimodal_meta": oracle.q_multimodal_meta(),
     "image_meta": oracle.q_image_meta(),
     "ann_lsh_topk": oracle.q_ann_lsh_topk(),
