@@ -252,6 +252,15 @@ SELECT d.doc_id AS id,
 FROM documents d LEFT JOIN a USING (doc_id)"""
 
 
+def q_langid_confusion() -> str:
+    """Twin of queries.q_langid_confusion: reuse the langid oracle as a
+    subquery, join truth lang, count per cell."""
+    return f"""
+SELECT d.lang, l.langid, count(*)::BIGINT AS n
+FROM documents d JOIN ({q_langid()}) l ON l.doc_id = d.doc_id
+GROUP BY 1, 2"""
+
+
 def q_token_counts() -> str:
     from .functions.text import SUBWORD_PATTERN
 

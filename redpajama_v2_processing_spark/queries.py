@@ -98,6 +98,19 @@ def q_duplicate_line_signals(spark, sf_dir):
     return duplicate_line_signals(_docs(spark, sf_dir), "doc_id")
 
 
+def q_langid_confusion(spark, sf_dir):
+    """Language-ID quality monitoring: confusion counts of detected
+    langid vs the table's declared lang — the per-partition signal-metrics
+    surface a production filter pipeline tracks per crawl."""
+    detected = with_langid(_docs(spark, sf_dir)).select("doc_id", "langid")
+    truth = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (
+        truth.join(detected, "doc_id")
+        .groupBy("lang", "langid")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_token_counts(spark, sf_dir):
     """Per-doc token budget: whitespace tokens + BPE-ish subword pieces
     (pre-tokenizer split: letter runs / digit runs / single marks)."""
@@ -699,6 +712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_entropy": q_unigram_entropy,
     "perplexity": q_perplexity,
     "langid": q_langid,
+    "langid_confusion": q_langid_confusion,
     "token_counts": q_token_counts,
     "duplicate_line_signals": q_duplicate_line_signals,
     "fingerprint": q_fingerprint,
@@ -768,6 +782,7 @@ ORACLES: dict[str, str] = {
     "unigram_entropy": oracle.q_unigram_entropy(),
     "perplexity": oracle.q_perplexity(),
     "langid": oracle.q_langid(),
+    "langid_confusion": oracle.q_langid_confusion(),
     "token_counts": oracle.q_token_counts(),
     "duplicate_line_signals": oracle.q_duplicate_line_signals(),
     "fingerprint": oracle.q_fingerprint(),
