@@ -150,7 +150,11 @@ def banded_keys_frame(
     wdf = spark.createDataFrame(
         rows, "pos int, " + ", ".join(f"_w{p} double" for p in range(nbits))
     )
-    ex = embeddings.select(
+    # input contract: dense dim-length vectors. NULL/short vectors are
+    # dropped EXPLICITLY (and identically in the oracle twin,
+    # _hyperplane_band_ctes) — without the filter, posexplode silently
+    # drops NULLs here while a SQL twin would emit key-0 band rows.
+    ex = embeddings.where(F.size(F.col(vec_col)) == dim).select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "_x"),
     )

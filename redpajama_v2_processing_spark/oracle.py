@@ -747,7 +747,9 @@ bands AS (
   SELECT e.vec_id, (p.p // {band_bits})::INT AS band,
     sum(CASE WHEN {dot} > 0
         THEN (1::BIGINT << (p.p % {band_bits})) ELSE 0 END)::BIGINT AS key
-  FROM {table} e CROSS JOIN planes p GROUP BY e.vec_id, p.p // {band_bits})"""
+  FROM {table} e CROSS JOIN planes p
+  WHERE len(e.embedding) = {dim}
+  GROUP BY e.vec_id, p.p // {band_bits})"""
 
 
 def _pair_cos(a: str, b: str) -> str:

@@ -50,11 +50,19 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def full_pipeline(docs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text", eager: bool = True) -> DataFrame:
     """The reference's complete corpus-production semantics in one DAG:
     quality filter -> exact dedup -> fuzzy dedup; returns surviving docs
     with labels. (Batch composition; the checkpointed staged variant is
-    tableio.run_stages.)"""
+    tableio.run_stages.)
+
+    ``eager=True`` (default) materializes the result once via
+    localCheckpoint while the intermediate survivor cache is live, then
+    frees that cache — no dangling persisted intermediate after the call
+    (the result's own checkpoint blocks belong to the returned DataFrame
+    and are context-cleaned when it is dropped). ``eager=False`` returns
+    the fully lazy plan and the caller owns the survivor cache lifetime
+    (``.unpersist()`` any persisted inputs after the final action)."""
     labeled = label_documents(docs, id_col, text_col).where(F.col("keep"))
     exact = exact_keep_ids(labeled, id_col, text_col)
     # survivors feeds both the fuzzy signature pass and the final semi-join;
@@ -64,4 +72,8 @@ def full_pipeline(docs: DataFrame, id_col: str = "doc_id",
     fuzzy = fuzzy_dedup_keep_ids(
         survivors, id_col, text_col, cfg=PROD_MINHASH, base="xxhash", salted=True
     ).withColumnRenamed("id", id_col)
-    return survivors.join(fuzzy, id_col, "left_semi")
+    out = survivors.join(fuzzy, id_col, "left_semi")
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        survivors.unpersist()
+    return out

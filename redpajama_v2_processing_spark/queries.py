@@ -315,10 +315,13 @@ def q_simhash_near_pairs(spark, sf_dir):
 
 
 def q_simhash_prod_near_pairs(spark, sf_dir):
-    """Production banding: 60-bit simhash, 15-bit bands (32768 keys/band)
-    + the 64-row hot-bucket cap — template pages share band keys by
-    design, so uncapped buckets grow with corpus size (measured 104x
-    candidates at 10x docs on the synthetic web corpus; capped: linear)."""
+    """DIAGNOSTICS-ONLY pairs surface (bounded analysis, not a dedup
+    input): production banding — 60-bit simhash, 15-bit bands (32768
+    keys/band) + the 64-row hot-bucket cap. Even capped, the pairs join
+    grows super-linearly (BENCH.md: 20.5x candidates at 10x docs —
+    mid-width buckets below the cap keep growing), so a 100 TB dedup DAG
+    must consume simhash_dedup_keep (star edges, <= n*bands by
+    construction) instead."""
     return simhash_near_pairs(
         _docs(spark, sf_dir), "doc_id",
         bits=PROD_SIMHASH["bits"], band_bits=PROD_SIMHASH["band_bits"],
@@ -424,9 +427,12 @@ def q_embedding_dedup_keep(spark, sf_dir):
 
 
 def q_embedding_near_dup_prod_pairs(spark, sf_dir):
-    """Production banded profile (PROD_EMB_LSH: 64 planes, 4 bands of 16
-    bits): candidates = union over bands, deduped before the cosine verify
-    — the scale path (65,536 keys/band keeps bucket joins ~linear)."""
+    """DIAGNOSTICS-ONLY pairs surface (bounded analysis, not a dedup
+    input): banded profile (PROD_EMB_LSH: 64 planes, 4 bands of 16 bits),
+    candidates = union over bands, deduped before the cosine verify.
+    Candidate volume is bands*n^2/2^band_bits — quadratic over a constant
+    (BENCH.md: 98.5x at 10x docs); the dedup path is
+    embedding_dedup_prod_keep (star edges, linear)."""
     return embedding_near_dup_pairs(
         _augmented_embeddings(spark, sf_dir), EMB_NEAR_DUP_THRESHOLD,
         nbits=PROD_EMB_LSH["nbits"], band_bits=PROD_EMB_LSH["band_bits"],
@@ -435,11 +441,18 @@ def q_embedding_near_dup_prod_pairs(spark, sf_dir):
 
 
 def q_embedding_dedup_prod_keep(spark, sf_dir):
-    """Keep-list over the banded production near-dup graph."""
-    return embedding_dedup_keep(
+    """Keep-list over the banded production near-dup graph — routed
+    through the STAR-EDGE formulation: candidates <= n * n_bands BY
+    CONSTRUCTION. The pairs-join formulation this query previously used
+    grows ~bands*n^2/2^band_bits even capped (BENCH.md measured 98.5x
+    candidates at 10x docs — the cap never binds on dispersed buckets);
+    the pairs API stays available for bounded analysis
+    (embedding_near_dup_prod_pairs)."""
+    from .operators.ann import embedding_dedup_star_keep
+
+    return embedding_dedup_star_keep(
         _augmented_embeddings(spark, sf_dir), EMB_NEAR_DUP_THRESHOLD,
         nbits=PROD_EMB_LSH["nbits"], band_bits=PROD_EMB_LSH["band_bits"],
-        max_bucket=PROD_EMB_LSH["max_bucket"],
     ).select(F.col("id").alias("vec_id"))
 
 
@@ -831,10 +844,11 @@ ORACLES: dict[str, str] = {
         nbits=PROD_EMB_LSH["nbits"], band_bits=PROD_EMB_LSH["band_bits"],
         max_bucket=PROD_EMB_LSH["max_bucket"],
     ),
-    "embedding_dedup_prod_keep": oracle.q_embedding_dedup_prod_keep(
+    # prod keep routes through star edges (linear candidates) — same
+    # oracle construction as embedding_dedup_star_keep
+    "embedding_dedup_prod_keep": oracle.q_embedding_dedup_star_keep(
         EMB_NEAR_DUP_THRESHOLD,
         nbits=PROD_EMB_LSH["nbits"], band_bits=PROD_EMB_LSH["band_bits"],
-        max_bucket=PROD_EMB_LSH["max_bucket"],
     ),
     "label_centroids": oracle.q_label_centroids(),
     "kmeans_cells": oracle.q_kmeans_cells(k=8, iters=3),

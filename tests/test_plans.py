@@ -103,3 +103,26 @@ def test_whole_stage_codegen_covers_signals(pages_small):
     plan = _physical(with_signals(pages_small).select("url", "number_of_words"))
     # "*(n)" prefixes mark WholeStageCodegen stages in the short plan form
     assert "*(1)" in plan
+
+
+def test_full_pipeline_frees_intermediate_cache(spark, pages_small):
+    """full_pipeline(eager=True) must not leave its internal survivor
+    cache persisted after the call: the only new persistent RDD is the
+    returned result's own localCheckpoint (context-cleaned when the
+    DataFrame is dropped) — a long-lived session running many pipelines
+    must not accumulate caches."""
+    from redpajama_v2_processing_spark.operators.connected_components import (
+        _persistent_ids,
+    )
+    from redpajama_v2_processing_spark.plans.pipeline import full_pipeline
+
+    sc = spark.sparkContext
+    docs = pages_small.select(
+        F.xxhash64("url").alias("doc_id"), "text", "lang"
+    )
+    before = _persistent_ids(sc)
+    out = full_pipeline(docs)
+    assert out.count() > 0
+    new = _persistent_ids(sc) - before
+    # exactly the result checkpoint survives; the survivors cache is gone
+    assert len(new) <= 1
