@@ -55,6 +55,74 @@ def with_unigram_perplexity(
     ).drop("_ppl")
 
 
+def with_bigram_perplexity(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    lam: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """Append ``perplexity_bigram``: interpolated word-bigram LM perplexity
+    — the KenLM-shaped higher-order signal (the reference's perplexity is a
+    KenLM n-gram LM, /root/reference/README.md:78); the unigram scorer
+    above is the order-1 fallback.
+
+    Model (trained on the scored corpus itself, like unigram_model):
+        p(w2|w1) = lam * c(w1 w2)/c(w1) + (1-lam) * c(w2)/T
+    i.e. bigram MLE interpolated with the unigram distribution — Jelinek-
+    Mercer smoothing, the standard backoff family KenLM interpolates with.
+    Doc score = exp(-mean ln p) over the doc's len-1 bigram positions;
+    docs with < 2 tokens score 0.0.
+
+    Plan shape (all JVM-native, zero Python):
+    * bigrams per doc via an array transform over the token array (no
+      window, no per-doc shuffle: sequence + transform + explode);
+    * two grouped counts (unigram, bigram) with map-side partial agg;
+    * the unigram table broadcasts (vocab << corpus); the bigram join
+      keys on (w1, w2) — content-keyed, AQE handles residual skew (hot
+      stopword-stopword bigrams are bounded by language statistics);
+    * one per-doc re-aggregation.
+    """
+    t = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), t.alias("_t")).where(F.size("_t") >= 2)
+    bg = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - 2),
+                lambda i: F.struct(
+                    F.element_at("_t", i + 1).alias("w1"),
+                    F.element_at("_t", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("_b"),
+    ).select(id_col, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+
+    tok = docs.select(F.explode(t).alias("w"))
+    uni = tok.groupBy("w").agg(F.count("*").alias("c1"))
+    total = uni.agg(F.sum("c1").alias("t"))
+    bi = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+
+    u1 = F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c1").alias("_c1")))
+    u2 = F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c1").alias("_cu")))
+    p = (
+        F.lit(lam) * F.col("c2").cast("double") / F.col("_c1").cast("double")
+        + (1 - lam) * F.col("_cu").cast("double") / F.col("t").cast("double")
+    )
+    per_doc = (
+        bg.join(bi, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(F.exp(-F.avg(F.log(p))).alias("_ppl"))
+    )
+    return docs.join(per_doc, id_col, "left").withColumn(
+        "perplexity_bigram",
+        F.round(F.coalesce(F.col("_ppl"), F.lit(0.0)), round_to),
+    ).drop("_ppl")
+
+
 def char_bigram_model(docs: DataFrame, text_col: str = "text") -> dict[str, float]:
     """Train an add-one-smoothed char-bigram LM; returns {bigram: logp(c2|c1)}.
 

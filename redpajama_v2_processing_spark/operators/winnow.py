@@ -23,6 +23,14 @@ from ..functions.text import normalize
 WINNOW_K = 5  # k-gram length (chars, over normalized text)
 WINNOW_W = 4  # window: one fingerprint per w consecutive k-grams
 
+# Dedup-keep profile: MOSS guidance — k must exceed common-idiom length so
+# a shared fingerprint implies genuine copying. Short grams (k=5) recur
+# across hundreds of unrelated web docs, so the max_df rare filter would
+# drop exactly the fingerprints that evidence containment; 20-char grams
+# are near-unique (df 1-2) and survive it.
+WINNOW_DEDUP_K = 20
+WINNOW_DEDUP_W = 8
+
 
 def winnow_fingerprints(
     docs: DataFrame,
@@ -125,4 +133,46 @@ def winnow_near_dup_pairs(
             frac(F.col("shared"), F.col("_ns")).alias("src_containment"),
             frac(F.col("shared"), F.col("_nd")).alias("dst_containment"),
         )
+    )
+
+
+def winnow_dedup_keep(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = WINNOW_DEDUP_K,
+    w: int = WINNOW_DEDUP_W,
+    min_shared: int = 2,
+    max_df: int = 10,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """DF(id): substring-dedup keep-list — one document (min id) per
+    containment component, singletons kept. Completes the dedup-family
+    symmetry (MinHash / SimHash / embedding all end in a CC keep-list;
+    winnowing previously stopped at pairs).
+
+    Edges = near-dup pairs whose LARGER containment fraction reaches
+    ``min_containment`` (either "B contains most of A" or symmetric
+    near-duplication); connected components assign roots; keep root == id.
+
+    Scale: candidate volume is bounded by the ``max_df`` stop-fingerprint
+    filter (<= distinct rare fps * max_df^2 pairs — fingerprints hotter
+    than max_df are boilerplate and dropped), so the edge join never goes
+    quadratic in corpus size; CC is the same O(log n)-round fixpoint the
+    other families use.
+    """
+    from .connected_components import connected_components
+
+    pairs = winnow_near_dup_pairs(
+        docs, id_col, text_col, k, w, min_shared, max_df
+    )
+    edges = pairs.where(
+        F.greatest("src_containment", "dst_containment") >= min_containment
+    ).select("src", "dst")
+    cc = connected_components(edges)
+    ids = docs.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(cc, "id", "left")
+        .where(F.coalesce("root", F.col("id")) == F.col("id"))
+        .select("id")
     )

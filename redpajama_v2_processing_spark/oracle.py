@@ -160,6 +160,33 @@ SELECT d.doc_id, round(coalesce(s.p, 0.0), 4)::DOUBLE AS perplexity
 FROM documents d LEFT JOIN s USING (doc_id)"""
 
 
+def q_perplexity_ngram(lam: float = 0.75) -> str:
+    """Twin of functions/perplexity.with_bigram_perplexity: interpolated
+    (Jelinek-Mercer) word-bigram LM trained on the same corpus, identical
+    token contract, same 4-decimal rounding."""
+    return f"""
+WITH tk AS (SELECT doc_id, {tokens('text')} AS t FROM documents),
+tok AS (SELECT unnest(t) AS w FROM tk),
+uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY 1),
+tot AS (SELECT sum(c1) AS t FROM uni),
+bg AS (
+  SELECT doc_id, t[i.i::INT] AS w1, t[(i.i+1)::INT] AS w2
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+  WHERE len(t) >= 2),
+bi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+s AS (
+  SELECT bg.doc_id,
+    exp(-avg(ln({lam} * bi.c2::DOUBLE / u1.c1::DOUBLE
+              + {1 - lam} * u2.c1::DOUBLE / tot.t::DOUBLE))) AS p
+  FROM bg
+  JOIN bi ON bi.w1 = bg.w1 AND bi.w2 = bg.w2
+  JOIN uni u1 ON u1.w = bg.w1
+  JOIN uni u2 ON u2.w = bg.w2, tot
+  GROUP BY bg.doc_id)
+SELECT d.doc_id, round(coalesce(s.p, 0.0), 4)::DOUBLE AS perplexity_bigram
+FROM documents d LEFT JOIN s USING (doc_id)"""
+
+
 def q_langid() -> str:
     langs = sorted(LANG_MARKERS)
     hit_cols = ",\n    ".join(
@@ -186,10 +213,10 @@ SELECT doc_id,
 FROM s"""
 
 
-def _winnow_ctes(k: int = 5, w: int = 4) -> str:
+def _winnow_ctes(k: int = 5, w: int = 4, table: str = "documents") -> str:
     """CTEs ending in wfp(id, fp) — the distinct winnowing fingerprints."""
     return f"""base AS (
-  SELECT doc_id AS id, {norm('text')} AS n FROM documents
+  SELECT doc_id AS id, {norm('text')} AS n FROM {table}
   WHERE length({norm('text')}) >= {k}),
 g AS (
   SELECT id, i.i AS pos, {md5int(f'substr(n, i.i::INT, {k})')} AS h
@@ -228,6 +255,46 @@ SELECT p.src, p.dst, p.shared,
   round(p.shared::DOUBLE / cs.n::DOUBLE, 6)::DOUBLE AS src_containment,
   round(p.shared::DOUBLE / cd.n::DOUBLE, 6)::DOUBLE AS dst_containment
 FROM p JOIN cnt cs ON cs.id = p.src JOIN cnt cd ON cd.id = p.dst"""
+
+
+def q_winnow_dedup_keep(min_shared: int = 2, max_df: int = 10,
+                        k: int = 20, w: int = 8,
+                        min_containment: float = 0.5) -> str:
+    """Twin of operators/winnow.winnow_dedup_keep: containment-threshold
+    edges over rare shared fingerprints (same 6-decimal rounding as the
+    Spark side), recursive CC, min-id keep over ALL documents.
+
+    The random fixture has no organic substring dups (max containment
+    ~0.07), so the corpus is augmented with a half-length FRAGMENT of
+    every 25th document (id + 1e6) — identical string arithmetic on both
+    sides — whose fingerprints are mostly contained in its parent's."""
+    return f"""
+WITH RECURSIVE aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, substr(text, 1, (length(text) // 2)::INT)
+  FROM documents WHERE doc_id % 25 = 0),
+{_winnow_ctes(k, w, table="aug")},
+rare AS (
+  SELECT fp FROM wfp GROUP BY fp HAVING count(*) BETWEEN 2 AND {max_df}),
+cnt AS (SELECT id, count(*) AS n FROM wfp GROUP BY id),
+rf AS (SELECT w.id, w.fp FROM wfp w JOIN rare USING (fp)),
+p AS (
+  SELECT a.id AS src, b.id AS dst, count(*)::BIGINT AS shared
+  FROM rf a JOIN rf b ON a.fp = b.fp AND a.id < b.id
+  GROUP BY 1, 2 HAVING count(*) >= {min_shared}),
+edges AS (
+  SELECT p.src, p.dst
+  FROM p JOIN cnt cs ON cs.id = p.src JOIN cnt cd ON cd.id = p.dst
+  WHERE greatest(round(p.shared::DOUBLE / cs.n::DOUBLE, 6),
+                 round(p.shared::DOUBLE / cd.n::DOUBLE, 6)) >= {min_containment}),
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(id, root) AS (
+  SELECT doc_id, doc_id FROM aug
+  UNION
+  SELECT s.src, r.root FROM sym s JOIN reach r ON s.dst = r.id
+)
+SELECT id FROM reach GROUP BY id HAVING min(root) = id"""
 
 
 def q_duplicate_line_signals() -> str:

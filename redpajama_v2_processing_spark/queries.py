@@ -84,6 +84,17 @@ def q_perplexity(spark, sf_dir):
     )
 
 
+def q_perplexity_ngram(spark, sf_dir):
+    """Higher-order (interpolated word-bigram, Jelinek-Mercer) LM
+    perplexity — the KenLM-shaped signal; unigram perplexity is the
+    order-1 fallback."""
+    from .functions.perplexity import with_bigram_perplexity
+
+    return with_bigram_perplexity(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", "perplexity_bigram"
+    )
+
+
 def q_langid(spark, sf_dir):
     return with_langid(_docs(spark, sf_dir), score_col="score").select(
         "doc_id", "langid", "score"
@@ -138,6 +149,24 @@ def q_winnow_near_dup_pairs(spark, sf_dir):
     from .operators.winnow import winnow_near_dup_pairs
 
     return winnow_near_dup_pairs(_docs(spark, sf_dir), "doc_id")
+
+
+def q_winnow_dedup_keep(spark, sf_dir):
+    """Substring-dedup keep-list: containment-threshold edges over rare
+    shared winnowing fingerprints -> connected components -> min-id keep
+    (the consumable end of the winnowing family, mirroring the MinHash /
+    SimHash / embedding keep-lists). The fixture has no organic substring
+    dups, so every 25th doc gets a half-length fragment twin (id + 1e6,
+    identical substr arithmetic to the oracle's aug CTE) that the keep
+    rule must fold into its parent's component."""
+    from .operators.winnow import winnow_dedup_keep
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    frags = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.col("text").substr(F.lit(1), F.floor(F.length("text") / 2).cast("int")).alias("text"),
+    )
+    return winnow_dedup_keep(docs.unionByName(frags), "doc_id")
 
 
 def q_fingerprint(spark, sf_dir):
@@ -724,6 +753,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_signals": q_quality_signals,
     "unigram_entropy": q_unigram_entropy,
     "perplexity": q_perplexity,
+    "perplexity_ngram": q_perplexity_ngram,
     "langid": q_langid,
     "langid_confusion": q_langid_confusion,
     "token_counts": q_token_counts,
@@ -731,6 +761,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
+    "winnow_dedup_keep": q_winnow_dedup_keep,
     "scrub_pii": q_scrub,
     "quality_filter": q_quality_filter,
     "quality_thresholds": q_quality_thresholds,
@@ -794,6 +825,7 @@ ORACLES: dict[str, str] = {
     "quality_signals": oracle.q_quality_signals(),
     "unigram_entropy": oracle.q_unigram_entropy(),
     "perplexity": oracle.q_perplexity(),
+    "perplexity_ngram": oracle.q_perplexity_ngram(),
     "langid": oracle.q_langid(),
     "langid_confusion": oracle.q_langid_confusion(),
     "token_counts": oracle.q_token_counts(),
@@ -801,6 +833,7 @@ ORACLES: dict[str, str] = {
     "fingerprint": oracle.q_fingerprint(),
     "winnow_fingerprints": oracle.q_winnow_fingerprints(),
     "winnow_near_dup_pairs": oracle.q_winnow_near_dup_pairs(),
+    "winnow_dedup_keep": oracle.q_winnow_dedup_keep(),
     "scrub_pii": oracle.q_scrub(),
     "quality_filter": oracle.q_quality_filter(),
     "quality_thresholds": oracle.q_quality_thresholds(),

@@ -85,6 +85,41 @@ def test_unigram_perplexity_bounds(spark):
     assert out[2] == 0.0
 
 
+def test_bigram_perplexity(spark):
+    """Interpolated word-bigram LM: a perfectly predictable bigram stream
+    scores lower perplexity than a varied one; < 2 tokens scores 0.0; the
+    repeated-bigram doc's value matches the closed-form model exactly."""
+    from redpajama_v2_processing_spark.functions.perplexity import (
+        with_bigram_perplexity,
+    )
+
+    df = docs_frame(spark, ["a a a a a", "a b c d e", "x", ""])
+    out = {r.doc_id: r.perplexity_bigram for r in
+           with_bigram_perplexity(df, "doc_id")
+           .select("doc_id", "perplexity_bigram").collect()}
+    # doc0: every bigram is (a,a): c2=4, c1(a)=6 (5 in doc0 + 1 in doc1),
+    # p_uni(a)=6/11
+    p = 0.75 * 4 / 6 + 0.25 * 6 / 11
+    assert out[0] == round(1 / p, 4)
+    assert out[1] > out[0]  # unique bigrams -> higher perplexity
+    assert out[2] == 0.0 and out[3] == 0.0
+
+
+def test_bigram_perplexity_plan_is_native(spark):
+    """Zero Python eval nodes: the bigram LM trains and scores entirely
+    JVM-side (array transform + grouped counts + joins)."""
+    from redpajama_v2_processing_spark.functions.perplexity import (
+        with_bigram_perplexity,
+    )
+
+    df = docs_frame(spark, ["a b c", "b c d"])
+    plan = (
+        with_bigram_perplexity(df, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+
+
 def test_char_bigram_perplexity_udf(spark):
     df = docs_frame(spark, ["abab abab", "zzzz zzzz", ""])
     model = char_bigram_model(df)

@@ -167,3 +167,29 @@ def test_winnow_near_dup_pairs(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] >= 2
     assert all(s < 10 for s, _ in pairs)  # no boilerplate-flood pairs
+
+
+def test_winnow_dedup_keep_folds_fragment_into_parent(spark):
+    """Substring-dedup keep-list: a doc that is a verbatim fragment of a
+    larger doc merges into its parent's component (min id kept); unrelated
+    docs stay singletons."""
+    from redpajama_v2_processing_spark.operators.winnow import (
+        winnow_dedup_keep,
+    )
+
+    body = (
+        "a long and very specific passage about distributed winnowing "
+        "fingerprints selected from sliding windows of character grams "
+        "which guarantees coverage of any sufficiently long substring"
+    )
+    df = spark.createDataFrame(
+        [
+            (0, f"intro words {body} closing words"),
+            (1, body),  # contained fragment -> containment ~1.0
+            (2, "entirely different content with no overlap whatsoever "
+                "talking about orthogonal matters in distinct vocabulary"),
+        ],
+        "doc_id long, text string",
+    )
+    keep = {r.id for r in winnow_dedup_keep(df, "doc_id").collect()}
+    assert keep == {0, 2}
