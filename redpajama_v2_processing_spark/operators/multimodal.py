@@ -1,17 +1,23 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-Two decode tiers:
+Three decode tiers:
 
 * REAL image-container decode (`parse_image_meta` / `decode_image_meta`):
   PNG IHDR, GIF logical-screen, and JPEG SOFn dimensions parsed from the
   actual bytes with the stdlib — genuinely implemented semantics,
   oracle-checked (the image generator's dimension formula is the oracle).
-* STUBBED deep decode (pixels / audio / video frames — no PIL/ffmpeg in
-  this container): binary payloads carry a deterministic fake header
-  `MM1|<kind>|<width>|<height>|`; a real decoder drops in behind the
-  `_HAS_PIL` import guard. The Spark-side contract — schema, batching,
-  partition behavior — is real and tested either way.
+* REAL deep pixel decode for gray8 PNGs (`png_gray8_pixels` /
+  `decode_image_pixels`): chunk walk with CRC verification, IDAT zlib
+  inflate, full per-row filter reconstruction (None/Sub/Up/Average/
+  Paeth) — pure stdlib, property-tested across all filter types and
+  oracle-checked against the generator's pixel formula.
+* STUBBED residual deep decode (color/interlaced images, audio, video
+  frames — no PIL/ffmpeg in this container): binary payloads carry a
+  deterministic fake header `MM1|<kind>|<width>|<height>|`; a real
+  decoder drops in behind the `_HAS_PIL` import guard. The Spark-side
+  contract — schema, batching, partition behavior — is real and tested
+  either way.
 """
 
 from __future__ import annotations
@@ -145,22 +151,153 @@ def parse_image_meta(raw: bytes) -> tuple[str, int, int, bool]:
             return ("gif", w, h, True)
         if raw[:2] == b"\xff\xd8":
             i = 2
-            while i + 9 < len(raw):
+            while i + 1 < len(raw):
                 if raw[i] != 0xFF:
                     break
+                # legal 0xFF fill bytes may pad before any marker id
+                while i + 1 < len(raw) and raw[i + 1] == 0xFF:
+                    i += 1
+                if i + 1 >= len(raw):
+                    break
                 marker = raw[i + 1]
-                if marker in (0xD8, 0xD9):
+                # standalone markers carry NO length segment: TEM (0x01),
+                # RSTn (0xD0-0xD7), SOI (0xD8), EOI (0xD9)
+                if marker == 0x01 or 0xD0 <= marker <= 0xD9:
                     i += 2
                     continue
+                if i + 4 > len(raw):
+                    break
                 seglen = struct.unpack(">H", raw[i + 2 : i + 4])[0]
-                # SOFn markers (C0-CF except C4/C8/CC) carry dimensions
+                # SOFn markers (C0-CF except C4/C8/CC) carry dimensions —
+                # parsed even when the segment ends the stream
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    if i + 9 > len(raw):
+                        break
                     h, w = struct.unpack(">HH", raw[i + 5 : i + 9])
                     return ("jpeg", w, h, True)
                 i += 2 + seglen
         return ("unknown", -1, -1, False)
     except Exception:
         return ("unknown", -1, -1, False)
+
+
+def png_gray8_pixels(raw: bytes) -> tuple[int, int, bytearray] | None:
+    """(width, height, pixels) decoded from a non-interlaced 8-bit
+    grayscale PNG — REAL pixel decode with the stdlib alone: chunk walk
+    with CRC verification, concatenated-IDAT zlib inflate, and full
+    per-row filter reconstruction (None/Sub/Up/Average/Paeth, bpp=1).
+    Returns None for anything that is not a well-formed gray8
+    non-interlaced PNG. Pixels are row-major, one byte each."""
+    import struct
+    import zlib
+
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    try:
+        i, width, height, idat, seen_ihdr = 8, 0, 0, [], False
+        while i + 8 <= len(raw):
+            (length,) = struct.unpack(">I", raw[i : i + 4])
+            tag = raw[i + 4 : i + 8]
+            data = raw[i + 8 : i + 8 + length]
+            if len(data) < length or i + 12 + length > len(raw):
+                return None
+            (crc,) = struct.unpack(">I", raw[i + 8 + length : i + 12 + length])
+            if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+                return None
+            if tag == b"IHDR":
+                width, height, depth, ctype, comp, filt, inter = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if (depth, ctype, comp, filt, inter) != (8, 0, 0, 0, 0):
+                    return None  # only gray8 non-interlaced implemented
+                seen_ihdr = True
+            elif tag == b"IDAT":
+                idat.append(data)
+            elif tag == b"IEND":
+                break
+            i += 12 + length
+        if not seen_ihdr or width <= 0 or height <= 0:
+            return None
+        stream = zlib.decompress(b"".join(idat))
+        if len(stream) != (width + 1) * height:
+            return None
+        out = bytearray(width * height)
+        prev_start = None
+        for y in range(height):
+            row_off = y * (width + 1)
+            ftype = stream[row_off]
+            row = bytearray(stream[row_off + 1 : row_off + 1 + width])
+            if ftype == 1:  # Sub: left neighbor (bpp=1)
+                for x in range(1, width):
+                    row[x] = (row[x] + row[x - 1]) & 0xFF
+            elif ftype == 2:  # Up
+                if prev_start is not None:
+                    for x in range(width):
+                        row[x] = (row[x] + out[prev_start + x]) & 0xFF
+            elif ftype == 3:  # Average
+                for x in range(width):
+                    left = row[x - 1] if x else 0
+                    up = out[prev_start + x] if prev_start is not None else 0
+                    row[x] = (row[x] + (left + up) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                for x in range(width):
+                    a = row[x - 1] if x else 0
+                    b = out[prev_start + x] if prev_start is not None else 0
+                    c = (
+                        out[prev_start + x - 1]
+                        if (prev_start is not None and x)
+                        else 0
+                    )
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    row[x] = (row[x] + pred) & 0xFF
+            elif ftype != 0:
+                return None
+            out[y * width : (y + 1) * width] = row
+            prev_start = y * width
+        return (width, height, out)
+    except Exception:
+        return None
+
+
+PIXEL_SCHEMA = (
+    "id long, width int, height int, n_pixels long, pixel_sum long, "
+    "pixel_min int, pixel_max int, pixel_mean double, ok boolean"
+)
+
+
+def decode_image_pixels(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """DF(id, width, height, n_pixels, pixel_sum, pixel_min, pixel_max,
+    pixel_mean, ok): REAL deep image decode for gray8 PNGs — the pixel
+    plane is reconstructed from the actual bytes (png_gray8_pixels:
+    inflate + per-row unfilter), then reduced to deterministic stats that
+    the oracle reproduces from the generator formula. Arrow-batched
+    mapInPandas; non-PNG / malformed payloads report ok=false."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, r in zip(pdf[id_col], pdf[bin_col]):
+                dec = png_gray8_pixels(bytes(r)) if r is not None else None
+                if dec is None:
+                    rows.append((int(i), -1, -1, 0, 0, -1, -1, 0.0, False))
+                else:
+                    w, h, px = dec
+                    s = sum(px)
+                    n = len(px)
+                    rows.append(
+                        (int(i), w, h, n, s, min(px), max(px),
+                         round(s / n, 6), True)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "width", "height", "n_pixels", "pixel_sum",
+                         "pixel_min", "pixel_max", "pixel_mean", "ok"],
+            ).astype({"width": "int32", "height": "int32",
+                      "pixel_min": "int32", "pixel_max": "int32"})
+
+    return df.select(id_col, bin_col).mapInPandas(batches, PIXEL_SCHEMA)
 
 
 def decode_image_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:

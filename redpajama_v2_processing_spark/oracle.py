@@ -1034,6 +1034,30 @@ SELECT doc_id AS id,
 FROM documents"""
 
 
+def q_image_pixels() -> str:
+    """Oracle for the deep PNG pixel decode: the Spark side inflates and
+    unfilters the ACTUAL gray8 PNG byte stream (png_gray8_pixels); this
+    side recomputes the pixel stats straight from the generator's pixel
+    formula p(x, y) = (x*7 + y) % 256 over the id-derived dimensions. Any
+    bug in chunk walking, CRC handling, inflation, or filter
+    reconstruction breaks the value hash."""
+    return """
+WITH ids AS (
+  SELECT doc_id AS id, (doc_id % 64 + 1) AS w, (doc_id % 48 + 1) AS h
+  FROM documents WHERE doc_id % 3 = 0),
+px AS (
+  SELECT id, w, h, ((xx.x * 7 + yy.y) % 256)::BIGINT AS p
+  FROM ids,
+  LATERAL (SELECT unnest(range(0, w)) AS x) xx,
+  LATERAL (SELECT unnest(range(0, h)) AS y) yy)
+SELECT id, w::INT AS width, h::INT AS height,
+  count(*)::BIGINT AS n_pixels, sum(p)::BIGINT AS pixel_sum,
+  min(p)::INT AS pixel_min, max(p)::INT AS pixel_max,
+  round(sum(p)::DOUBLE / count(*)::DOUBLE, 6)::DOUBLE AS pixel_mean,
+  true AS ok
+FROM px GROUP BY id, w, h"""
+
+
 def _cos_expr(a: str, b: str) -> str:
     """Inline (subquery-free) cosine — usable inside window ORDER BY."""
     num = (f"list_aggregate(list_transform(range(1, len({a})+1), "

@@ -725,6 +725,19 @@ def q_image_meta(spark, sf_dir):
     )
 
 
+def q_image_pixels(spark, sf_dir):
+    """REAL deep image decode: the gray8 PNG pixel plane is reconstructed
+    from the generated bytes (chunk walk + CRC check + zlib inflate +
+    per-row filter reconstruction — pure stdlib, no PIL) and reduced to
+    pixel stats. The oracle recomputes the stats from the generator's
+    pixel formula p(x,y) = (x*7+y) % 256 — decode(encode(id)) must
+    reproduce it exactly, pixel-for-pixel."""
+    from .operators.multimodal import decode_image_pixels, with_synth_images
+
+    ids = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") % 3 == 0)
+    return decode_image_pixels(with_synth_images(ids, "doc_id"), "id", "payload")
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, _query_vec(spark, sf_dir), dim=64, nbits=8)
@@ -813,6 +826,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "multimodal_meta": q_multimodal_meta,
     "image_meta": q_image_meta,
+    "image_pixels": q_image_pixels,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_multiprobe_topk": q_ann_multiprobe_topk,
     # rows-only: xxhash64 base hash has no DuckDB twin; the identical plan
@@ -906,6 +920,7 @@ ORACLES: dict[str, str] = {
     "top_docs_per_lang": oracle.q_top_docs_per_lang(),
     "multimodal_meta": oracle.q_multimodal_meta(),
     "image_meta": oracle.q_image_meta(),
+    "image_pixels": oracle.q_image_pixels(),
     "ann_lsh_topk": oracle.q_ann_lsh_topk(),
     "ann_multiprobe_topk": oracle.q_ann_multiprobe_lsh_topk(),
 }

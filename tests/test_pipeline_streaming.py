@@ -160,6 +160,30 @@ def test_real_image_decode_roundtrip(spark):
     assert out[4][3] is False
 
 
+def test_jpeg_marker_walk_edge_cases():
+    """Real-world JPEG streams the SOFn walk must survive: 0xFF fill
+    bytes padding a marker, standalone TEM/RSTn markers (no length
+    segment), and a SOF segment that ends the stream."""
+    import struct
+
+    from redpajama_v2_processing_spark.operators.multimodal import (
+        parse_image_meta,
+    )
+
+    sof0 = struct.pack(">BHHB", 8, 77, 55, 1) + b"\x01\x11\x00"
+    sof_seg = b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+    # fill bytes before the SOF marker id
+    assert parse_image_meta(b"\xff\xd8" + b"\xff\xff\xff" + sof_seg + b"\xff\xd9") \
+        == ("jpeg", 55, 77, True)
+    # standalone TEM and RST markers before SOF
+    assert parse_image_meta(b"\xff\xd8" + b"\xff\x01" + b"\xff\xd3" + sof_seg) \
+        == ("jpeg", 55, 77, True)
+    # SOF segment is the final bytes of the stream (no EOI)
+    assert parse_image_meta(b"\xff\xd8" + sof_seg) == ("jpeg", 55, 77, True)
+    # truncated SOF payload -> rejected, not mis-parsed
+    assert parse_image_meta(b"\xff\xd8" + sof_seg[:6])[3] is False
+
+
 def test_multimodal_plumbing(spark):
     from redpajama_v2_processing_spark.operators.multimodal import (
         decode_media_meta, frame_sample_stub, make_fake_payload,

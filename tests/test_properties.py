@@ -114,3 +114,79 @@ def test_image_meta_roundtrip_property(kind, w, h):
     if kind == "png":
         w, h = w % 64 + 1, h % 48 + 1  # cap payload size; header logic identical
     assert parse_image_meta(synth_image_bytes(kind, w, h)) == (kind, w, h, True)
+
+
+def _encode_gray8_png(pixels: list[list[int]], filters: list[int]) -> bytes:
+    """Reference gray8 PNG ENCODER applying a chosen filter type per row
+    (the exact inverse of png_gray8_pixels' reconstruction) — exists only
+    to prove the decoder handles every filter type, since the fixture
+    generator always writes filter 0."""
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+    out = bytearray()
+    prev = [0] * w
+    for y, row in enumerate(pixels):
+        f = filters[y]
+        out.append(f)
+        for x in range(w):
+            a = row[x - 1] if x else 0
+            b = prev[x] if y else 0
+            c = prev[x - 1] if (y and x) else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = row[x] - a
+            elif f == 2:
+                v = row[x] - b
+            elif f == 3:
+                v = row[x] - (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = row[x] - pred
+            out.append(v & 0xFF)
+        prev = row
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out))) + chunk(b"IEND", b""))
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_pixel_decode_all_filter_types(w, h, seed):
+    """png_gray8_pixels must reconstruct the exact pixel plane under
+    EVERY per-row filter type (None/Sub/Up/Average/Paeth chosen
+    pseudo-randomly per row), not just the filter-0 stream the fixture
+    generator emits; corrupt CRCs and truncation must report None."""
+    import random
+
+    from redpajama_v2_processing_spark.operators.multimodal import (
+        png_gray8_pixels,
+    )
+
+    rng = random.Random(seed)
+    pixels = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+    filters = [rng.randrange(5) for _ in range(h)]
+    raw = _encode_gray8_png(pixels, filters)
+    dec = png_gray8_pixels(raw)
+    assert dec is not None
+    dw, dh, flat = dec
+    assert (dw, dh) == (w, h)
+    assert list(flat) == [p for row in pixels for p in row]
+    # corrupt one IDAT byte -> CRC check must reject
+    bad = bytearray(raw)
+    bad[41] ^= 0xFF
+    assert png_gray8_pixels(bytes(bad)) is None
+    assert png_gray8_pixels(raw[: len(raw) // 2]) is None
