@@ -395,6 +395,10 @@ def main() -> int:
         "cpus": int(CPUS),
         "docs": n_docs,
         "total_query_sec": round(sum(qtimes.values()), 2),
+        # methodology version — rev 3 introduced headline-first ordering,
+        # best-of-2 for slow queries, and min-over-spread samples; numbers
+        # are NOT apples-to-apples with rev<3 rounds (BENCH_r01/r02)
+        "bench_rev": 3,
     }))
     return 0
 

@@ -82,19 +82,23 @@ def langid_struct(text: Column) -> Column:
 def langid_pandas_udf(text: pd.Series) -> pd.Series:
     """Arrow-batched UDF slot for a real langid model.
 
-    Deterministic stand-in: same lexicon argmax as `langid_struct`, computed
-    vectorized in pandas. Swap the body for fastText/CLD3 inference in
-    production (model file broadcast via SparkFiles).
+    Deterministic stand-in: the SAME double-space-join + alternation-count
+    formulation as the codegen path (signals.joined_tokens/lexicon_hits),
+    fully vectorized — pandas .str ops plus one precompiled alternation
+    regex count per language; no per-row Python lambda anywhere. Swap the
+    body for fastText/CLD3 inference in production (model file broadcast
+    via SparkFiles).
     """
-    low = text.fillna("").str.lower()
-    toks = low.str.split()
-    counts = toks.str.len().replace(0, 1)
+    import re
+
+    toks = text.fillna("").str.split()
+    jtok = "  " + toks.str.join("  ").str.lower() + "  "
+    ntok = toks.str.len().replace(0, 1)
     best_lang = pd.Series(LANGID_DEFAULT, index=text.index)
     best_score = pd.Series(0.0, index=text.index)
     for lg in sorted(LANG_MARKERS):
-        lex = set(LANG_MARKERS[lg])
-        hits = toks.map(lambda ts: sum(t in lex for t in ts) if ts else 0)
-        score = hits / counts
+        pattern = re.compile(" (" + "|".join(LANG_MARKERS[lg]) + ") ")
+        score = jtok.str.count(pattern) / ntok
         better = score > best_score
         best_lang = best_lang.where(~better, lg)
         best_score = best_score.where(~better, score)

@@ -13,9 +13,13 @@ from ..config import SESSION_GAP_MINUTES
 
 def tumbling_counts(
     events: DataFrame, ts_col: str = "ts", key_col: str = "event_type",
-    round_to: int = 4,
+    value_col: str = "value",
 ) -> DataFrame:
-    """Per (hour-window, key): count + rounded mean value."""
+    """Per (hour-window, key): count + engine-exact 4-decimal mean value
+    (ann.exact_mean4 — order-independent integer micro-unit sums, so the
+    rounded 4th decimal cannot flip across engines/partitionings)."""
+    from .ann import exact_mean4
+
     return (
         events.groupBy(
             F.date_trunc("hour", F.col(ts_col)).alias("window_start"),
@@ -23,27 +27,14 @@ def tumbling_counts(
         )
         .agg(
             F.count("*").alias("n_events"),
-            # engine-exact mean: per-value fixed-point micro-units summed
-            # as integers (double sum order flips the rounded 4th decimal
-            # across engines/partitionings — observed at sf0.1), then the
-            # 4-decimal HALF_UP quotient computed in integer arithmetic
-            # (floor((2*num + den) / (2*den))) — float rounding of exact
-            # .00005 boundaries differs between Spark (decimal expansion)
-            # and DuckDB (scaled multiply). Valid for value >= 0;
-            # magnitudes stay far below 2^53 per group.
-            (
-                F.floor(
-                    (F.sum(F.round(F.col("value") * 1e6).cast("bigint")) * 2
-                     + F.count("*") * 100)
-                    / (F.count("*") * 200)
-                ).cast("bigint") / F.lit(10000.0)
-            ).alias("avg_value"),
+            exact_mean4(F.col(value_col)).alias("avg_value"),
         )
     )
 
 
 def sliding_counts(
     events: DataFrame, ts_col: str = "ts", key_col: str = "event_type",
+    value_col: str = "value",
     window: str = "1 hour", slide: str = "30 minutes",
 ) -> DataFrame:
     """Per (sliding-window, key): count + engine-exact mean via Spark's
@@ -51,17 +42,13 @@ def sliding_counts(
     overlapping windows (epoch-aligned starts), the same operator
     Structured Streaming uses for windowed aggregations, so this plan
     lifts to a stream with a watermark unchanged."""
+    from .ann import exact_mean4
+
     return (
         events.groupBy(F.window(F.col(ts_col), window, slide).alias("w"), F.col(key_col))
         .agg(
             F.count("*").alias("n_events"),
-            (
-                F.floor(
-                    (F.sum(F.round(F.col("value") * 1e6).cast("bigint")) * 2
-                     + F.count("*") * 100)
-                    / (F.count("*") * 200)
-                ).cast("bigint") / F.lit(10000.0)
-            ).alias("avg_value"),
+            exact_mean4(F.col(value_col)).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"), key_col, "n_events", "avg_value"
