@@ -276,6 +276,31 @@ def main() -> int:
                 .select("_id", "_m").distinct().count()
             )
             row["emb_star_sec"] = round(time.time() - t0, 1)
+            # winnow candidate volume: rare-fingerprint join pairs (the
+            # substring-dedup family's scale cost). Bounded by the max_df
+            # stop-fingerprint filter: <= distinct rare fps * C(max_df, 2),
+            # and rare-fp count grows ~linearly with the corpus.
+            from redpajama_v2_processing_spark.operators.winnow import (
+                WINNOW_DEDUP_K, WINNOW_DEDUP_W, winnow_fingerprints,
+            )
+
+            t0 = time.time()
+            wf = winnow_fingerprints(
+                docs, "id_int", k=WINNOW_DEDUP_K, w=WINNOW_DEDUP_W
+            )
+            rare = (
+                wf.groupBy("fp").agg(F.count("*").alias("_df"))
+                .where((F.col("_df") >= 2) & (F.col("_df") <= 10))
+                .select("fp")
+            )
+            rf = wf.join(rare, "fp")
+            row["winnow_candidates"] = (
+                rf.select(F.col("id").alias("_a"), "fp")
+                .join(rf.select(F.col("id").alias("_b"), "fp"), "fp")
+                .where(F.col("_a") < F.col("_b"))
+                .count()
+            )
+            row["winnow_sec"] = round(time.time() - t0, 1)
             report[str(n)] = row
         ratios = {
             k: round(report["50000"][k] / max(report["5000"][k], 1), 2)
@@ -285,6 +310,7 @@ def main() -> int:
                 "simhash_star_candidates",
                 "emb_uncapped_candidates", "emb_capped_candidates",
                 "emb_star_candidates",
+                "winnow_candidates",
             )
         }
         print(json.dumps({"growth": report, "ratio_50k_over_5k": ratios,

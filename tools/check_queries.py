@@ -3,6 +3,9 @@ __spark_entry__ query against its DuckDB oracle and compares
 row count + schema + order-insensitive values. Usage:
 
     python tools/check_queries.py [sf_dir] [query ...]
+
+Set CHECK_QUERIES_JSON=<path> to also write a CORRECTNESS-style JSON
+record of the run (per-query status/rows/seconds).
 """
 
 from __future__ import annotations
@@ -60,6 +63,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = 0
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -70,10 +74,13 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            record[name] = {"status": "fail", "error": f"spark: {e}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ROWS {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            record[name] = {"status": "rows_only", "rows": len(srows),
+                            "sec": round(time.time() - t0, 1)}
             continue
         try:
             res = con.execute(oracles[name])
@@ -81,6 +88,7 @@ def main():
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            record[name] = {"status": "fail", "error": f"duckdb: {e}"}
             n_fail += 1
             continue
         problems = []
@@ -95,12 +103,24 @@ def main():
                 problems.append(f"values differ; first diffs: {diffs}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
+            record[name] = {"status": "fail", "error": "; ".join(problems)[:500]}
             n_fail += 1
         else:
             print(f"PASS {name} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            record[name] = {"status": "pass", "rows": len(srows),
+                            "sec": round(time.time() - t0, 1)}
             n_pass += 1
 
     print(f"\n{n_pass} passed, {n_fail} failed")
+    import os
+
+    out = os.environ.get("CHECK_QUERIES_JSON")
+    if out:
+        import json
+
+        with open(out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "passed": n_pass, "failed": n_fail,
+                       "queries": record}, f, indent=1, sort_keys=True)
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
