@@ -69,7 +69,8 @@ def stage_inputs(spark, sf_dir: str, splits: int) -> str:
 
 HEADLINE = [
     "quality_signals", "quality_filter", "langid", "unigram_entropy",
-    "perplexity", "scrub_pii", "exact_dedup_keep", "minhash_bands",
+    "perplexity", "perplexity_ngram", "perplexity_buckets",
+    "scrub_pii", "exact_dedup_keep", "minhash_bands",
     "lsh_buckets", "fuzzy_dedup_keep", "fuzzy_dedup_prod",
     "fuzzy_dedup_prod_checked", "fuzzy_dedup_distributed",
     "simhash_near_pairs", "simhash_prod_near_pairs", "simhash_dedup_keep",
@@ -77,8 +78,10 @@ HEADLINE = [
     "lang_downsample", "token_counts", "ann_cosine_topk", "ann_lsh_topk",
     "ann_ivf_topk", "embedding_near_dup_pairs", "embedding_dedup_keep",
     "embedding_near_dup_prod_pairs", "embedding_dedup_star_keep",
+    "embedding_dedup_prod_keep",
     "label_centroids", "kmeans_cells", "ann_ivf_trained_topk",
-    "ann_multiprobe_topk", "winnow_near_dup_pairs", "image_meta",
+    "ann_multiprobe_topk", "winnow_near_dup_pairs", "winnow_dedup_keep",
+    "image_meta", "image_pixels", "quantile_filter", "session_windows",
     "events_hourly", "events_sessions", "pricing_summary", "segment_revenue",
 ]
 

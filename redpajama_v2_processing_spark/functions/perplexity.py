@@ -123,6 +123,50 @@ def with_bigram_perplexity(
     ).drop("_ppl")
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    lam: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """DF(id, lang, ppl_bucket): CCNet-style head/middle/tail partition —
+    per-language terciles of the interpolated bigram LM perplexity, lower
+    perplexity (closer to the LM) = 'head'. RedPajama-v2's source corpus
+    is sharded exactly this way ({lang}_head/{lang}_middle/{lang}_tail
+    paths — the files the reference pipeline consumes,
+    /root/reference/README.md:24-46).
+
+    Plan: the bigram scorer's plan, then ONE groupBy(lang) exact-percentile
+    aggregation (tiny result — one row per language — broadcast back) and a
+    CASE label; the corpus side never shuffles for the labeling join. At
+    100 TB swap exact=... semantics for percentile_approx as in
+    operators/thresholds.py. Docs with < 2 tokens score 0.0 and land in
+    head by construction; filter upstream if undesired.
+    """
+    p = 1.0 / 3.0
+    scored = with_bigram_perplexity(docs, id_col, text_col, lam, round_to).select(
+        id_col, lang_col, "perplexity_bigram"
+    )
+    th = scored.groupBy(lang_col).agg(
+        F.round(
+            F.expr(f"percentile(perplexity_bigram, {p!r})").cast("double"), 6
+        ).alias("_p33"),
+        F.round(
+            F.expr(f"percentile(perplexity_bigram, {2 * p!r})").cast("double"), 6
+        ).alias("_p67"),
+    )
+    bucket = (
+        F.when(F.col("perplexity_bigram") <= F.col("_p33"), "head")
+        .when(F.col("perplexity_bigram") <= F.col("_p67"), "middle")
+        .otherwise("tail")
+    )
+    return scored.join(F.broadcast(th), lang_col).select(
+        id_col, lang_col, bucket.alias("ppl_bucket")
+    )
+
+
 def char_bigram_model(docs: DataFrame, text_col: str = "text") -> dict[str, float]:
     """Train an add-one-smoothed char-bigram LM; returns {bigram: logp(c2|c1)}.
 

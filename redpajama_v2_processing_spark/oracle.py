@@ -160,12 +160,11 @@ SELECT d.doc_id, round(coalesce(s.p, 0.0), 4)::DOUBLE AS perplexity
 FROM documents d LEFT JOIN s USING (doc_id)"""
 
 
-def q_perplexity_ngram(lam: float = 0.75) -> str:
-    """Twin of functions/perplexity.with_bigram_perplexity: interpolated
-    (Jelinek-Mercer) word-bigram LM trained on the same corpus, identical
-    token contract, same 4-decimal rounding."""
-    return f"""
-WITH tk AS (SELECT doc_id, {tokens('text')} AS t FROM documents),
+def _bigram_ppl_ctes(lam: float = 0.75) -> str:
+    """CTEs ending in scored(doc_id, lang, p): interpolated word-bigram
+    LM perplexity per document (round 4, 0.0 for < 2 tokens) — twin of
+    functions/perplexity.with_bigram_perplexity."""
+    return f"""tk AS (SELECT doc_id, {tokens('text')} AS t FROM documents),
 tok AS (SELECT unnest(t) AS w FROM tk),
 uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY 1),
 tot AS (SELECT sum(c1) AS t FROM uni),
@@ -182,9 +181,37 @@ s AS (
   JOIN bi ON bi.w1 = bg.w1 AND bi.w2 = bg.w2
   JOIN uni u1 ON u1.w = bg.w1
   JOIN uni u2 ON u2.w = bg.w2, tot
-  GROUP BY bg.doc_id)
-SELECT d.doc_id, round(coalesce(s.p, 0.0), 4)::DOUBLE AS perplexity_bigram
-FROM documents d LEFT JOIN s USING (doc_id)"""
+  GROUP BY bg.doc_id),
+scored AS (
+  SELECT d.doc_id, d.lang, round(coalesce(s.p, 0.0), 4)::DOUBLE AS p
+  FROM documents d LEFT JOIN s USING (doc_id))"""
+
+
+def q_perplexity_ngram(lam: float = 0.75) -> str:
+    """Twin of functions/perplexity.with_bigram_perplexity: interpolated
+    (Jelinek-Mercer) word-bigram LM trained on the same corpus, identical
+    token contract, same 4-decimal rounding."""
+    return (f"WITH {_bigram_ppl_ctes(lam)}\n"
+            "SELECT doc_id, p AS perplexity_bigram FROM scored")
+
+
+def q_perplexity_buckets(lam: float = 0.75) -> str:
+    """Twin of functions/perplexity.perplexity_buckets: CCNet-style
+    head/middle/tail labels from per-language exact terciles
+    (quantile_cont == Spark `percentile`, linear interpolation, same
+    literal fractions, 6-decimal rounding)."""
+    p = 1.0 / 3.0
+    return f"""
+WITH {_bigram_ppl_ctes(lam)},
+th AS (
+  SELECT lang, round(quantile_cont(p, {p!r}), 6)::DOUBLE AS p33,
+         round(quantile_cont(p, {2 * p!r}), 6)::DOUBLE AS p67
+  FROM scored GROUP BY lang)
+SELECT s.doc_id, s.lang,
+  CASE WHEN s.p <= th.p33 THEN 'head'
+       WHEN s.p <= th.p67 THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM scored s JOIN th USING (lang)"""
 
 
 def q_langid() -> str:

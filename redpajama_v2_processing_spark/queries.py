@@ -95,6 +95,15 @@ def q_perplexity_ngram(spark, sf_dir):
     )
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail partition: per-language terciles of
+    the bigram LM perplexity — the scheme that shards RPv2's source
+    corpus into {lang}_head/{lang}_middle/{lang}_tail files."""
+    from .functions.perplexity import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir), "doc_id")
+
+
 def q_langid(spark, sf_dir):
     return with_langid(_docs(spark, sf_dir), score_col="score").select(
         "doc_id", "langid", "score"
@@ -772,6 +781,7 @@ def q_fuzzy_dedup_prod(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round / never driver-certified -----------------------
     "perplexity_ngram": q_perplexity_ngram,
+    "perplexity_buckets": q_perplexity_buckets,
     "winnow_dedup_keep": q_winnow_dedup_keep,
     "image_pixels": q_image_pixels,
     "pricing_summary": q_pricing_summary,
@@ -824,9 +834,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_windows": q_session_windows,
     "lang_downsample": q_lang_downsample,
     "rpv2_pre_banded_keep": q_rpv2_pre_banded_keep,
-    "top_sources": q_top_sources,
     # --- redundant oracle-twins / intermediate stages (certified via a
     # sibling in prior rounds; beyond the driver's 50-query window) ------
+    "top_sources": q_top_sources,
     "quality_thresholds": q_quality_thresholds,
     "minhash_bands": q_minhash_bands,
     "lsh_buckets": q_lsh_buckets,
@@ -851,6 +861,7 @@ ORACLES: dict[str, str] = {
     "unigram_entropy": oracle.q_unigram_entropy(),
     "perplexity": oracle.q_perplexity(),
     "perplexity_ngram": oracle.q_perplexity_ngram(),
+    "perplexity_buckets": oracle.q_perplexity_buckets(),
     "langid": oracle.q_langid(),
     "langid_confusion": oracle.q_langid_confusion(),
     "token_counts": oracle.q_token_counts(),

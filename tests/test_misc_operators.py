@@ -120,6 +120,34 @@ def test_bigram_perplexity_plan_is_native(spark):
     assert "EvalPython" not in plan
 
 
+def test_perplexity_buckets_tercile_balance(spark, pages_small):
+    """CCNet head/middle/tail labels: every (lang) group splits into
+    roughly equal thirds (exact terciles), and all three buckets appear
+    for any language with enough docs."""
+    from pyspark.sql import functions as F
+
+    from redpajama_v2_processing_spark.functions.perplexity import (
+        perplexity_buckets,
+    )
+
+    docs = pages_small.select(
+        F.xxhash64("url").alias("doc_id"), "text", "lang"
+    )
+    out = perplexity_buckets(docs, "doc_id")
+    counts = {
+        (r.lang, r.ppl_bucket): r.n
+        for r in out.groupBy("lang", "ppl_bucket").agg(F.count("*").alias("n")).collect()
+    }
+    per_lang: dict = {}
+    for (lang, b), n in counts.items():
+        per_lang.setdefault(lang, {})[b] = n
+    for lang, bs in per_lang.items():
+        total = sum(bs.values())
+        if total >= 9:
+            assert set(bs) == {"head", "middle", "tail"}, (lang, bs)
+            assert max(bs.values()) - min(bs.values()) <= total // 3 + 2, (lang, bs)
+
+
 def test_char_bigram_perplexity_udf(spark):
     df = docs_frame(spark, ["abab abab", "zzzz zzzz", ""])
     model = char_bigram_model(df)
