@@ -284,6 +284,29 @@ SELECT p.src, p.dst, p.shared,
 FROM p JOIN cnt cs ON cs.id = p.src JOIN cnt cd ON cd.id = p.dst"""
 
 
+def q_decontaminate_flags(n: int = 13, min_hits: int = 1, every: int = 40,
+                          prefix_tokens: int = 20) -> str:
+    """Twin of operators/decontaminate.contaminated_ids over the
+    corpus-derived synthetic benchmark set (every ``every``-th doc's first
+    ``prefix_tokens`` tokens): identical token contract, identical md5int
+    hash of the space-joined word n-gram."""
+    gram = f"array_to_string(t[i.i::INT:(i.i + {n - 1})::INT], ' ')"
+    return f"""
+WITH tk AS (SELECT doc_id, {tokens('text')} AS t FROM documents),
+bt AS (SELECT t[1:{prefix_tokens}] AS t FROM tk WHERE doc_id % {every} = 0),
+bg AS (
+  SELECT DISTINCT {md5int(gram)} AS gh
+  FROM bt, LATERAL (SELECT unnest(range(1, len(t) - {n - 2})) AS i) i
+  WHERE len(t) >= {n}),
+dg AS (
+  SELECT DISTINCT doc_id, {md5int(gram)} AS gh
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t) - {n - 2})) AS i) i
+  WHERE len(t) >= {n})
+SELECT doc_id, count(*)::BIGINT AS hits
+FROM dg JOIN bg USING (gh)
+GROUP BY doc_id HAVING count(*) >= {min_hits}"""
+
+
 def q_winnow_dedup_keep(min_shared: int = 2, max_df: int = 10,
                         k: int = 20, w: int = 8,
                         min_containment: float = 0.5) -> str:
@@ -1204,6 +1227,88 @@ cand AS (
   JOIN probe p ON a.cid = p.cid)
 SELECT c.id AS vec_id, {rcos}::DOUBLE AS cos
 FROM cand c, q ORDER BY cos DESC, c.id LIMIT {k}"""
+
+
+def _pq_ctes(m: int = 4, k_codes: int = 16, iters: int = 2,
+             dim: int = 64) -> list[str]:
+    """CTE chain for deterministic per-subspace PQ training — twin of
+    operators/pq.pq_codebooks. Ends in pc{iters}(sub, cid, cv) and
+    pm{iters}(sub, cid, pos, c). All distances are integer micro-unit
+    sums (round(x*1e6) BEFORE arithmetic), so assignment is exact."""
+    d = dim // m
+    l2 = (f"list_aggregate(list_transform(range(1, {d + 1}), i -> "
+          f"(round(e.sv[i::INT]*1e6)::BIGINT - round(c.cv[i::INT]*1e6)::BIGINT) * "
+          f"(round(e.sv[i::INT]*1e6)::BIGINT - round(c.cv[i::INT]*1e6)::BIGINT)), "
+          f"'sum')")
+    ctes = [
+        f"""sv AS (
+  SELECT vec_id AS id, s.s AS sub,
+    list_transform(embedding[(s.s*{d}+1)::INT:((s.s+1)*{d})::INT],
+                   x -> x::DOUBLE) AS sv
+  FROM embeddings, (SELECT unnest(range(0, {m})) AS s) s)""",
+        f"""pc0 AS (
+  SELECT sub, id AS cid, sv AS cv FROM sv
+  WHERE id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k_codes}))""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""pa{t} AS (
+  SELECT id, sub, cid FROM (
+    SELECT e.id, e.sub, c.cid,
+      row_number() OVER (PARTITION BY e.id, e.sub
+        ORDER BY {l2} ASC, c.cid) AS rn
+    FROM sv e JOIN pc{t - 1} c USING (sub)) WHERE rn = 1)""")
+        ctes.append(f"""pm{t} AS (
+  SELECT a.sub, a.cid, (i.i - 1) AS pos,
+    ({_exact_mean4('e.sv[i.i::INT]')} + 0.0) AS c
+  FROM sv e JOIN pa{t} a USING (id, sub),
+       (SELECT unnest(range(1, {d + 1})) AS i) i
+  GROUP BY 1, 2, 3)""")
+        ctes.append(
+            f"pc{t} AS (SELECT sub, cid, list(c ORDER BY pos) AS cv "
+            f"FROM pm{t} GROUP BY 1, 2)"
+        )
+    return ctes
+
+
+def q_pq_codebooks(m: int = 4, k_codes: int = 16, iters: int = 2,
+                   dim: int = 64) -> str:
+    """Twin of operators/pq.pq_codebooks (exploded to one row per
+    centroid component)."""
+    body = ",\n".join(_pq_ctes(m, k_codes, iters, dim))
+    return (f"WITH {body}\n"
+            f"SELECT sub::BIGINT AS sub, cid::BIGINT AS cid, "
+            f"pos::BIGINT AS pos, c::DOUBLE AS centroid FROM pm{iters}")
+
+
+def q_ann_pq_topk(query_vec_id: int = 0, m: int = 4, k_codes: int = 16,
+                  iters: int = 2, dim: int = 64, k: int = ANN_TOPK) -> str:
+    """Twin of operators/pq.ann_pq_topk: encode against the FINAL
+    codebooks, ADC score = integer micro-unit^2 dot sums divided once."""
+    d = dim // m
+    l2 = (f"list_aggregate(list_transform(range(1, {d + 1}), i -> "
+          f"(round(e.sv[i::INT]*1e6)::BIGINT - round(c.cv[i::INT]*1e6)::BIGINT) * "
+          f"(round(e.sv[i::INT]*1e6)::BIGINT - round(c.cv[i::INT]*1e6)::BIGINT)), "
+          f"'sum')")
+    body = ",\n".join(_pq_ctes(m, k_codes, iters, dim))
+    return f"""
+WITH {body},
+q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+      FROM embeddings WHERE vec_id = {query_vec_id}),
+enc AS (
+  SELECT id, sub, cid FROM (
+    SELECT e.id, e.sub, c.cid,
+      row_number() OVER (PARTITION BY e.id, e.sub
+        ORDER BY {l2} ASC, c.cid) AS rn
+    FROM sv e JOIN pc{iters} c USING (sub)) WHERE rn = 1),
+lut AS (
+  SELECT c.sub, c.cid,
+    list_aggregate(list_transform(range(1, {d + 1}), i ->
+      round(q.qe[(c.sub*{d} + i)::INT]*1e6)::BIGINT *
+      round(c.cv[i::INT]*1e6)::BIGINT), 'sum') AS qd
+  FROM pc{iters} c, q)
+SELECT e.id AS vec_id, (sum(l.qd) / 1000000000000.0)::DOUBLE AS score
+FROM enc e JOIN lut l USING (sub, cid)
+GROUP BY e.id ORDER BY score DESC, vec_id LIMIT {k}"""
 
 
 def q_label_centroids(dim: int = 64) -> str:

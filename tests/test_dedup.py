@@ -135,3 +135,33 @@ def test_null_and_empty_text_survive(spark):
     )
     kept = sorted(r.id for r in fuzzy_dedup_keep_ids(df, "doc_id").collect())
     assert kept == [0, 1, 2]  # unsignable docs are kept (reference null guard)
+
+
+def test_decontaminate_ngram_overlap(spark):
+    """Benchmark decontamination: a doc containing a benchmark item's
+    13-gram verbatim is flagged (however it is embedded); clean docs
+    survive; min_hits thresholds count DISTINCT shared grams."""
+    from redpajama_v2_processing_spark.operators.decontaminate import (
+        contaminated_ids, decontaminate,
+    )
+
+    phrase = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+              "juliett kilo lima mike")  # exactly 13 words
+    docs = docs_frame(spark, [
+        f"intro words {phrase} closing trailer",          # 0: contains it
+        "totally unrelated content with none of those words at all "
+        "spread across many tokens here",                 # 1: clean
+        f"{phrase} november",                             # 2: 14 words -> 2 shared grams
+        "short doc",                                      # 3: < 13 tokens, can't match
+    ])
+    bench = spark.createDataFrame(
+        [(0, phrase + " november")], "bench_id long, text string"
+    )
+    flags = {r.id: r.hits for r in contaminated_ids(docs, bench, "doc_id").collect()}
+    assert set(flags) == {0, 2}
+    assert flags[0] == 1 and flags[2] == 2
+    strict = {r.id for r in
+              contaminated_ids(docs, bench, "doc_id", min_hits=2).collect()}
+    assert strict == {2}
+    kept = sorted(r.doc_id for r in decontaminate(docs, bench, "doc_id").collect())
+    assert kept == [1, 3]

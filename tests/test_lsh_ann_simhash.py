@@ -303,3 +303,53 @@ def test_ann_ivf_matches_brute_force_on_clusters(spark):
     ivf = [r.vec_id for r in ann_ivf_topk(df, q, n_probe=1, k=10).collect()]
     assert ivf == exact
     assert all(v % 4 == 1 for v in ivf)  # all from the query's cluster
+
+
+def test_pq_encode_and_adc_ranking(spark):
+    """PQ: vectors from two well-separated clusters encode to different
+    code words, and ADC scores rank the query's own cluster above the
+    other; encode emits exactly one code per (vector, subspace)."""
+    from pyspark.sql import functions as F
+
+    from redpajama_v2_processing_spark.operators.pq import (
+        ann_pq_topk, pq_codebooks, pq_encode,
+    )
+
+    # cluster A ~ (1,1,...), cluster B ~ (-1,-1,...), dim 8, tiny jitter
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0 - 0.01 * (i % 3)] * 8))
+    for i in range(10, 20):
+        rows.append((i, [-1.0 + 0.01 * (i % 3)] * 8))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_codebooks(emb, m=2, k_codes=4, iters=2, dim=8)
+    codes = pq_encode(emb, cb, m=2, dim=8)
+    assert codes.count() == 20 * 2  # one code per (vector, subspace)
+    assert codes.groupBy("id").count().where("count != 2").count() == 0
+    # A and B members must not share a code word in any subspace
+    a_codes = {(r.sub, r.cid) for r in codes.where(F.col("id") < 10).collect()}
+    b_codes = {(r.sub, r.cid) for r in codes.where(F.col("id") >= 10).collect()}
+    assert not (a_codes & b_codes)
+    top = ann_pq_topk(emb, [1.0] * 8, m=2, k_codes=4, iters=2, dim=8, k=10)
+    got = [r.vec_id for r in top.collect()]
+    assert set(got) == set(range(10))  # the whole of cluster A, no B
+
+
+def test_pq_training_frees_iteration_checkpoints(spark):
+    """PQ Lloyd iterations must not leak superseded checkpoint blocks
+    (same hygiene as kmeans_centroids / the CC fixpoint)."""
+    from redpajama_v2_processing_spark.operators.connected_components import (
+        _persistent_ids,
+    )
+    from redpajama_v2_processing_spark.operators.pq import pq_codebooks
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    sc = spark.sparkContext
+    before = _persistent_ids(sc)
+    cb = pq_codebooks(emb, m=2, k_codes=4, iters=3, dim=8)
+    cb.count()
+    new = _persistent_ids(sc) - before
+    assert len(new) <= 1  # only the final codebook checkpoint survives
