@@ -12,12 +12,16 @@ Three decode tiers:
   inflate, full per-row filter reconstruction (None/Sub/Up/Average/
   Paeth) — pure stdlib, property-tested across all filter types and
   oracle-checked against the generator's pixel formula.
-* STUBBED residual deep decode (color/interlaced images, audio, video
-  frames — no PIL/ffmpeg in this container): binary payloads carry a
-  deterministic fake header `MM1|<kind>|<width>|<height>|`; a real
-  decoder drops in behind the `_HAS_PIL` import guard. The Spark-side
-  contract — schema, batching, partition behavior — is real and tested
-  either way.
+* REAL deep audio decode for mono PCM16 WAV (`parse_wav_pcm` /
+  `decode_audio_pcm_stats`): RIFF chunk walk (word-aligned, fmt-before-
+  data, declared sizes honored), sample stream unpacked and reduced to
+  integer stats — oracle-checked against the generator's sample formula.
+* STUBBED residual deep decode (color/interlaced images, compressed
+  audio, video frames — no PIL/ffmpeg in this container): binary
+  payloads carry a deterministic fake header `MM1|<kind>|<width>|
+  <height>|`; a real decoder drops in behind the `_HAS_PIL` import
+  guard. The Spark-side contract — schema, batching, partition behavior
+  — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -325,6 +329,118 @@ def decode_image_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
             )
 
     return df.select(id_col, bin_col).mapInPandas(batches, META_SCHEMA)
+
+
+def synth_wav_bytes(sample_rate: int, n_samples: int) -> bytes:
+    """A REAL, well-formed mono 16-bit PCM WAV file — stdlib struct only.
+    Sample i = ((i * 37) % 20001) - 10000 (deterministic, the oracle's
+    formula)."""
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", ((i * 37) % 20001) - 10000) for i in range(n_samples)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav_pcm(raw: bytes) -> tuple[int, list[int]] | None:
+    """(sample_rate, samples) decoded from mono 16-bit PCM WAV bytes —
+    REAL RIFF chunk walk (fmt before data, declared sizes honored, odd
+    chunks padded per spec). None for anything malformed or non-PCM16."""
+    import struct
+
+    try:
+        if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+            return None
+        (riff_len,) = struct.unpack("<I", raw[4:8])
+        if riff_len + 8 > len(raw):
+            return None
+        i, rate, bits, channels, fmt_seen = 12, 0, 0, 0, False
+        while i + 8 <= len(raw):
+            tag = raw[i : i + 4]
+            (clen,) = struct.unpack("<I", raw[i + 4 : i + 8])
+            data = raw[i + 8 : i + 8 + clen]
+            if len(data) < clen:
+                return None
+            if tag == b"fmt ":
+                if clen < 16:
+                    return None
+                audio_fmt, channels, rate, _br, _ba, bits = struct.unpack(
+                    "<HHIIHH", data[:16]
+                )
+                if audio_fmt != 1:
+                    return None  # only uncompressed PCM implemented
+                fmt_seen = True
+            elif tag == b"data":
+                if not fmt_seen or bits != 16 or channels != 1:
+                    return None
+                n = clen // 2
+                samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+                return (rate, samples)
+            i += 8 + clen + (clen & 1)  # chunks are word-aligned
+        return None
+    except Exception:
+        return None
+
+
+AUDIO_SCHEMA = (
+    "id long, sample_rate int, n_samples long, amp_min int, amp_max int, "
+    "amp_sum long, ok boolean"
+)
+
+
+def decode_audio_pcm_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """DF(id, sample_rate, n_samples, amp_min, amp_max, amp_sum, ok):
+    REAL audio decode for mono PCM16 WAV payloads — the sample stream is
+    reconstructed from the actual bytes (parse_wav_pcm) and reduced to
+    integer stats the oracle reproduces from the generator formula.
+    Arrow-batched mapInPandas; malformed/non-PCM payloads report ok=false."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, r in zip(pdf[id_col], pdf[bin_col]):
+                dec = parse_wav_pcm(bytes(r)) if r is not None else None
+                if dec is None or not dec[1]:
+                    rows.append((int(i), -1, 0, 0, 0, 0, False))
+                else:
+                    rate, s = dec
+                    rows.append(
+                        (int(i), rate, len(s), min(s), max(s), sum(s), True)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "sample_rate", "n_samples", "amp_min",
+                         "amp_max", "amp_sum", "ok"],
+            ).astype({"sample_rate": "int32", "amp_min": "int32",
+                      "amp_max": "int32"})
+
+    return df.select(id_col, bin_col).mapInPandas(batches, AUDIO_SCHEMA)
+
+
+def with_synth_audio(df: DataFrame, id_col: str) -> DataFrame:
+    """DF(id, payload): deterministic REAL WAV bytes per id — rate =
+    8000 + (id % 8) * 1000, n_samples = id % 500 + 50. The generator
+    formula doubles as the oracle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = [int(i) for i in pdf[id_col]]
+            payloads = [
+                synth_wav_bytes(8000 + (i % 8) * 1000, i % 500 + 50)
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {"id": pd.array(ids, dtype="int64"), "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(batches, "id long, payload binary")
 
 
 def with_synth_images(df: DataFrame, id_col: str) -> DataFrame:

@@ -1119,6 +1119,27 @@ def _cos_expr(a: str, b: str) -> str:
     return f"(CASE WHEN {den} = 0 THEN 0.0 ELSE ({num}) / {den} END)"
 
 
+def q_audio_pcm_stats() -> str:
+    """Oracle for the deep WAV decode: the Spark side walks the RIFF
+    chunks of ACTUAL PCM16 bytes and unpacks the sample stream
+    (parse_wav_pcm); this side recomputes the stats straight from the
+    generator's sample formula s(i) = ((i*37) % 20001) - 10000 over the
+    id-derived rate/length. Any bug in chunk walking, alignment, or
+    sample unpacking breaks the value hash."""
+    return """
+WITH ids AS (
+  SELECT doc_id AS id, (8000 + (doc_id % 8) * 1000) AS rate,
+         (doc_id % 500 + 50) AS n
+  FROM documents WHERE doc_id % 3 = 2),
+s AS (
+  SELECT id, rate, ((i.i * 37) % 20001 - 10000)::BIGINT AS amp
+  FROM ids, LATERAL (SELECT unnest(range(0, n)) AS i) i)
+SELECT id, rate::INT AS sample_rate, count(*)::BIGINT AS n_samples,
+  min(amp)::INT AS amp_min, max(amp)::INT AS amp_max,
+  sum(amp)::BIGINT AS amp_sum, true AS ok
+FROM s GROUP BY id, rate"""
+
+
 def q_ann_ivf_topk(query_vec_id: int = 0, dim: int = 64, n_probe: int = 3,
                    k: int = ANN_TOPK) -> str:
     """Twin of operators/ann.ann_ivf_topk: rounded per-label centroid

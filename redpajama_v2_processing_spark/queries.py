@@ -787,6 +787,17 @@ def q_image_pixels(spark, sf_dir):
     return decode_image_pixels(with_synth_images(ids, "doc_id"), "id", "payload")
 
 
+def q_audio_pcm_stats(spark, sf_dir):
+    """REAL deep audio decode: mono PCM16 WAV files are generated per
+    doc_id, the RIFF chunks are walked and the sample stream unpacked
+    from the raw bytes, then reduced to integer stats the oracle
+    recomputes from the generator's sample formula."""
+    from .operators.multimodal import decode_audio_pcm_stats, with_synth_audio
+
+    ids = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") % 3 == 2)
+    return decode_audio_pcm_stats(with_synth_audio(ids, "doc_id"), "id", "payload")
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, _query_vec(spark, sf_dir), dim=64, nbits=8)
@@ -825,6 +836,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_flags": q_decontaminate_flags,
     "winnow_dedup_keep": q_winnow_dedup_keep,
     "image_pixels": q_image_pixels,
+    "audio_pcm_stats": q_audio_pcm_stats,
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
     "region_customers": q_region_customers,
@@ -851,7 +863,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid": q_langid,
     "token_counts": q_token_counts,
     "duplicate_line_signals": q_duplicate_line_signals,
-    "fingerprint": q_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
     "scrub_pii": q_scrub,
@@ -878,6 +889,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sibling in prior rounds; beyond the driver's 50-query window) ------
     "langid_confusion": q_langid_confusion,
     "semi_join_keeplist": q_semi_join,
+    "fingerprint": q_fingerprint,
     "lang_downsample": q_lang_downsample,
     "top_sources": q_top_sources,
     "quality_thresholds": q_quality_thresholds,
@@ -987,6 +999,7 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": oracle.q_multimodal_meta(),
     "image_meta": oracle.q_image_meta(),
     "image_pixels": oracle.q_image_pixels(),
+    "audio_pcm_stats": oracle.q_audio_pcm_stats(),
     "ann_lsh_topk": oracle.q_ann_lsh_topk(),
     "ann_multiprobe_topk": oracle.q_ann_multiprobe_lsh_topk(),
     "pq_codebooks": oracle.q_pq_codebooks(),

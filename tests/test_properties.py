@@ -190,3 +190,39 @@ def test_png_pixel_decode_all_filter_types(w, h, seed):
     bad[41] ^= 0xFF
     assert png_gray8_pixels(bytes(bad)) is None
     assert png_gray8_pixels(raw[: len(raw) // 2]) is None
+
+
+@given(
+    rate=st.integers(min_value=8000, max_value=48000),
+    n=st.integers(min_value=0, max_value=400),
+    extra=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_pcm_roundtrip(rate, n, extra):
+    """parse_wav_pcm must recover the exact sample stream from generated
+    WAV bytes, survive an extra (odd-length) chunk before data with spec
+    word-alignment, and reject truncation / non-PCM formats."""
+    import struct
+
+    from redpajama_v2_processing_spark.operators.multimodal import (
+        parse_wav_pcm, synth_wav_bytes,
+    )
+
+    raw = synth_wav_bytes(rate, n)
+    expect = [((i * 37) % 20001) - 10000 for i in range(n)]
+    if extra:
+        # splice an odd-length LIST chunk between fmt and data; the
+        # walker must skip it via the pad byte
+        fmt_end = 12 + 8 + 16
+        chunk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+        body = raw[12:]
+        raw = (b"RIFF"
+               + struct.pack("<I", len(body) + len(chunk))
+               + raw[8:fmt_end] + chunk + raw[fmt_end:])
+    dec = parse_wav_pcm(raw)
+    assert dec is not None and dec[0] == rate and dec[1] == expect
+    if n > 0:
+        assert parse_wav_pcm(raw[: len(raw) - 1]) is None  # truncated data
+    bad = bytearray(synth_wav_bytes(rate, max(n, 1)))
+    bad[20] = 3  # format tag != PCM
+    assert parse_wav_pcm(bytes(bad)) is None
