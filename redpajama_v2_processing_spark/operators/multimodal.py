@@ -16,8 +16,13 @@ Three decode tiers:
   `decode_audio_pcm_stats`): RIFF chunk walk (word-aligned, fmt-before-
   data, declared sizes honored), sample stream unpacked and reduced to
   integer stats — oracle-checked against the generator's sample formula.
+* REAL deep video decode for uncompressed AVI (`parse_avi_frames` /
+  `decode_video_frames`): RIFF/AVI walk (LIST hdrl avih header, LIST
+  movi '00db'/'00dc' frame chunks, word alignment), frame payloads
+  sampled every N and reduced to byte sums — oracle-checked against the
+  generator's pixel formula.
 * STUBBED residual deep decode (color/interlaced images, compressed
-  audio, video frames — no PIL/ffmpeg in this container): binary
+  audio/video codecs — no PIL/ffmpeg in this container): binary
   payloads carry a deterministic fake header `MM1|<kind>|<width>|
   <height>|`; a real decoder drops in behind the `_HAS_PIL` import
   guard. The Spark-side contract — schema, batching, partition behavior
@@ -434,6 +439,135 @@ def with_synth_audio(df: DataFrame, id_col: str) -> DataFrame:
             ids = [int(i) for i in pdf[id_col]]
             payloads = [
                 synth_wav_bytes(8000 + (i % 8) * 1000, i % 500 + 50)
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {"id": pd.array(ids, dtype="int64"), "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(batches, "id long, payload binary")
+
+
+def synth_avi_bytes(width: int, height: int, n_frames: int) -> bytes:
+    """A REAL, minimal uncompressed AVI container — stdlib struct only.
+    RIFF('AVI ') holding LIST('hdrl') with an avih main header (frame
+    count + dims) and LIST('movi') with one '00db' (uncompressed video
+    frame) chunk per frame; frame f's payload is gray8 bytes
+    p(f, j) = (f * 31 + j) % 256 over width*height pixels (the oracle's
+    formula)."""
+    import struct
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return tag + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) & 1))
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        33367, 0, 0, 0x10, n_frames, 0, 1, width * height, width, height,
+        0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih))
+    frames = b"".join(
+        chunk(
+            b"00db",
+            bytes((f * 31 + j) % 256 for j in range(width * height)),
+        )
+        for f in range(n_frames)
+    )
+    movi = lst(b"movi", frames)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_frames(raw: bytes) -> tuple[int, int, int, list[bytes]] | None:
+    """(width, height, declared_frames, frame_payloads) parsed from REAL
+    AVI bytes: RIFF walk, LIST(hdrl)/avih main header, LIST(movi) frame
+    chunks ('00db'/'00dc'), word-aligned throughout. None if malformed."""
+    import struct
+
+    try:
+        if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+            return None
+        width = height = declared = -1
+        frames: list[bytes] = []
+
+        def walk(lo: int, hi: int) -> bool:
+            nonlocal width, height, declared
+            i = lo
+            while i + 8 <= hi:
+                tag = raw[i : i + 4]
+                (clen,) = struct.unpack("<I", raw[i + 4 : i + 8])
+                if i + 8 + clen > hi:
+                    return False
+                if tag == b"LIST":
+                    if not walk(i + 12, i + 8 + clen):
+                        return False
+                elif tag == b"avih":
+                    if clen < 40:
+                        return False
+                    vals = struct.unpack("<10I", raw[i + 8 : i + 48])
+                    declared, width, height = vals[4], vals[8], vals[9]
+                elif tag in (b"00db", b"00dc"):
+                    frames.append(raw[i + 8 : i + 8 + clen])
+                i += 8 + clen + (clen & 1)
+            return True
+
+        if not walk(12, min(len(raw), struct.unpack("<I", raw[4:8])[0] + 8)):
+            return None
+        if width <= 0 or height <= 0 or declared < 0:
+            return None
+        return (width, height, declared, frames)
+    except Exception:
+        return None
+
+
+FRAME_SCHEMA = (
+    "id long, frame_idx int, width int, height int, byte_sum long, ok boolean"
+)
+
+
+def decode_video_frames(
+    df: DataFrame, id_col: str, bin_col: str, every_n: int = 5
+) -> DataFrame:
+    """DF(id, frame_idx, width, height, byte_sum, ok): REAL video frame
+    sampling — the AVI container is walked from the actual bytes
+    (parse_avi_frames) and every ``every_n``-th frame's payload is
+    reduced to an integer byte sum the oracle reproduces from the
+    generator's pixel formula. The cardinality change (one input row ->
+    many frame rows) flows through one Arrow mapInPandas; malformed
+    payloads emit a single ok=false row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, r in zip(pdf[id_col], pdf[bin_col]):
+                dec = parse_avi_frames(bytes(r)) if r is not None else None
+                if dec is None or dec[2] != len(dec[3]):
+                    rows.append((int(i), -1, -1, -1, 0, False))
+                    continue
+                w, h, _n, frames = dec
+                for f in range(0, len(frames), every_n):
+                    rows.append((int(i), f, w, h, sum(frames[f]), True))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "frame_idx", "width", "height", "byte_sum", "ok"],
+            ).astype({"frame_idx": "int32", "width": "int32", "height": "int32"})
+
+    return df.select(id_col, bin_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
+def with_synth_videos(df: DataFrame, id_col: str) -> DataFrame:
+    """DF(id, payload): deterministic REAL AVI bytes per id — w = id%16+4,
+    h = id%12+4, n_frames = id%20+1. The generator formula doubles as the
+    oracle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = [int(i) for i in pdf[id_col]]
+            payloads = [
+                synth_avi_bytes(i % 16 + 4, i % 12 + 4, i % 20 + 1)
                 for i in ids
             ]
             yield pd.DataFrame(

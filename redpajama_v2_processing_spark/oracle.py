@@ -1140,6 +1140,28 @@ SELECT id, rate::INT AS sample_rate, count(*)::BIGINT AS n_samples,
 FROM s GROUP BY id, rate"""
 
 
+def q_video_frames(every_n: int = 5) -> str:
+    """Oracle for the deep AVI decode: the Spark side walks the RIFF/AVI
+    container of ACTUAL bytes (LIST hdrl/avih header, LIST movi frame
+    chunks) and samples every ``every_n``-th frame; this side recomputes
+    the sampled frames' byte sums straight from the generator's pixel
+    formula p(f, j) = (f*31 + j) % 256 over the id-derived dims."""
+    return f"""
+WITH ids AS (
+  SELECT doc_id AS id, (doc_id % 16 + 4) AS w, (doc_id % 12 + 4) AS h,
+         (doc_id % 20 + 1) AS n
+  FROM documents WHERE doc_id % 3 = 1),
+fr AS (
+  SELECT id, w, h, f.f AS frame_idx
+  FROM ids, LATERAL (SELECT unnest(range(0, n, {every_n})) AS f) f),
+px AS (
+  SELECT id, w, h, frame_idx, ((frame_idx * 31 + j.j) % 256)::BIGINT AS b
+  FROM fr, LATERAL (SELECT unnest(range(0, w * h)) AS j) j)
+SELECT id, frame_idx::INT AS frame_idx, w::INT AS width, h::INT AS height,
+  sum(b)::BIGINT AS byte_sum, true AS ok
+FROM px GROUP BY id, frame_idx, w, h"""
+
+
 def q_ann_ivf_topk(query_vec_id: int = 0, dim: int = 64, n_probe: int = 3,
                    k: int = ANN_TOPK) -> str:
     """Twin of operators/ann.ann_ivf_topk: rounded per-label centroid

@@ -798,6 +798,18 @@ def q_audio_pcm_stats(spark, sf_dir):
     return decode_audio_pcm_stats(with_synth_audio(ids, "doc_id"), "id", "payload")
 
 
+def q_video_frames(spark, sf_dir):
+    """REAL deep video decode: uncompressed AVI containers are generated
+    per doc_id, the RIFF/AVI structure is walked from the raw bytes
+    (hdrl/avih header + movi frame chunks) and every 5th frame's payload
+    reduced to a byte sum the oracle recomputes from the generator's
+    pixel formula."""
+    from .operators.multimodal import decode_video_frames, with_synth_videos
+
+    ids = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") % 3 == 1)
+    return decode_video_frames(with_synth_videos(ids, "doc_id"), "id", "payload")
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, _query_vec(spark, sf_dir), dim=64, nbits=8)
@@ -837,6 +849,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_dedup_keep": q_winnow_dedup_keep,
     "image_pixels": q_image_pixels,
     "audio_pcm_stats": q_audio_pcm_stats,
+    "video_frames": q_video_frames,
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
     "region_customers": q_region_customers,
@@ -870,7 +883,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_filter": q_quantile_filter,
     "profiled_quantile_filter": q_profiled_quantile_filter,
     "exact_dedup_keep": q_exact_dedup_keep,
-    "anti_join_duplicates": q_anti_join,
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
     "fuzzy_dedup_prod_checked": q_fuzzy_dedup_prod_checked,
     "simhash_prod_near_pairs": q_simhash_prod_near_pairs,
@@ -889,6 +901,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sibling in prior rounds; beyond the driver's 50-query window) ------
     "langid_confusion": q_langid_confusion,
     "semi_join_keeplist": q_semi_join,
+    "anti_join_duplicates": q_anti_join,
     "fingerprint": q_fingerprint,
     "lang_downsample": q_lang_downsample,
     "top_sources": q_top_sources,
@@ -1000,6 +1013,7 @@ ORACLES: dict[str, str] = {
     "image_meta": oracle.q_image_meta(),
     "image_pixels": oracle.q_image_pixels(),
     "audio_pcm_stats": oracle.q_audio_pcm_stats(),
+    "video_frames": oracle.q_video_frames(),
     "ann_lsh_topk": oracle.q_ann_lsh_topk(),
     "ann_multiprobe_topk": oracle.q_ann_multiprobe_lsh_topk(),
     "pq_codebooks": oracle.q_pq_codebooks(),

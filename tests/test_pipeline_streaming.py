@@ -487,3 +487,35 @@ def test_snapshot_history_and_time_travel(spark, tmp_path, pages_small):
         read_table(spark, tdir, version=1)   # GC'd
     with _pt.raises(ValueError):
         read_table(spark, tdir, version=9)   # never existed
+
+
+def test_avi_frame_walk_roundtrip(spark):
+    """parse_avi_frames must recover every frame payload exactly (incl.
+    odd-sized frames with pad bytes), report the declared header dims,
+    reject garbage, and survive the Arrow cardinality change (one video
+    row -> many frame rows) with correct sampled sums."""
+    from redpajama_v2_processing_spark.operators.multimodal import (
+        decode_video_frames, parse_avi_frames, synth_avi_bytes,
+        with_synth_videos,
+    )
+
+    raw = synth_avi_bytes(5, 3, 7)  # 15-byte frames: odd -> pad bytes used
+    dec = parse_avi_frames(raw)
+    assert dec is not None
+    w, h, n, frames = dec
+    assert (w, h, n) == (5, 3, 7) and len(frames) == 7
+    for f, payload in enumerate(frames):
+        assert list(payload) == [(f * 31 + j) % 256 for j in range(15)]
+    assert parse_avi_frames(b"RIFFxxxxWAVE") is None
+    assert parse_avi_frames(raw[: len(raw) - 3]) is None  # torn frame
+
+    vids = with_synth_videos(
+        spark.createDataFrame([(1,), (7,)], "doc_id long"), "doc_id"
+    )
+    out = decode_video_frames(vids, "id", "payload", every_n=5).collect()
+    by = {(r.id, r.frame_idx): r for r in out}
+    # id=1: w=5,h=5,frames=2 -> sampled frame 0; id=7: w=11,h=11,frames=8
+    # -> sampled frames 0 and 5
+    assert set(by) == {(1, 0), (7, 0), (7, 5)}
+    assert all(r.ok for r in out)
+    assert by[(7, 5)].byte_sum == sum((5 * 31 + j) % 256 for j in range(121))
