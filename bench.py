@@ -81,7 +81,8 @@ HEADLINE = [
     "embedding_dedup_prod_keep",
     "label_centroids", "kmeans_cells", "ann_ivf_trained_topk",
     "ann_multiprobe_topk", "pq_codebooks", "ann_pq_topk",
-    "decontaminate_flags", "winnow_near_dup_pairs", "winnow_dedup_keep",
+    "decontaminate_flags", "dsir_weights",
+    "winnow_near_dup_pairs", "winnow_dedup_keep",
     "image_meta", "image_pixels", "audio_pcm_stats", "video_frames",
     "quantile_filter", "session_windows",
     "events_hourly", "events_sessions", "pricing_summary", "segment_revenue",

@@ -214,6 +214,58 @@ SELECT s.doc_id, s.lang,
 FROM scored s JOIN th USING (lang)"""
 
 
+def _dsir_ctes(buckets: int = 64, every: int = 10) -> str:
+    """CTEs ending in s(doc_id, lw) — DSIR hashed-ngram importance
+    log-weights in integer micro-units; twin of operators/dsir."""
+    return f"""tk AS (SELECT doc_id, {tokens('text')} AS t FROM documents),
+gr AS (
+  SELECT doc_id, ({md5int('g')} % {buckets}) AS bucket
+  FROM (
+    SELECT doc_id, unnest(t) AS g FROM tk
+    UNION ALL
+    SELECT doc_id, t[i.i::INT] || ' ' || t[(i.i+1)::INT] AS g
+    FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+  )),
+dg AS (SELECT doc_id, bucket, count(*) AS c FROM gr GROUP BY 1, 2),
+qd AS (SELECT b.b AS bucket, coalesce(sum(g2.c), 0) AS n
+       FROM range(0, {buckets}) b(b)
+       LEFT JOIN dg g2 ON g2.bucket = b.b GROUP BY 1),
+pd AS (SELECT b.b AS bucket, coalesce(sum(g2.c), 0) AS n
+       FROM range(0, {buckets}) b(b)
+       LEFT JOIN (SELECT bucket, c FROM dg WHERE doc_id % {every} = 0) g2
+         ON g2.bucket = b.b GROUP BY 1),
+tq AS (SELECT sum(n) AS t FROM qd),
+tp AS (SELECT sum(n) AS t FROM pd),
+ratio AS (
+  SELECT qd.bucket,
+    round((ln((pd.n + 1)::DOUBLE / (tp.t + {buckets})::DOUBLE)
+         - ln((qd.n + 1)::DOUBLE / (tq.t + {buckets})::DOUBLE)) * 1e6)::BIGINT AS r
+  FROM qd JOIN pd USING (bucket), tp, tq),
+s AS (SELECT dg.doc_id, sum(dg.c * ratio.r) AS lw
+      FROM dg JOIN ratio USING (bucket) GROUP BY 1)"""
+
+
+def q_dsir_weights(buckets: int = 64, every: int = 10) -> str:
+    """Twin of operators/dsir.dsir_log_weights with target = every
+    ``every``-th document: identical grams, buckets, smoothing and
+    micro-unit ratio table."""
+    return f"""
+WITH {_dsir_ctes(buckets, every)}
+SELECT d.doc_id AS id, coalesce(s.lw / 1000000.0, 0.0)::DOUBLE AS log_weight
+FROM documents d LEFT JOIN s USING (doc_id)"""
+
+
+def q_dsir_topk(k: int = 100, buckets: int = 64, every: int = 10) -> str:
+    """Twin of operators/dsir.dsir_select: deterministic top-k by
+    log-weight, ties to the smallest id."""
+    return f"""
+WITH {_dsir_ctes(buckets, every)},
+w AS (
+  SELECT d.doc_id AS id, coalesce(s.lw / 1000000.0, 0.0)::DOUBLE AS log_weight
+  FROM documents d LEFT JOIN s USING (doc_id))
+SELECT id, log_weight FROM w ORDER BY log_weight DESC, id LIMIT {k}"""
+
+
 def q_langid() -> str:
     langs = sorted(LANG_MARKERS)
     hit_cols = ",\n    ".join(

@@ -160,6 +160,32 @@ def q_winnow_near_dup_pairs(spark, sf_dir):
     return winnow_near_dup_pairs(_docs(spark, sf_dir), "doc_id")
 
 
+def _dsir_target(spark, sf_dir):
+    """Synthetic 'high-quality target' sample: every 10th document."""
+    return _docs(spark, sf_dir).where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("tid"), "text"
+    )
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. 2023): hashed uni+bigram
+    bucket distributions of target vs raw corpus, per-doc weight =
+    integer micro-unit sum of count * log-ratio."""
+    from .operators.dsir import dsir_log_weights
+
+    return dsir_log_weights(_docs(spark, sf_dir), _dsir_target(spark, sf_dir),
+                            "doc_id")
+
+
+def q_dsir_topk(spark, sf_dir):
+    """DSIR selection: the 100 most target-like docs (deterministic
+    top-k, ties by id)."""
+    from .operators.dsir import dsir_select
+
+    return dsir_select(_docs(spark, sf_dir), _dsir_target(spark, sf_dir),
+                       "doc_id", k=100)
+
+
 def q_decontaminate_flags(spark, sf_dir):
     """Benchmark decontamination flags: docs sharing >= 1 distinct
     13-gram with the synthetic evaluation set (every 40th doc's first 20
@@ -846,6 +872,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_ngram": q_perplexity_ngram,
     "perplexity_buckets": q_perplexity_buckets,
     "decontaminate_flags": q_decontaminate_flags,
+    "dsir_weights": q_dsir_weights,
+    "dsir_topk": q_dsir_topk,
     "winnow_dedup_keep": q_winnow_dedup_keep,
     "image_pixels": q_image_pixels,
     "audio_pcm_stats": q_audio_pcm_stats,
@@ -871,7 +899,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_dedup_prod": q_fuzzy_dedup_prod,
     # --- one representative per operator family ------------------------
     "quality_signals": q_quality_signals,
-    "unigram_entropy": q_unigram_entropy,
     "perplexity": q_perplexity,
     "langid": q_langid,
     "token_counts": q_token_counts,
@@ -894,12 +921,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dedup_prod_keep": q_embedding_dedup_prod_keep,
     "kmeans_cells": q_kmeans_cells,
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
-    "events_sliding": q_events_sliding,
     "session_windows": q_session_windows,
     "rpv2_pre_banded_keep": q_rpv2_pre_banded_keep,
     # --- redundant oracle-twins / intermediate stages (certified via a
     # sibling in prior rounds; beyond the driver's 50-query window) ------
     "langid_confusion": q_langid_confusion,
+    "unigram_entropy": q_unigram_entropy,
+    "events_sliding": q_events_sliding,
     "semi_join_keeplist": q_semi_join,
     "anti_join_duplicates": q_anti_join,
     "fingerprint": q_fingerprint,
@@ -931,6 +959,8 @@ ORACLES: dict[str, str] = {
     "perplexity_ngram": oracle.q_perplexity_ngram(),
     "perplexity_buckets": oracle.q_perplexity_buckets(),
     "decontaminate_flags": oracle.q_decontaminate_flags(),
+    "dsir_weights": oracle.q_dsir_weights(),
+    "dsir_topk": oracle.q_dsir_topk(),
     "langid": oracle.q_langid(),
     "langid_confusion": oracle.q_langid_confusion(),
     "token_counts": oracle.q_token_counts(),

@@ -160,3 +160,33 @@ def test_char_bigram_perplexity_udf(spark):
         df.select(udf("text"))._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR: documents sharing the target corpus's n-gram distribution
+    must out-weigh dissimilar ones; empty docs score 0.0."""
+    from redpajama_v2_processing_spark.operators.dsir import (
+        dsir_log_weights, dsir_select,
+    )
+
+    docs = docs_frame(spark, [
+        "spark sql engine runs distributed queries over parquet tables",
+        "slow cooked lamb with rosemary garlic and seasonal vegetables",
+        "spark sql optimizer prunes parquet partitions for queries",
+        "",
+    ])
+    target = spark.createDataFrame(
+        [(0, "spark sql queries over parquet"),
+         (1, "distributed sql engine for parquet tables")],
+        "tid long, text string",
+    )
+    w = {r.id: r.log_weight for r in
+         dsir_log_weights(docs, target, "doc_id").collect()}
+    assert w[0] > w[1] and w[2] > w[1]
+    assert w[3] == 0.0  # no grams -> neutral weight (can outrank negatives)
+    top = [r.id for r in dsir_select(docs, target, "doc_id", k=2).collect()]
+    assert 0 in top and 1 not in top
+    # among content-bearing docs, selection is exactly the target-like pair
+    nonempty = docs.where("doc_id != 3")
+    top2 = [r.id for r in dsir_select(nonempty, target, "doc_id", k=2).collect()]
+    assert set(top2) == {0, 2}

@@ -105,6 +105,39 @@ def test_whole_stage_codegen_covers_signals(pages_small):
     assert "*(1)" in plan
 
 
+def test_decontaminate_probe_is_broadcast(spark):
+    """The benchmark n-gram membership probe must be a broadcast hash
+    join (the benchmark side is tiny vs the corpus) with no cartesian
+    fallback and no Python eval anywhere."""
+    from redpajama_v2_processing_spark.operators.decontaminate import (
+        contaminated_ids,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "word " * 20 + str(i)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(0, "word " * 15)], "bid long, text string")
+    plan = _physical(contaminated_ids(docs, bench, "doc_id"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_pq_adc_scan_is_broadcast_and_native(spark):
+    """PQ ADC: the m x k lookup-table join must broadcast, and the whole
+    train/encode/score program stays JVM-side (zero Python eval)."""
+    from redpajama_v2_processing_spark.operators.pq import ann_pq_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 3 + j) % 7) for j in range(8)]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _physical(ann_pq_topk(emb, [1.0] * 8, m=2, k_codes=4, iters=1, dim=8))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
 def test_full_pipeline_frees_intermediate_cache(spark, pages_small):
     """full_pipeline(eager=True) must not leave its internal survivor
     cache persisted after the call: the only new persistent RDD is the
