@@ -157,6 +157,77 @@ def pq_encode(
     )
 
 
+def ann_ivf_pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_cells: int = 8,
+    cell_iters: int = 3,
+    m: int = PQ_M,
+    k_codes: int = PQ_CODES,
+    pq_iters: int = PQ_ITERS,
+    n_probe: int = 3,
+    dim: int = 64,
+    k: int = ANN_TOPK,
+) -> DataFrame:
+    """DF(vec_id, score): IVF-PQ — the full FAISS decomposition. The
+    trained coarse quantizer (ann.kmeans_centroids) prunes the scan to
+    the query's ``n_probe`` nearest cells; ADC over PQ codes scores ONLY
+    those cells' vectors. At warehouse scale the cell is the partition
+    key (files outside the probed cells are never read) and the scan
+    touches code columns only — the two compressions compose: ~n_probe/K
+    of the corpus, at m integers per vector."""
+    from ..functions.vectors import cosine
+    from .ann import _lit_vec, kmeans_centroids
+    from ..config import ANN_ROUND
+
+    cent = F.broadcast(
+        kmeans_centroids(embeddings, k_cells, cell_iters, id_col, vec_col)
+    )
+    ccos = F.round(cosine(F.col(vec_col), F.col("cv")), ANN_ROUND) + 0.0
+    assign = (
+        embeddings.select(id_col, vec_col)
+        .join(cent)
+        .withColumn("_c", ccos)
+        .groupBy(id_col)
+        .agg(
+            F.min_by(
+                "cid", F.struct((-F.col("_c")).alias("a"), F.col("cid").alias("b"))
+            ).alias("cid")
+        )
+    )
+    qcos = F.round(cosine(_lit_vec(query_vec), F.col("cv")), ANN_ROUND) + 0.0
+    probe = (
+        cent.select("cid", qcos.alias("_qc"))
+        .orderBy(F.col("_qc").desc(), F.col("cid").asc())
+        .limit(n_probe)
+        .select("cid")
+    )
+    cand = assign.join(F.broadcast(probe), "cid", "left_semi").select(
+        F.col(id_col).alias("id")
+    )
+    d = dim // m
+    cb = pq_codebooks(embeddings, id_col, vec_col, m, k_codes, pq_iters, dim)
+    codes = pq_encode(embeddings, cb, id_col, vec_col, m, dim).join(cand, "id", "left_semi")
+    qsubs = [
+        [float(x) for x in query_vec[s * d : (s + 1) * d]] for s in range(m)
+    ]
+    qlit = F.array(*[F.array(*[F.lit(x) for x in qs]) for qs in qsubs])
+    lut = cb.select(
+        "sub", "cid",
+        _dot_mu(F.element_at(qlit, F.col("sub") + 1), F.col("cv")).alias("_qd"),
+    )
+    return (
+        codes.join(F.broadcast(lut), ["sub", "cid"])
+        .groupBy("id")
+        .agg((F.sum("_qd") / F.lit(1e12)).alias("score"))
+        .select(F.col("id").alias(id_col), "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ann_pq_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -1406,6 +1406,55 @@ FROM enc e JOIN lut l USING (sub, cid)
 GROUP BY e.id ORDER BY score DESC, vec_id LIMIT {k}"""
 
 
+def q_ann_ivf_pq_topk(query_vec_id: int = 0, k_cells: int = 8,
+                      cell_iters: int = 3, m: int = 4, k_codes: int = 16,
+                      pq_iters: int = 2, n_probe: int = 3, dim: int = 64,
+                      k: int = ANN_TOPK) -> str:
+    """Twin of operators/pq.ann_ivf_pq_topk: IVF probe over the trained
+    coarse cells (same CTE chain as q_ann_ivf_trained_topk), ADC over PQ
+    codes for the probed cells' vectors only."""
+    d = dim // m
+    last = f"c{cell_iters}"
+    ccos = f"(round({_cos_expr('e.v', 'v.cv')}, {ANN_ROUND}) + 0.0)"
+    qcos = f"(round({_cos_expr('q.qe', 'v.cv')}, {ANN_ROUND}) + 0.0)"
+    l2 = (f"list_aggregate(list_transform(range(1, {d + 1}), i -> "
+          f"(round(e.sv[i::INT]*1e6)::BIGINT - round(c.cv[i::INT]*1e6)::BIGINT) * "
+          f"(round(e.sv[i::INT]*1e6)::BIGINT - round(c.cv[i::INT]*1e6)::BIGINT)), "
+          f"'sum')")
+    body = ",\n".join(
+        _kmeans_ctes(k_cells, cell_iters, dim)
+        + _pq_ctes(m, k_codes, pq_iters, dim)
+    )
+    return f"""
+WITH {body},
+q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+      FROM embeddings WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT v.cid FROM {last} v, q
+  ORDER BY {qcos} DESC, v.cid LIMIT {n_probe}),
+assign AS (
+  SELECT id, cid FROM (
+    SELECT e.id, v.cid,
+      row_number() OVER (PARTITION BY e.id ORDER BY {ccos} DESC, v.cid) AS rn
+    FROM e CROSS JOIN {last} v) WHERE rn = 1),
+cand AS (SELECT a.id FROM assign a JOIN probe p USING (cid)),
+enc AS (
+  SELECT id, sub, cid FROM (
+    SELECT e.id, e.sub, c.cid,
+      row_number() OVER (PARTITION BY e.id, e.sub
+        ORDER BY {l2} ASC, c.cid) AS rn
+    FROM sv e JOIN pc{pq_iters} c USING (sub)) WHERE rn = 1),
+lut AS (
+  SELECT c.sub, c.cid,
+    list_aggregate(list_transform(range(1, {d + 1}), i ->
+      round(q.qe[(c.sub*{d} + i)::INT]*1e6)::BIGINT *
+      round(c.cv[i::INT]*1e6)::BIGINT), 'sum') AS qd
+  FROM pc{pq_iters} c, q)
+SELECT e.id AS vec_id, (sum(l.qd) / 1000000000000.0)::DOUBLE AS score
+FROM enc e JOIN cand USING (id) JOIN lut l USING (sub, cid)
+GROUP BY e.id ORDER BY score DESC, vec_id LIMIT {k}"""
+
+
 def q_label_centroids(dim: int = 64) -> str:
     return f"""
 SELECT label, (i.i - 1)::BIGINT AS pos,

@@ -560,6 +560,16 @@ def q_ann_pq_topk(spark, sf_dir):
     return ann_pq_topk(emb, _query_vec(spark, sf_dir))
 
 
+def q_ann_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ (the full FAISS decomposition): trained coarse cells prune
+    the scan to n_probe cells, ADC over PQ codes scores only those
+    vectors — both compressions compose, both oracle-checked."""
+    from .operators.pq import ann_ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_ivf_pq_topk(emb, _query_vec(spark, sf_dir))
+
+
 def q_ann_ivf_trained_topk(spark, sf_dir):
     """IVF top-k over the k-means-trained quantizer (no label column)."""
     from .operators.ann import ann_ivf_trained_topk
@@ -893,6 +903,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_multiprobe_topk": q_ann_multiprobe_topk,
     "pq_codebooks": q_pq_codebooks,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
     # rows-only: xxhash64 base hash has no DuckDB twin; the identical plan
     # shape is oracle-checked as fuzzy_dedup_prod_checked, and pytest
     # property-checks this profile (exact-dup clustering, idempotence)
@@ -920,12 +931,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_prod_pairs": q_embedding_near_dup_prod_pairs,
     "embedding_dedup_prod_keep": q_embedding_dedup_prod_keep,
     "kmeans_cells": q_kmeans_cells,
-    "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
     "session_windows": q_session_windows,
     "rpv2_pre_banded_keep": q_rpv2_pre_banded_keep,
     # --- redundant oracle-twins / intermediate stages (certified via a
     # sibling in prior rounds; beyond the driver's 50-query window) ------
     "langid_confusion": q_langid_confusion,
+    "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
     "unigram_entropy": q_unigram_entropy,
     "events_sliding": q_events_sliding,
     "semi_join_keeplist": q_semi_join,
@@ -1048,4 +1059,5 @@ ORACLES: dict[str, str] = {
     "ann_multiprobe_topk": oracle.q_ann_multiprobe_lsh_topk(),
     "pq_codebooks": oracle.q_pq_codebooks(),
     "ann_pq_topk": oracle.q_ann_pq_topk(),
+    "ann_ivf_pq_topk": oracle.q_ann_ivf_pq_topk(),
 }
