@@ -120,6 +120,8 @@ def commit_table(
     meta: dict | None = None,
     compression: str = "zstd",
     keep_versions: int = 1,
+    sort_by: tuple[str, ...] = (),
+    target_files: int | None = None,
 ) -> dict:
     """Write ``df`` as a committed table; returns the snapshot dict.
 
@@ -127,6 +129,13 @@ def commit_table(
     partition column from (Iceberg days() transform analog). The derived
     column is partition metadata only — readers get the original columns
     back plus ``date``.
+
+    ``sort_by``: cluster the data by these columns before writing
+    (range-repartition + sort-within-partitions — the Iceberg sort-order
+    analog): each file then covers a narrow key range, so parquet
+    footer min/max statistics prune files for predicates on the sort key.
+    ``target_files``: coalesce the write to this many files per partition
+    tree (small-file control; defaults to the frame's partitioning).
     """
     out = df
     parts = list(partition_by)
@@ -134,6 +143,12 @@ def commit_table(
         out = out.withColumn("date", F.to_date(F.col(derive_date_from)))
         if "date" not in parts:
             parts.append("date")
+    if sort_by:
+        n_out = target_files or out.rdd.getNumPartitions()
+        out = out.repartitionByRange(n_out, *[F.col(c) for c in sort_by])
+        out = out.sortWithinPartitions(*sort_by)
+    elif target_files is not None:
+        out = out.repartition(target_files)
 
     os.makedirs(table_dir, exist_ok=True)
     data_dir = f"data-{uuid.uuid4().hex}"
@@ -210,6 +225,59 @@ def commit_table(
     except OSError:
         pass
     return snapshot
+
+
+def data_file_count(table_dir: str, version: int | None = None) -> int:
+    """Number of parquet data files in a snapshot's live data dir."""
+    n = 0
+    for _root, _dirs, files in os.walk(_live_data_dir(table_dir, version)):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def compact_table(
+    spark: SparkSession,
+    table_dir: str,
+    rows_per_file: int = 1_000_000,
+    sort_by: tuple[str, ...] = (),
+    keep_versions: int = 2,
+    compression: str = "zstd",
+) -> dict:
+    """Iceberg ``rewrite_data_files`` analog: rewrite the live snapshot
+    into right-sized (optionally sort-clustered) files and commit the
+    result as a NEW version of the same table.
+
+    The small-file problem is the classic warehouse-maintenance cost at
+    100 TB — a streaming or fine-grained-committed table accumulates tiny
+    files until scan task scheduling dominates. Compaction here is just
+    another commit: readers flip atomically at the snapshot rename, the
+    pre-compaction version stays time-travelable within retention, and a
+    crash mid-compaction leaves the old snapshot untouched.
+
+    ``sort_by`` additionally clusters files by the given key(s)
+    (range-repartition + local sort) so footer min/max stats prune files
+    for predicates on that key. Returns the new snapshot dict with
+    ``meta.compaction`` describing the rewrite.
+    """
+    snap = read_snapshot(table_dir)
+    parts = tuple(snap.get("partition_by", ()))
+    files_before = data_file_count(table_dir)
+    df = read_table(spark, table_dir)
+    target = max(1, -(-snap["rows"] // rows_per_file))  # ceil div
+    meta = dict(snap.get("meta", {}))
+    meta["compaction"] = {
+        "from_version": snap["version"],
+        "files_before": files_before,
+        "target_files": target,
+        "sort_by": list(sort_by),
+    }
+    # partition columns already exist on the read-back frame (date was
+    # derived at original commit time), so pass them straight through
+    return commit_table(
+        df, table_dir, partition_by=parts, meta=meta,
+        compression=compression, keep_versions=keep_versions,
+        sort_by=sort_by, target_files=target,
+    )
 
 
 def _ends_with_newline(path: str) -> bool:

@@ -519,3 +519,41 @@ def test_avi_frame_walk_roundtrip(spark):
     assert set(by) == {(1, 0), (7, 0), (7, 5)}
     assert all(r.ok for r in out)
     assert by[(7, 5)].byte_sum == sum((5 * 31 + j) % 256 for j in range(121))
+
+
+def test_compact_table_rewrites_and_clusters(spark, tmp_path):
+    """compact_table: small files collapse to ceil(rows/rows_per_file)
+    right-sized files, rows/values survive byte-for-byte, the
+    pre-compaction version stays time-travelable, and sort_by clustering
+    gives files disjoint key ranges (footer min/max pruning fodder)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from redpajama_v2_processing_spark.tableio import (
+        compact_table, data_file_count, read_snapshot,
+    )
+
+    tdir = str(tmp_path / "ct")
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    ).repartition(16)
+    commit_table(df, tdir)
+    assert data_file_count(tdir) >= 8  # the small-file problem, induced
+
+    snap = compact_table(spark, tdir, rows_per_file=500, sort_by=("doc_id",))
+    assert snap["version"] == 2 and snap["rows"] == 1000
+    assert data_file_count(tdir) == 2
+    back = read_table(spark, tdir)
+    assert back.count() == 1000
+    assert back.agg(F.sum("doc_id")).collect()[0][0] == 999 * 1000 // 2
+    assert read_table(spark, tdir, version=1).count() == 1000  # time travel
+    assert snap["meta"]["compaction"]["files_before"] >= 8
+
+    live = read_snapshot(tdir)["data_dir"]
+    ranges = []
+    for f in glob.glob(f"{tdir}/{live}/*.parquet"):
+        col = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        ranges.append((min(col), max(col)))
+    ranges.sort()
+    assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
