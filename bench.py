@@ -68,7 +68,8 @@ def stage_inputs(spark, sf_dir: str, splits: int) -> str:
     return dest
 
 HEADLINE = [
-    "quality_signals", "quality_filter", "langid", "unigram_entropy",
+    "quality_signals", "quality_filter", "gopher_signals", "c4_filter",
+    "langid", "unigram_entropy",
     "perplexity", "perplexity_ngram", "perplexity_buckets",
     "scrub_pii", "exact_dedup_keep", "minhash_bands",
     "lsh_buckets", "fuzzy_dedup_keep", "fuzzy_dedup_prod",

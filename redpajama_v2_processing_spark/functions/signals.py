@@ -158,6 +158,42 @@ def duplicate_line_signals(
     )
 
 
+def gopher_signals(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """DF(id, symbol_word_ratio, bullet_line_fraction,
+    ellipsis_line_fraction, alpha_word_fraction): the residual Gopher
+    (Rae et al. 2021) repetition/shape heuristics not already in
+    with_signals. All codegen expressions over staged token/line arrays —
+    no shuffle, no Python.
+
+    * symbol_word_ratio: ('#' occurrences + '...'/'…' occurrences) / words
+    * bullet_line_fraction: lines starting with a bullet mark (-, *, •)
+    * ellipsis_line_fraction: lines ending with '...' or '…'
+    * alpha_word_fraction: words containing >= 1 ASCII letter
+    """
+    text = F.col(text_col)
+    staged = df.select(
+        F.col(id_col).alias("id"), text.alias("_t"),
+        tokens(text).alias("_tok"), lines(text).alias("_lines"),
+    )
+    tok, ls = F.col("_tok"), F.col("_lines")
+    n_sym = (
+        F.length("_t") - F.length(F.regexp_replace("_t", r"#", ""))
+        + F.regexp_count("_t", F.lit(r"(\.\.\.|…)"))
+    )
+    bullets = F.size(F.filter(ls, lambda l: l.rlike(r"^\s*([-*•])")))
+    ellipsis = F.size(F.filter(ls, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    alpha = F.size(F.filter(tok, lambda w: w.rlike(r"[A-Za-z]")))
+    return staged.select(
+        "id",
+        F.round(_ratio(n_sym, F.size(tok)), 6).alias("symbol_word_ratio"),
+        F.round(_ratio(bullets, F.size(ls)), 6).alias("bullet_line_fraction"),
+        F.round(_ratio(ellipsis, F.size(ls)), 6).alias("ellipsis_line_fraction"),
+        F.round(_ratio(alpha, F.size(tok)), 6).alias("alpha_word_fraction"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Wide signal frame
 # ---------------------------------------------------------------------------

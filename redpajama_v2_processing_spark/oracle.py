@@ -399,6 +399,83 @@ reach(id, root) AS (
 SELECT id FROM reach GROUP BY id HAVING min(root) = id"""
 
 
+def q_gopher_signals() -> str:
+    """Twin of functions/signals.gopher_signals: residual Gopher shape
+    heuristics — same regexes, same token/line contracts, round 6."""
+    t = tokens("text")
+    n_sym = ("(length(text) - length(replace(text, '#', ''))"
+             " + len(regexp_extract_all(text, '(\\.\\.\\.|…)')))")
+    sym = ratio(n_sym, "len(t)")
+    bullet = ratio(
+        "len(list_filter(ls, l -> regexp_matches(l, '^\\s*([-*•])')))",
+        "len(ls)")
+    ell = ratio(
+        "len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))",
+        "len(ls)")
+    alpha = ratio(
+        "len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))", "len(t)")
+    return f"""
+WITH tk0 AS (SELECT doc_id, {tokens('text')} AS t FROM documents),
+shaped AS (
+  -- coalesce: DuckDB array_to_string of an EMPTY out-of-range slice is
+  -- NULL (Spark array_join gives ''), which would NULL the whole concat
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN '- ' ELSE '' END)
+      || coalesce(array_to_string(t[1:5], ' '), '') || chr(10)
+    || coalesce(array_to_string(t[6:10], ' '), '')
+      || (CASE WHEN doc_id % 4 = 0 THEN '...' ELSE '.' END) || chr(10)
+    || coalesce(array_to_string(t[11:15], ' '), '') || ' '
+      || repeat('#', doc_id % 5) || chr(10)
+    || doc_id::VARCHAR || ' 12345 '
+      || coalesce(array_to_string(t[16:18], ' '), '')
+      AS text
+  FROM tk0),
+st AS (
+  SELECT doc_id AS id, text, {t} AS t,
+         string_split(text, chr(10)) AS ls
+  FROM shaped)
+SELECT id,
+  round({sym}, 6)::DOUBLE AS symbol_word_ratio,
+  round({bullet}, 6)::DOUBLE AS bullet_line_fraction,
+  round({ell}, 6)::DOUBLE AS ellipsis_line_fraction,
+  round({alpha}, 6)::DOUBLE AS alpha_word_fraction
+FROM st"""
+
+
+def q_c4_filter(min_line_words: int = 5, min_lines: int = 3) -> str:
+    """Twin of queries.q_c4_filter: the same synthesized page-shaped text
+    (three punctuated 6-word lines + junk line + rule-triggering
+    injections), identical line-retention regex and page rules, retained
+    lines rejoined with newline."""
+    t = tokens("text")
+    return f"""
+WITH tk AS (SELECT doc_id, {t} AS t FROM documents),
+shaped AS (
+  -- coalesce: DuckDB array_to_string of an EMPTY out-of-range slice is
+  -- NULL (Spark array_join gives ''), which would NULL the whole concat
+  SELECT doc_id,
+    coalesce(array_to_string(t[1:6], ' '), '') || '.' || chr(10)
+    || coalesce(array_to_string(t[7:12], ' '), '') || '!' || chr(10)
+    || 'short line' || chr(10)
+    || coalesce(array_to_string(t[13:18], ' '), '') || '?'
+    || (CASE WHEN doc_id % 7 = 0 THEN ' {{' ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0
+        THEN chr(10) || 'we add lorem ipsum boilerplate here' ELSE '' END)
+      AS text
+  FROM tk),
+st AS (
+  SELECT doc_id AS id, text,
+    list_filter(string_split(text, chr(10)),
+      l -> len({tokens('l')}) >= {min_line_words}
+           AND regexp_matches(l, '[.!?"]\\s*$')) AS kept
+  FROM shaped)
+SELECT id, array_to_string(kept, chr(10)) AS clean_text
+FROM st
+WHERE len(kept) >= {min_lines}
+  AND NOT contains(lower(text), 'lorem ipsum')
+  AND NOT contains(text, '{{')"""
+
+
 def q_duplicate_line_signals() -> str:
     """Twin of functions/signals.duplicate_line_signals: Gopher-style
     line-repetition fractions over non-empty raw lines."""

@@ -193,3 +193,44 @@ def test_winnow_dedup_keep_folds_fragment_into_parent(spark):
     )
     keep = {r.id for r in winnow_dedup_keep(df, "doc_id").collect()}
     assert keep == {0, 2}
+
+
+def test_c4_filter_rules(spark):
+    """C4 line + page rules: short/unpunctuated lines drop, pages keep
+    only with >= 3 retained lines, braces and lorem ipsum kill pages."""
+    from redpajama_v2_processing_spark.functions.c4 import c4_filter
+
+    good = ("this line has plenty of words and ends well.\n"
+            "another fine sentence with enough words here!\n"
+            "short one.\n"
+            "a third fully valid sentence closes the page?")
+    rows = [
+        (0, good),
+        (1, good + "\nvar x = { a: 1 }"),           # brace -> dropped
+        (2, good.replace("closes", "lorem ipsum")), # lorem -> dropped
+        (3, "only one good sentence here today.\nno punct line\nshort."),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r.clean_text for r in c4_filter(df, "doc_id").collect()}
+    assert set(out) == {0}
+    # the short line was removed, the three valid lines survive in order
+    assert out[0].count("\n") == 2 and "short one." not in out[0]
+
+
+def test_gopher_signals_values(spark):
+    """Gopher shape heuristics compute exact fractions."""
+    from redpajama_v2_processing_spark.functions.signals import gopher_signals
+
+    df = spark.createDataFrame(
+        [(0, "- bullet line here\nplain line text\ntrailing dots line...\n"
+             "num 123 ### mix")],
+        "doc_id long, text string",
+    )
+    r = gopher_signals(df, "doc_id").collect()[0]
+    assert r.bullet_line_fraction == 0.25       # 1 of 4 lines
+    assert r.ellipsis_line_fraction == 0.25     # 1 of 4 lines
+    # symbols: 3 '#' + 1 '...' = 4 over 14 words
+    assert r.symbol_word_ratio == round(4 / 14, 6)
+    # non-alpha words: '-', '123', '###' -> 11/14 alpha
+    assert r.alpha_word_fraction == round(11 / 14, 6)
