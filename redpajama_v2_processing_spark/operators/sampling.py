@@ -70,3 +70,37 @@ def shuffle_rows(df: DataFrame, seed: int = 66) -> DataFrame:
     src/shuffle_dataset.py:31-45, seed=66). Only needed when downstream
     consumers are order-sensitive — the engine's own operators are not."""
     return df.orderBy(F.rand(seed))
+
+
+def domain_cap(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str = "source",
+    cap: int = 40,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain (smallest ids win) —
+    the crawl-bias control that stops one hot host from dominating a
+    training mix. One window shuffle keyed on the domain; a skew-heavy
+    corpus at 100 TB would pre-aggregate per-domain counts and only
+    window the over-cap domains (the rank is deterministic either way)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    domain_col: str = "source",
+    block_domain_col: str = "domain",
+) -> DataFrame:
+    """Drop documents whose domain appears in a blocklist table (the
+    UT1-adult-list-style control). Left-anti join; the blocklist is tiny
+    so AQE broadcasts it — the corpus never shuffles."""
+    b = blocklist.select(F.col(block_domain_col).alias(domain_col)).distinct()
+    return df.join(F.broadcast(b), domain_col, "left_anti")

@@ -1624,6 +1624,18 @@ FROM z GROUP BY 1"""
 # ---------------------------------------------------------------------------
 
 
+def q_domain_cap(cap: int = 15, blocked=("src3", "src7")) -> str:
+    """Twin of queries.q_domain_cap: blocklist anti-filter, then keep the
+    ``cap`` smallest doc_ids per source."""
+    bl = ", ".join(f"'{b}'" for b in blocked)
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+  FROM documents WHERE source NOT IN ({bl}))
+WHERE rk <= {cap}"""
+
+
 def q_hash_sample(one_in: int = 10, salt: str = "s") -> str:
     h = md5int(f"'{salt}:' || doc_id::VARCHAR")
     return f"SELECT doc_id FROM documents WHERE {h} % {one_in} = 0"

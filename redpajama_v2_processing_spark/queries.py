@@ -692,6 +692,18 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_domain_cap(spark, sf_dir):
+    """Per-domain document cap (crawl-bias control): keep the 15
+    smallest doc_ids per source (cap binds at every fixture scale —
+    sources carry >= 25 docs), after dropping blocklisted domains."""
+    from .operators.sampling import domain_blocklist_filter, domain_cap
+
+    docs = _docs(spark, sf_dir)
+    block = spark.createDataFrame([("src3",), ("src7",)], "domain string")
+    kept = domain_blocklist_filter(docs, block)
+    return domain_cap(kept, "doc_id", cap=15).select("doc_id", "source")
+
+
 def q_hash_sample(spark, sf_dir):
     return hash_sample(_docs(spark, sf_dir), "doc_id", 10).select("doc_id")
 
@@ -947,6 +959,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_flags": q_decontaminate_flags,
     "gopher_signals": q_gopher_signals,
     "c4_filter": q_c4_filter,
+    "domain_cap": q_domain_cap,
     "dsir_weights": q_dsir_weights,
     "dsir_topk": q_dsir_topk,
     "winnow_dedup_keep": q_winnow_dedup_keep,
@@ -977,7 +990,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_signals": q_quality_signals,
     "perplexity": q_perplexity,
     "langid": q_langid,
-    "token_counts": q_token_counts,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
     "scrub_pii": q_scrub,
@@ -999,6 +1011,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- redundant oracle-twins / intermediate stages (certified via a
     # sibling in prior rounds; beyond the driver's 50-query window) ------
     "langid_confusion": q_langid_confusion,
+    "token_counts": q_token_counts,
     "duplicate_line_signals": q_duplicate_line_signals,
     "session_windows": q_session_windows,
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
@@ -1037,6 +1050,7 @@ ORACLES: dict[str, str] = {
     "decontaminate_flags": oracle.q_decontaminate_flags(),
     "gopher_signals": oracle.q_gopher_signals(),
     "c4_filter": oracle.q_c4_filter(),
+    "domain_cap": oracle.q_domain_cap(),
     "dsir_weights": oracle.q_dsir_weights(),
     "dsir_topk": oracle.q_dsir_topk(),
     "langid": oracle.q_langid(),
