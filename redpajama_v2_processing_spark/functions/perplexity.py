@@ -61,6 +61,7 @@ def with_bigram_perplexity(
     text_col: str = "text",
     lam: float = 0.75,
     round_to: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Append ``perplexity_bigram``: interpolated word-bigram LM perplexity
     — the KenLM-shaped higher-order signal (the reference's perplexity is a
@@ -82,6 +83,11 @@ def with_bigram_perplexity(
       keys on (w1, w2) — content-keyed, AQE handles residual skew (hot
       stopword-stopword bigrams are bounded by language statistics);
     * one per-doc re-aggregation.
+
+    ``materialize`` (default True) checkpoints the exploded bigram frame
+    once: it feeds both the count-training pass and the scoring join, and
+    Catalyst does not share the subplan — without it the tokenize+explode
+    runs twice per consumer (6 corpus scans measured in the full plan).
     """
     t = tokens(F.col(text_col))
     base = docs.select(F.col(id_col), t.alias("_t")).where(F.size("_t") >= 2)
@@ -97,6 +103,8 @@ def with_bigram_perplexity(
             )
         ).alias("_b"),
     ).select(id_col, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    if materialize:
+        bg = bg.localCheckpoint(eager=True)
 
     tok = docs.select(F.explode(t).alias("w"))
     uni = tok.groupBy("w").agg(F.count("*").alias("c1"))
@@ -146,9 +154,11 @@ def perplexity_buckets(
     head by construction; filter upstream if undesired.
     """
     p = 1.0 / 3.0
-    scored = with_bigram_perplexity(docs, id_col, text_col, lam, round_to).select(
-        id_col, lang_col, "perplexity_bigram"
-    )
+    # checkpoint: `scored` feeds both the tercile aggregation and the
+    # labeling join; without it the whole LM scoring plan runs twice
+    scored = with_bigram_perplexity(
+        docs, id_col, text_col, lam, round_to
+    ).select(id_col, lang_col, "perplexity_bigram").localCheckpoint(eager=True)
     th = scored.groupBy(lang_col).agg(
         F.round(
             F.expr(f"percentile(perplexity_bigram, {p!r})").cast("double"), 6

@@ -76,8 +76,14 @@ def dsir_log_weights(
     """DF(id, log_weight): per-doc DSIR importance log-weight. Docs with
     no tokens score 0.0. Exact: the broadcast ratio table stores
     round((ln p_b - ln q_b) * 1e6) as bigint, so each doc's weight is an
-    integer sum divided once."""
-    dg = hashed_ngram_buckets(docs, id_col, text_col, buckets)
+    integer sum divided once.
+
+    The per-doc bucket frame is checkpointed once: it feeds the raw
+    distribution AND the scoring join (Catalyst does not share the
+    subplan — 11 corpus scans measured without it)."""
+    dg = hashed_ngram_buckets(docs, id_col, text_col, buckets).localCheckpoint(
+        eager=True
+    )
     tg = hashed_ngram_buckets(target, target.columns[0], target_text_col, buckets)
     q = _bucket_dist(dg, buckets)
     p = _bucket_dist(tg, buckets)

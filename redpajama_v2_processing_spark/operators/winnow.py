@@ -83,6 +83,7 @@ def winnow_near_dup_pairs(
     w: int = WINNOW_W,
     min_shared: int = 2,
     max_df: int = 10,
+    materialize: bool = True,
 ) -> DataFrame:
     """DF(src, dst, shared, src_containment, dst_containment), src < dst:
     documents sharing >= ``min_shared``
@@ -101,8 +102,17 @@ def winnow_near_dup_pairs(
     side's TOTAL distinct fingerprint count — so consumers can tell
     "B contains A" (src_containment ~ 1.0, dst_containment small) apart
     from symmetric near-duplication.
+
+    ``materialize`` (default True) checkpoints the fingerprint frame
+    once: it feeds THREE consumers (rare-df filter, per-doc totals, the
+    join sides) and Catalyst does not share common subplans across them —
+    measured 6 full scans + 6 winnowing passes per query without it. The
+    checkpoint blocks belong to the returned plan and are context-cleaned
+    when it is dropped; pass False to keep the plan fully lazy.
     """
     fps = winnow_fingerprints(docs, id_col, text_col, k, w)
+    if materialize:
+        fps = fps.localCheckpoint(eager=True)
     rare = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("_df"))
