@@ -295,6 +295,10 @@ def embedding_near_dup_pairs(
             .where(F.col("_rn") <= max_bucket)
             .drop("_rn")
         )
+    # checkpoint: both self-join sides consume the banded frame (no
+    # subplan sharing in Catalyst — the signature aggregation would run
+    # once per side)
+    banded = banded.localCheckpoint(eager=True)
     a = banded.select(F.col("_id").alias("src"), "band", "key")
     c = banded.select(F.col("_id").alias("dst"), "band", "key")
     cand = (

@@ -159,6 +159,10 @@ def simhash_near_pairs(
             .where(F.col("_rn") <= max_bucket)
             .drop("_rn")
         )
+    # checkpoint: both self-join sides consume the banded frame and
+    # Catalyst does not share the subplan — without this the signature
+    # computation (tokenize + explode + bit sums) runs once per side
+    banded = banded.localCheckpoint(eager=True)
     a = banded.select(
         F.col("id").alias("src"), F.col("simhash").alias("_ha"), "band", "key"
     )
