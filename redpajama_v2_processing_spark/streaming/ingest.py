@@ -89,6 +89,51 @@ def stream_exact_dedup(
     return writer.start()
 
 
+def stream_simhash_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    bits: int = 60,
+    watermark: str = "24 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming NEAR-dup dedup at the signature tier: emit each 60-bit
+    SimHash value's FIRST page only, bounded state via
+    ``dropDuplicatesWithinWatermark``.
+
+    Near-identical template pages (boilerplate variants, trivial
+    re-edits) collapse to the same SimHash with high probability, so this
+    catches the near-dup mass a streaming pipeline can handle without
+    cross-key coordination. The trade-off is stated, not hidden: docs at
+    Hamming distance 1..k need the batch band-bucket + CC pass
+    (simhash_dedup_keep) — streaming connected components across band
+    keys has no bounded-state formulation, so production runs this as the
+    ingest-time first pass and the batch keep-list as the periodic
+    compaction."""
+    from ..operators.simhash_dedup import simhash_from_hashes, token_hash_array
+
+    pages = read_pages_stream(spark, input_dir)
+    sh = (
+        pages.withColumn("_hv", token_hash_array(F.col("text")))
+        .withColumn("simhash", simhash_from_hashes(F.col("_hv"), bits))
+        .drop("_hv")
+    )
+    deduped = (
+        sh.withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["simhash"])
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_lang_rates(
     spark: SparkSession,
     input_dir: str,

@@ -557,3 +557,59 @@ def test_compact_table_rewrites_and_clusters(spark, tmp_path):
         ranges.append((min(col), max(col)))
     ranges.sort()
     assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
+
+
+def test_row_local_simhash_equals_grouped(spark):
+    """The streaming-compatible row-local simhash expression must agree
+    bit-for-bit with the batch grouped formulation on every doc,
+    including empty/whitespace docs (both yield 0)."""
+    from pyspark.sql import functions as F2
+
+    from redpajama_v2_processing_spark.operators.simhash_dedup import (
+        simhash_from_hashes, token_hash_array, with_simhash,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "the quick brown fox jumps over the lazy cat"),
+         (2, ""), (3, "   "), (4, "one"), (5, None)],
+        "doc_id long, text string",
+    )
+    grouped = {r.id: r.simhash
+               for r in with_simhash(df, "doc_id", bits=60).collect()}
+    rowlocal = {
+        r.doc_id: r.sh
+        for r in df.withColumn("_hv", token_hash_array(F2.col("text")))
+        .select("doc_id", simhash_from_hashes(F2.col("_hv"), 60).alias("sh"))
+        .collect()
+    }
+    # null text: token_hash_array(NULL) is NULL -> fold yields NULL; the
+    # grouped path coalesces to 0 — normalize for comparison
+    assert {k: (v if v is not None else 0) for k, v in rowlocal.items()} == grouped
+
+
+def test_streaming_simhash_dedup_collapses_near_dups(spark, tmp_path):
+    """Streaming signature-tier near-dup dedup: one page survives per
+    60-bit simhash (the fixture plants exact + near duplicate texts),
+    matching the batch distinct-signature count."""
+    from redpajama_v2_processing_spark.operators.simhash_dedup import (
+        with_simhash,
+    )
+    from redpajama_v2_processing_spark.streaming.ingest import (
+        stream_simhash_dedup,
+    )
+
+    src_dir = str(tmp_path / "pages_sh_stream")
+    write_pages(spark, src_dir, n_rows=100, seed=13, partitions=3)
+    out_dir = str(tmp_path / "sh_out")
+    q = stream_simhash_dedup(spark, src_dir, out_dir, str(tmp_path / "shckpt"))
+    q.awaitTermination(120)
+
+    batch = read_pages(spark, src_dir)
+    n_distinct = (
+        with_simhash(batch, "url", bits=60)
+        .select("simhash").distinct().count()
+    )
+    got = spark.read.parquet(out_dir)
+    assert got.count() == n_distinct < batch.count()
+    assert got.select("simhash").distinct().count() == n_distinct
