@@ -42,6 +42,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--input", required=True)
     s.add_argument("--warehouse", required=True)
 
+    c = sub.add_parser("compact")
+    c.add_argument("--table", required=True)
+    c.add_argument("--rows-per-file", type=int, default=1_000_000)
+    c.add_argument("--sort-by", default=None, help="comma list of sort keys")
+    c.add_argument("--keep-versions", type=int, default=2)
+
     args = p.parse_args(argv)
     spark = get_spark()
 
@@ -65,6 +71,21 @@ def main(argv: list[str] | None = None) -> int:
             spark, src, stages, args.warehouse, resume=not args.no_resume
         )
         print(json.dumps(metrics))
+        return 0
+
+    if args.cmd == "compact":
+        from .tableio import compact_table, data_file_count
+
+        snap = compact_table(
+            spark, args.table, rows_per_file=args.rows_per_file,
+            sort_by=tuple(args.sort_by.split(",")) if args.sort_by else (),
+            keep_versions=args.keep_versions,
+        )
+        print(json.dumps({
+            "version": snap["version"], "rows": snap["rows"],
+            "files": data_file_count(args.table),
+            "compaction": snap["meta"]["compaction"],
+        }))
         return 0
 
     if args.cmd == "stream":

@@ -217,6 +217,11 @@ def test_cli_generate_and_run(tmp_path, spark):
     assert cli.main(["run", "--input", src, "--warehouse", wh,
                      "--stages", "extract,label,quality"]) == 0
     assert table_committed(f"{wh}/quality")
+    # maintenance entry: compact the committed stage table in place
+    assert cli.main(["compact", "--table", f"{wh}/quality",
+                     "--rows-per-file", "100000"]) == 0
+    from redpajama_v2_processing_spark.tableio import read_snapshot
+    assert read_snapshot(f"{wh}/quality")["version"] == 2
 
 
 def test_build_pyfiles(tmp_path):
