@@ -68,6 +68,57 @@ def contaminated_ids(
     )
 
 
+def duplicated_ngram_fraction(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = DECONTAM_NGRAM,
+) -> DataFrame:
+    """DF(id, n_ngrams, dup_ngram_fraction): fraction of each doc's
+    DISTINCT n-grams that appear in at least one other document — the
+    duplicated-span mass signal (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better": substring-duplicated text is the
+    harmful kind), computed with the decontamination machinery pointed at
+    the corpus itself.
+
+    Plan: one n-gram frame (checkpointed — it feeds both the
+    document-frequency count and the per-doc join), one grouped df count
+    shuffled on the gram hash, one re-join + per-doc aggregation. Docs
+    with < n tokens have no n-grams and score 0.0 over 0 grams.
+    """
+    dg = ngram_hash_frame(docs, id_col, text_col, n).localCheckpoint(eager=True)
+    dup = (
+        dg.groupBy("gh")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") >= 2)
+        .select("gh")
+    )
+    per_doc = (
+        dg.join(dup, "gh", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("_nd"))
+    )
+    totals = dg.groupBy("id").agg(F.count("*").alias("_nt"))
+    ids = docs.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(totals, "id", "left")
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("_nt", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.round(
+                F.when(
+                    F.coalesce("_nt", F.lit(0)) == 0, F.lit(0.0)
+                ).otherwise(
+                    F.coalesce("_nd", F.lit(0)).cast("double")
+                    / F.col("_nt").cast("double")
+                ),
+                6,
+            ).alias("dup_ngram_fraction"),
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     bench: DataFrame,

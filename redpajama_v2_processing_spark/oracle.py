@@ -359,6 +359,32 @@ FROM dg JOIN bg USING (gh)
 GROUP BY doc_id HAVING count(*) >= {min_hits}"""
 
 
+def q_dup_ngram_fraction(n: int = 13) -> str:
+    """Twin of operators/decontaminate.duplicated_ngram_fraction over the
+    fragment-augmented corpus: identical token/hash contracts, distinct
+    per-doc n-grams, df >= 2 duplicated mass."""
+    gram = f"array_to_string(t[i.i::INT:(i.i + {n - 1})::INT], ' ')"
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, substr(text, 1, (length(text) // 2)::INT)
+  FROM documents WHERE doc_id % 25 = 0),
+tk AS (SELECT doc_id, {tokens('text')} AS t FROM aug),
+dg AS (
+  SELECT DISTINCT doc_id, {md5int(gram)} AS gh
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t) - {n - 2})) AS i) i
+  WHERE len(t) >= {n}),
+dup AS (SELECT gh FROM dg GROUP BY gh HAVING count(*) >= 2),
+nd AS (SELECT doc_id, count(*) AS c FROM dg JOIN dup USING (gh) GROUP BY 1),
+nt AS (SELECT doc_id, count(*) AS c FROM dg GROUP BY 1)
+SELECT a.doc_id AS id, coalesce(nt.c, 0)::BIGINT AS n_ngrams,
+  round(CASE WHEN coalesce(nt.c, 0) = 0 THEN 0.0
+        ELSE coalesce(nd.c, 0)::DOUBLE / nt.c::DOUBLE END, 6)::DOUBLE
+    AS dup_ngram_fraction
+FROM aug a LEFT JOIN nt USING (doc_id) LEFT JOIN nd USING (doc_id)"""
+
+
 def q_winnow_dedup_keep(min_shared: int = 2, max_df: int = 10,
                         k: int = 20, w: int = 8,
                         min_containment: float = 0.5) -> str:

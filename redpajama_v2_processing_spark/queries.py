@@ -267,6 +267,22 @@ def q_decontaminate_flags(spark, sf_dir):
     )
 
 
+def q_dup_ngram_fraction(spark, sf_dir):
+    """Duplicated-span mass (Lee et al. 2022): fraction of each doc's
+    distinct 13-grams appearing in >= 2 docs. The fixture has no organic
+    cross-doc 13-grams, so every 25th doc gets a half-length fragment
+    twin (same construction as winnow_dedup_keep) whose grams are fully
+    contained in its parent's."""
+    from .operators.decontaminate import duplicated_ngram_fraction
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    frags = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.col("text").substr(F.lit(1), F.floor(F.length("text") / 2).cast("int")).alias("text"),
+    )
+    return duplicated_ngram_fraction(docs.unionByName(frags), "doc_id")
+
+
 def q_winnow_dedup_keep(spark, sf_dir):
     """Substring-dedup keep-list: containment-threshold edges over rare
     shared winnowing fingerprints -> connected components -> min-id keep
@@ -957,6 +973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_ngram": q_perplexity_ngram,
     "perplexity_buckets": q_perplexity_buckets,
     "decontaminate_flags": q_decontaminate_flags,
+    "dup_ngram_fraction": q_dup_ngram_fraction,
     "gopher_signals": q_gopher_signals,
     "c4_filter": q_c4_filter,
     "domain_cap": q_domain_cap,
@@ -994,7 +1011,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
     "scrub_pii": q_scrub,
     "quality_filter": q_quality_filter,
-    "quantile_filter": q_quantile_filter,
     "profiled_quantile_filter": q_profiled_quantile_filter,
     "exact_dedup_keep": q_exact_dedup_keep,
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
@@ -1011,6 +1027,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- redundant oracle-twins / intermediate stages (certified via a
     # sibling in prior rounds; beyond the driver's 50-query window) ------
     "langid_confusion": q_langid_confusion,
+    "quantile_filter": q_quantile_filter,
     "token_counts": q_token_counts,
     "duplicate_line_signals": q_duplicate_line_signals,
     "session_windows": q_session_windows,
@@ -1048,6 +1065,7 @@ ORACLES: dict[str, str] = {
     "perplexity_ngram": oracle.q_perplexity_ngram(),
     "perplexity_buckets": oracle.q_perplexity_buckets(),
     "decontaminate_flags": oracle.q_decontaminate_flags(),
+    "dup_ngram_fraction": oracle.q_dup_ngram_fraction(),
     "gopher_signals": oracle.q_gopher_signals(),
     "c4_filter": oracle.q_c4_filter(),
     "domain_cap": oracle.q_domain_cap(),
