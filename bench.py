@@ -82,7 +82,7 @@ HEADLINE = [
     "embedding_dedup_prod_keep",
     "label_centroids", "kmeans_cells", "ann_ivf_trained_topk",
     "ann_multiprobe_topk", "pq_codebooks", "ann_pq_topk",
-    "decontaminate_flags", "dsir_weights",
+    "decontaminate_flags", "dup_ngram_fraction", "dsir_weights", "domain_cap",
     "winnow_near_dup_pairs", "winnow_dedup_keep",
     "image_meta", "image_pixels", "audio_pcm_stats", "video_frames",
     "quantile_filter", "session_windows",
