@@ -158,6 +158,37 @@ def duplicate_line_signals(
     )
 
 
+def dedup_lines(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """DF(id, clean_text): each document's repeated lines REMOVED (first
+    occurrence kept, original order preserved) — the Gopher-style
+    repetition-removal transform complementing duplicate_line_signals'
+    measurement.
+
+    Relational formulation: posexplode lines, per-(id, line) min
+    position, re-sort, rejoin — one shuffle on the doc id. The obvious
+    array-expression alternative (filter each line against its prefix)
+    is an O(n_lines^2) interpreted scan per row; this stays linear and
+    codegen. NULL text yields '' (same as an empty doc)."""
+    ln = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(lines(F.col(text_col))).alias("pos", "_l"),
+    )
+    firsts = ln.groupBy("id", "_l").agg(F.min("pos").alias("_p"))
+    rebuilt = firsts.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_l"))),
+                lambda s: s["_l"],
+            ),
+            "\n",
+        ).alias("clean_text")
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(rebuilt, "id", "left").select(
+        "id", F.coalesce("clean_text", F.lit("")).alias("clean_text")
+    )
+
+
 def gopher_signals(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:

@@ -502,6 +502,31 @@ WHERE len(kept) >= {min_lines}
   AND NOT contains(text, '{{')"""
 
 
+def q_dedup_lines() -> str:
+    """Twin of queries.q_dedup_lines: same token-derived 5-line page with
+    planted repeats, per-(doc, line) min position, first-occurrence-order
+    rebuild."""
+    return f"""
+WITH tk AS (SELECT doc_id, {tokens('text')} AS t FROM documents),
+shaped AS (
+  SELECT doc_id,
+    coalesce(array_to_string(t[1:4], ' '), '') || chr(10)
+    || coalesce(array_to_string(t[5:8], ' '), '') || chr(10)
+    || coalesce(array_to_string(t[1:4], ' '), '') || chr(10)
+    || coalesce(array_to_string(t[9:12], ' '), '') || chr(10)
+    || coalesce(array_to_string(t[5:8], ' '), '') AS text
+  FROM tk),
+lsx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM shaped),
+l AS (
+  SELECT doc_id, i.i AS pos, ls[i.i::INT] AS line
+  FROM lsx, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) i),
+f AS (SELECT doc_id, line, min(pos) AS p FROM l GROUP BY 1, 2),
+r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS clean_text
+      FROM f GROUP BY 1)
+SELECT s.doc_id AS id, coalesce(r.clean_text, '') AS clean_text
+FROM shaped s LEFT JOIN r USING (doc_id)"""
+
+
 def q_duplicate_line_signals() -> str:
     """Twin of functions/signals.duplicate_line_signals: Gopher-style
     line-repetition fractions over non-empty raw lines."""

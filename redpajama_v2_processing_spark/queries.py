@@ -173,6 +173,25 @@ def q_c4_filter(spark, sf_dir):
     return c4_filter(shaped, "doc_id")
 
 
+def q_dedup_lines(spark, sf_dir):
+    """Within-doc duplicate-line REMOVAL (first occurrence kept, order
+    preserved). The fixture text has no newlines, so a 5-line page with
+    two planted repeats is synthesized from each doc's tokens —
+    identical construction in the oracle; output must be the 3 distinct
+    lines in first-occurrence order."""
+    from .functions.signals import dedup_lines
+    from .functions.text import tokens as _tokens
+
+    docs = _docs(spark, sf_dir)
+    t = _tokens(F.col("text"))
+    j = lambda a, n: F.array_join(F.slice(t, a, n), " ")  # noqa: E731
+    shaped = docs.select(
+        "doc_id",
+        F.concat_ws("\n", j(1, 4), j(5, 4), j(1, 4), j(9, 4), j(5, 4)).alias("text"),
+    )
+    return dedup_lines(shaped, "doc_id")
+
+
 def q_duplicate_line_signals(spark, sf_dir):
     """Gopher-style line-repetition signals (duplicate-line fraction by
     count and by character mass)."""
@@ -974,6 +993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_buckets": q_perplexity_buckets,
     "decontaminate_flags": q_decontaminate_flags,
     "dup_ngram_fraction": q_dup_ngram_fraction,
+    "dedup_lines": q_dedup_lines,
     "gopher_signals": q_gopher_signals,
     "c4_filter": q_c4_filter,
     "domain_cap": q_domain_cap,
@@ -1018,7 +1038,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_prod_near_pairs": q_simhash_prod_near_pairs,
     "simhash_capped_near_pairs": q_simhash_capped_near_pairs,
     "simhash_dedup_keep": q_simhash_dedup_keep,
-    "embedding_dedup_star_keep": q_embedding_dedup_star_keep,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup_prod_pairs": q_embedding_near_dup_prod_pairs,
     "embedding_dedup_prod_keep": q_embedding_dedup_prod_keep,
@@ -1027,6 +1046,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- redundant oracle-twins / intermediate stages (certified via a
     # sibling in prior rounds; beyond the driver's 50-query window) ------
     "langid_confusion": q_langid_confusion,
+    # identical formulation/params to embedding_dedup_prod_keep (above)
+    "embedding_dedup_star_keep": q_embedding_dedup_star_keep,
     "quantile_filter": q_quantile_filter,
     "token_counts": q_token_counts,
     "duplicate_line_signals": q_duplicate_line_signals,
@@ -1066,6 +1087,7 @@ ORACLES: dict[str, str] = {
     "perplexity_buckets": oracle.q_perplexity_buckets(),
     "decontaminate_flags": oracle.q_decontaminate_flags(),
     "dup_ngram_fraction": oracle.q_dup_ngram_fraction(),
+    "dedup_lines": oracle.q_dedup_lines(),
     "gopher_signals": oracle.q_gopher_signals(),
     "c4_filter": oracle.q_c4_filter(),
     "domain_cap": oracle.q_domain_cap(),

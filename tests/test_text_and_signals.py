@@ -234,3 +234,20 @@ def test_gopher_signals_values(spark):
     assert r.symbol_word_ratio == round(4 / 14, 6)
     # non-alpha words: '-', '123', '###' -> 11/14 alpha
     assert r.alpha_word_fraction == round(11 / 14, 6)
+
+
+def test_dedup_lines_keeps_first_occurrence_order(spark):
+    """Within-doc duplicate-line removal: first occurrence kept, order
+    preserved; empty and NULL docs yield ''."""
+    from redpajama_v2_processing_spark.functions.signals import dedup_lines
+
+    df = spark.createDataFrame(
+        [(0, "a\nb\na\nc\nb"), (1, "only"), (2, ""), (3, None),
+         (4, "x\nx\nx")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r.clean_text for r in dedup_lines(df, "doc_id").collect()}
+    assert out[0] == "a\nb\nc"
+    assert out[1] == "only"
+    assert out[2] == "" and out[3] == ""
+    assert out[4] == "x"
