@@ -228,6 +228,109 @@ def ann_ivf_pq_topk(
     )
 
 
+def ann_ivf_pq_residual_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_cells: int = 8,
+    cell_iters: int = 3,
+    m: int = PQ_M,
+    k_codes: int = PQ_CODES,
+    pq_iters: int = PQ_ITERS,
+    n_probe: int = 3,
+    dim: int = 64,
+    k: int = ANN_TOPK,
+) -> DataFrame:
+    """DF(vec_id, score): IVF-PQ with RESIDUAL encoding — the faithful
+    FAISS formulation. Vectors are assigned to coarse cells; PQ codebooks
+    are trained on and encode the RESIDUALS r = x - centroid(cell(x))
+    (residuals are far more compressible than raw vectors: the coarse
+    quantizer removes the between-cell variance). ADC score for a probed
+    cell's vector:
+
+        dot(q, x) ~ dot(q, c_cell) + dot(q, r) ~ dot(q, c_cell)
+                    + sum_sub lut[sub][code]
+
+    with dot(q, c_cell) one per-cell constant. All dots in integer
+    micro-units^2 (sum of round(a*1e6)*round(b*1e6)), so assignment,
+    residuals (computed on micro-unit-rounded components) and scores are
+    exact integers — engine-identical, fully oracle-checkable."""
+    from ..functions.vectors import cosine
+    from .ann import _lit_vec, kmeans_centroids
+    from ..config import ANN_ROUND
+
+    cent = F.broadcast(
+        kmeans_centroids(embeddings, k_cells, cell_iters, id_col, vec_col)
+    )
+    ccos = F.round(cosine(F.col(vec_col), F.col("cv")), ANN_ROUND) + 0.0
+    assign = (
+        embeddings.select(id_col, vec_col)
+        .join(cent)
+        .withColumn("_c", ccos)
+        .groupBy(id_col)
+        .agg(
+            F.min_by(
+                "cid", F.struct((-F.col("_c")).alias("a"), F.col("cid").alias("b"))
+            ).alias("cid")
+        )
+    )
+    # residuals on micro-unit-rounded components (exact in both engines):
+    # r_i = (round(x_i*1e6) - round(c_i*1e6)) / 1e6
+    resid = (
+        embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("_x"))
+        .join(assign, id_col)
+        .join(cent, "cid")
+        .select(
+            id_col, "cid",
+            F.zip_with(
+                "_x", "cv", lambda x, c: (_mu(x) - _mu(c)).cast("double") / 1e6
+            ).alias("_r"),
+        )
+    ).localCheckpoint(eager=True)
+    cb = pq_codebooks(resid, id_col, "_r", m, k_codes, pq_iters, dim)
+    codes = pq_encode(resid, cb, id_col, "_r", m, dim)
+    qcos = F.round(cosine(_lit_vec(query_vec), F.col("cv")), ANN_ROUND) + 0.0
+    probe = (
+        cent.select("cid", qcos.alias("_qc"))
+        .orderBy(F.col("_qc").desc(), F.col("cid").asc())
+        .limit(n_probe)
+        .select("cid")
+    )
+    qlitf = F.array(*[F.lit(float(x)) for x in query_vec])
+    cell_dot = cent.select(
+        "cid", _dot_mu(qlitf, F.col("cv")).alias("_cd")
+    )
+    d = dim // m
+    qsubs = [
+        [float(x) for x in query_vec[s * d : (s + 1) * d]] for s in range(m)
+    ]
+    qlit = F.array(*[F.array(*[F.lit(x) for x in qs]) for qs in qsubs])
+    lut = cb.select(
+        "sub", "cid",
+        _dot_mu(F.element_at(qlit, F.col("sub") + 1), F.col("cv")).alias("_qd"),
+    )
+    cand = (
+        codes.join(
+            resid.select(F.col(id_col).alias("id"), F.col("cid").alias("_cell")),
+            "id",
+        )
+        .join(F.broadcast(probe.select(F.col("cid").alias("_cell"))), "_cell", "left_semi")
+    )
+    return (
+        cand.join(F.broadcast(lut), ["sub", "cid"])
+        .groupBy("id", "_cell")
+        .agg(F.sum("_qd").alias("_rsum"))
+        .join(F.broadcast(cell_dot.select(F.col("cid").alias("_cell"), "_cd")), "_cell")
+        .select(
+            F.col("id").alias(id_col),
+            ((F.col("_rsum") + F.col("_cd")) / F.lit(1e12)).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ann_pq_topk(
     embeddings: DataFrame,
     query_vec: list[float],

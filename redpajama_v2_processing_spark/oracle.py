@@ -1453,11 +1453,14 @@ FROM cand c, q ORDER BY cos DESC, c.id LIMIT {k}"""
 
 
 def _pq_ctes(m: int = 4, k_codes: int = 16, iters: int = 2,
-             dim: int = 64) -> list[str]:
+             dim: int = 64, table: str = "embeddings",
+             id_col: str = "vec_id", vec_col: str = "embedding") -> list[str]:
     """CTE chain for deterministic per-subspace PQ training — twin of
     operators/pq.pq_codebooks. Ends in pc{iters}(sub, cid, cv) and
     pm{iters}(sub, cid, pos, c). All distances are integer micro-unit
-    sums (round(x*1e6) BEFORE arithmetic), so assignment is exact."""
+    sums (round(x*1e6) BEFORE arithmetic), so assignment is exact.
+    ``table``/``id_col``/``vec_col`` let the chain train over any
+    relation (e.g. the residual frame in the IVF-PQ-residual twin)."""
     d = dim // m
     l2 = (f"list_aggregate(list_transform(range(1, {d + 1}), i -> "
           f"(round(e.sv[i::INT]*1e6)::BIGINT - round(c.cv[i::INT]*1e6)::BIGINT) * "
@@ -1465,13 +1468,13 @@ def _pq_ctes(m: int = 4, k_codes: int = 16, iters: int = 2,
           f"'sum')")
     ctes = [
         f"""sv AS (
-  SELECT vec_id AS id, s.s AS sub,
-    list_transform(embedding[(s.s*{d}+1)::INT:((s.s+1)*{d})::INT],
+  SELECT {id_col} AS id, s.s AS sub,
+    list_transform({vec_col}[(s.s*{d}+1)::INT:((s.s+1)*{d})::INT],
                    x -> x::DOUBLE) AS sv
-  FROM embeddings, (SELECT unnest(range(0, {m})) AS s) s)""",
+  FROM {table}, (SELECT unnest(range(0, {m})) AS s) s)""",
         f"""pc0 AS (
   SELECT sub, id AS cid, sv AS cv FROM sv
-  WHERE id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k_codes}))""",
+  WHERE id IN (SELECT {id_col} FROM {table} ORDER BY {id_col} LIMIT {k_codes}))""",
     ]
     for t in range(1, iters + 1):
         ctes.append(f"""pa{t} AS (
@@ -1581,6 +1584,73 @@ lut AS (
 SELECT e.id AS vec_id, (sum(l.qd) / 1000000000000.0)::DOUBLE AS score
 FROM enc e JOIN cand USING (id) JOIN lut l USING (sub, cid)
 GROUP BY e.id ORDER BY score DESC, vec_id LIMIT {k}"""
+
+
+def q_ann_ivf_pq_residual_topk(query_vec_id: int = 0, k_cells: int = 8,
+                               cell_iters: int = 3, m: int = 4,
+                               k_codes: int = 16, pq_iters: int = 2,
+                               n_probe: int = 3, dim: int = 64,
+                               k: int = ANN_TOPK) -> str:
+    """Twin of operators/pq.ann_ivf_pq_residual_topk: coarse cells from
+    the kmeans chain, PQ trained on micro-unit residuals, ADC = per-cell
+    query dot constant + residual lookup sums."""
+    d = dim // m
+    last = f"c{cell_iters}"
+    ccos = f"(round({_cos_expr('e.v', 'v.cv')}, {ANN_ROUND}) + 0.0)"
+    qcos = f"(round({_cos_expr('q.qe', 'v.cv')}, {ANN_ROUND}) + 0.0)"
+    l2 = (f"list_aggregate(list_transform(range(1, {d + 1}), i -> "
+          f"(round(e.sv[i::INT]*1e6)::BIGINT - round(c.cv[i::INT]*1e6)::BIGINT) * "
+          f"(round(e.sv[i::INT]*1e6)::BIGINT - round(c.cv[i::INT]*1e6)::BIGINT)), "
+          f"'sum')")
+    qdotc = (f"list_aggregate(list_transform(range(1, {dim + 1}), i -> "
+             f"round(q.qe[i::INT]*1e6)::BIGINT * round(v.cv[i::INT]*1e6)::BIGINT), "
+             f"'sum')")
+    body = ",\n".join(
+        _kmeans_ctes(k_cells, cell_iters, dim)
+        + [
+            f"""rassign AS (
+  SELECT id, cid FROM (
+    SELECT e.id, v.cid,
+      row_number() OVER (PARTITION BY e.id ORDER BY {ccos} DESC, v.cid) AS rn
+    FROM e CROSS JOIN {last} v) WHERE rn = 1)""",
+            f"""resid AS (
+  SELECT e.id AS vec_id, a.cid AS cell,
+    list_transform(range(1, {dim + 1}), i ->
+      (round(e.v[i::INT]*1e6)::BIGINT - round(v.cv[i::INT]*1e6)::BIGINT)::DOUBLE
+        / 1e6) AS r
+  FROM e JOIN rassign a USING (id) JOIN {last} v ON v.cid = a.cid)""",
+        ]
+        + _pq_ctes(m, k_codes, pq_iters, dim,
+                   table="resid", id_col="vec_id", vec_col="r")
+    )
+    return f"""
+WITH {body},
+q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+      FROM embeddings WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT v.cid FROM {last} v, q
+  ORDER BY {qcos} DESC, v.cid LIMIT {n_probe}),
+celld AS (SELECT v.cid, {qdotc} AS cd FROM {last} v, q),
+enc AS (
+  SELECT id, sub, cid FROM (
+    SELECT e.id, e.sub, c.cid,
+      row_number() OVER (PARTITION BY e.id, e.sub
+        ORDER BY {l2} ASC, c.cid) AS rn
+    FROM sv e JOIN pc{pq_iters} c USING (sub)) WHERE rn = 1),
+lut AS (
+  SELECT c.sub, c.cid,
+    list_aggregate(list_transform(range(1, {d + 1}), i ->
+      round(q.qe[(c.sub*{d} + i)::INT]*1e6)::BIGINT *
+      round(c.cv[i::INT]*1e6)::BIGINT), 'sum') AS qd
+  FROM pc{pq_iters} c, q)
+SELECT r.vec_id, ((sum(l.qd) + cd.cd) / 1000000000000.0)::DOUBLE AS score
+FROM enc e
+JOIN resid r ON r.vec_id = e.id
+JOIN probe p ON r.cell = p.cid
+JOIN celld cd ON cd.cid = r.cell
+JOIN lut l ON l.sub = e.sub AND l.cid = e.cid
+GROUP BY r.vec_id, cd.cd
+ORDER BY score DESC, r.vec_id LIMIT {k}"""
 
 
 def q_label_centroids(dim: int = 64) -> str:

@@ -668,6 +668,16 @@ def q_ann_ivf_pq_topk(spark, sf_dir):
     return ann_ivf_pq_topk(emb, _query_vec(spark, sf_dir))
 
 
+def q_ann_ivf_pq_residual_topk(spark, sf_dir):
+    """IVF-PQ with RESIDUAL encoding (the faithful FAISS formulation):
+    PQ codebooks train on and encode x - centroid(cell(x)); ADC adds the
+    per-cell query-dot constant to the residual lookup sums."""
+    from .operators.pq import ann_ivf_pq_residual_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_ivf_pq_residual_topk(emb, _query_vec(spark, sf_dir))
+
+
 def q_ann_ivf_trained_topk(spark, sf_dir):
     """IVF top-k over the k-means-trained quantizer (no label column)."""
     from .operators.ann import ann_ivf_trained_topk
@@ -1048,6 +1058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_confusion": q_langid_confusion,
     # identical formulation/params to embedding_dedup_prod_keep (above)
     "embedding_dedup_star_keep": q_embedding_dedup_star_keep,
+    "ann_ivf_pq_residual_topk": q_ann_ivf_pq_residual_topk,
     "quantile_filter": q_quantile_filter,
     "token_counts": q_token_counts,
     "duplicate_line_signals": q_duplicate_line_signals,
@@ -1181,4 +1192,5 @@ ORACLES: dict[str, str] = {
     "pq_codebooks": oracle.q_pq_codebooks(),
     "ann_pq_topk": oracle.q_ann_pq_topk(),
     "ann_ivf_pq_topk": oracle.q_ann_ivf_pq_topk(),
+    "ann_ivf_pq_residual_topk": oracle.q_ann_ivf_pq_residual_topk(),
 }
