@@ -78,6 +78,55 @@ def langid_struct(text: Column) -> Column:
     return F.struct(label.alias("lang"), score.alias("score"))
 
 
+# per-process model cache: the loader runs lazily INSIDE the UDF on each
+# executor (model files ship via spark-submit --files / SparkFiles), and
+# the loaded model is reused across Arrow batches
+_MODEL_CACHE: dict = {}
+
+
+def langid_model_udf(model_path: str | None = None, loader=None):
+    """Config-switched langid slot (the production swap seam).
+
+    * ``model_path`` set (``config.LANGID_MODEL_PATH`` /
+      ``RPV2_LANGID_MODEL``): Arrow-batched inference over the model file —
+      ``loader(path)`` must return a fastText-shaped object whose
+      ``predict(list[str])`` yields ``(labels, probs)`` with labels like
+      ``__label__en``; the default loader is ``fasttext.load_model``. The
+      model loads lazily per executor process and is cached across batches.
+    * ``model_path`` None (the sandbox default): the deterministic lexicon
+      stand-in (``langid_pandas_udf``).
+
+    Both branches return a ``string`` pandas UDF — schema-identical, so a
+    pipeline swaps models by configuration alone.
+    """
+    if model_path is None:
+        return langid_pandas_udf
+
+    if loader is None:
+        def loader(p):  # pragma: no cover - needs the fasttext wheel
+            import fasttext
+
+            return fasttext.load_model(p)
+
+    @F.pandas_udf(StringType())
+    def real_langid(text: pd.Series) -> pd.Series:
+        key = ("langid", model_path)
+        if key not in _MODEL_CACHE:
+            _MODEL_CACHE[key] = loader(model_path)
+        model = _MODEL_CACHE[key]
+        cleaned = [t.replace("\n", " ") for t in text.fillna("")]
+        labels, _probs = model.predict(cleaned)
+        return pd.Series(
+            [
+                (ls[0].replace("__label__", "") if ls else LANGID_DEFAULT)
+                for ls in labels
+            ],
+            index=text.index,
+        )
+
+    return real_langid
+
+
 @F.pandas_udf(StringType())
 def langid_pandas_udf(text: pd.Series) -> pd.Series:
     """Arrow-batched UDF slot for a real langid model.

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5int
-from ..functions.text import tokens
+from ..functions.text import tokens, word_ngrams
 
 DECONTAM_NGRAM = 13  # the GPT-3 standard overlap length (words)
 
@@ -31,14 +31,11 @@ def ngram_hash_frame(
     base = df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_t")
     ).where(F.size("_t") >= n)
+    # word_ngrams' zip_with formulation stays linear under Catalyst (the
+    # transform/sequence + slice shape can degrade to O(len^2) when the
+    # lambda inlines — functions/text.py:45)
     ex = base.select(
-        "id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(_t) - {n} + 1),"
-                f" i -> array_join(slice(_t, i, {n}), ' '))"
-            )
-        ).alias("_g"),
+        "id", F.explode(word_ngrams(F.col("_t"), n)).alias("_g")
     )
     return ex.select("id", md5int(F.col("_g")).alias("gh")).distinct()
 

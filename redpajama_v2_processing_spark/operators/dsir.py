@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5int
-from ..functions.text import tokens
+from ..functions.text import tokens, word_ngrams
 
 DSIR_BUCKETS = 64  # oracle profile; production uses ~10k buckets
 
@@ -37,14 +37,11 @@ def hashed_ngram_buckets(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_t")
     ).where(F.size("_t") >= 1)
     uni = base.select("id", F.explode("_t").alias("_g"))
+    # word_ngrams' zip_with formulation stays linear under Catalyst
+    # (functions/text.py:45 documents the O(len^2) inlining hazard of the
+    # transform/sequence shape this previously hand-rolled)
     bi = base.where(F.size("_t") >= 2).select(
-        "id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(_t) - 1),"
-                " i -> concat(_t[i - 1], ' ', _t[i]))"
-            )
-        ).alias("_g"),
+        "id", F.explode(word_ngrams(F.col("_t"), 2)).alias("_g")
     )
     return (
         uni.unionByName(bi)

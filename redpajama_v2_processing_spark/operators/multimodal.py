@@ -367,12 +367,15 @@ def parse_wav_pcm(raw: bytes) -> tuple[int, list[int]] | None:
         if riff_len + 8 > len(raw):
             return None
         i, rate, bits, channels, fmt_seen = 12, 0, 0, 0, False
-        while i + 8 <= len(raw):
+        # bound the walk at the declared RIFF payload (spec; matches
+        # parse_avi_frames) — trailing junk bytes are not chunks
+        end = min(len(raw), riff_len + 8)
+        while i + 8 <= end:
             tag = raw[i : i + 4]
             (clen,) = struct.unpack("<I", raw[i + 4 : i + 8])
+            if i + 8 + clen > end:
+                return None  # chunk claims bytes beyond the RIFF payload
             data = raw[i + 8 : i + 8 + clen]
-            if len(data) < clen:
-                return None
             if tag == b"fmt ":
                 if clen < 16:
                     return None
@@ -648,16 +651,18 @@ def extract_features_stub(
     model forward pass, same signature and schema."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # byte histogram via np.frombuffer + bincount — no per-byte Python
         for pdf in it:
             ids, feats = [], []
             for i, r in zip(pdf[id_col], pdf[bin_col]):
                 raw = bytes(r) if r is not None else b""
-                hist = [0.0] * dim
-                for b in raw:
-                    hist[b % dim] += 1.0
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
                 n = float(len(raw)) or 1.0
                 ids.append(int(i))
-                feats.append([v / n for v in hist])
+                feats.append((hist / n).tolist())
             yield pd.DataFrame({"id": pd.array(ids, dtype="int64"),
                                 "features": feats})
 

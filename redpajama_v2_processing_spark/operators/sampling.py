@@ -77,20 +77,52 @@ def domain_cap(
     id_col: str,
     domain_col: str = "source",
     cap: int = 40,
+    n_salts: int = 32,
 ) -> DataFrame:
     """Keep at most ``cap`` documents per domain (smallest ids win) —
     the crawl-bias control that stops one hot host from dominating a
-    training mix. One window shuffle keyed on the domain; a skew-heavy
-    corpus at 100 TB would pre-aggregate per-domain counts and only
-    window the over-cap domains (the rank is deterministic either way)."""
+    training mix.
+
+    Skew-safe plan (no full-row window over the domain key, which would
+    push every row of the hottest host through one reducer):
+
+    1. pre-aggregate per-domain counts; the over-cap domain list is tiny
+       (bounded by distinct hosts / cap) and BROADCASTS;
+    2. rows of under-cap domains pass through untouched (broadcast
+       anti-join — the bulk of a web corpus, zero shuffle);
+    3. over-cap rows rank inside (domain, hash-salt) groups — ``n_salts``
+       parallel reducers per hot domain, each emitting at most ``cap``
+       survivors (the global top-cap is a subset of the union of per-salt
+       top-caps, so this prune is exact);
+    4. the final window ranks <= n_salts * cap rows per domain — constant
+       work regardless of how hot the domain is.
+
+    Result is identical to the naive single-window formulation (rank by
+    id is deterministic); only the physical plan differs.
+    """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(domain_col).orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_n"))
+    over = counts.where(F.col("_n") > cap).select(domain_col)
+
+    under_rows = df.join(F.broadcast(over), domain_col, "left_anti")
+    hot_rows = df.join(F.broadcast(over), domain_col, "left_semi")
+
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    w_salt = Window.partitionBy(domain_col, "_salt").orderBy(F.col(id_col).asc())
+    pruned = (
+        hot_rows.withColumn("_salt", salt)
+        .withColumn("_srk", F.row_number().over(w_salt))
+        .where(F.col("_srk") <= cap)
+        .drop("_srk", "_salt")
+    )
+    w_final = Window.partitionBy(domain_col).orderBy(F.col(id_col).asc())
+    capped = (
+        pruned.withColumn("_rk", F.row_number().over(w_final))
         .where(F.col("_rk") <= cap)
         .drop("_rk")
     )
+    return under_rows.unionByName(capped)
 
 
 def domain_blocklist_filter(

@@ -155,7 +155,11 @@ WITH tok AS (SELECT doc_id, unnest({tokens('text')}) AS token FROM documents),
 cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
 tot AS (SELECT sum(c) AS t FROM cnt),
 lp AS (SELECT token, ln(c::DOUBLE / t::DOUBLE) AS logp FROM cnt, tot),
-s AS (SELECT doc_id, exp(-avg(logp)) AS p FROM tok JOIN lp USING (token) GROUP BY 1)
+s AS (
+  SELECT doc_id,
+    exp(-(sum(CAST(round(logp * 1e6) AS BIGINT))::DOUBLE / 1e6)
+        / count(*)::DOUBLE) AS p
+  FROM tok JOIN lp USING (token) GROUP BY 1)
 SELECT d.doc_id, round(coalesce(s.p, 0.0), 4)::DOUBLE AS perplexity
 FROM documents d LEFT JOIN s USING (doc_id)"""
 
@@ -175,8 +179,9 @@ bg AS (
 bi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
 s AS (
   SELECT bg.doc_id,
-    exp(-avg(ln({lam} * bi.c2::DOUBLE / u1.c1::DOUBLE
-              + {1 - lam} * u2.c1::DOUBLE / tot.t::DOUBLE))) AS p
+    exp(-(sum(CAST(round(ln({lam} * bi.c2::DOUBLE / u1.c1::DOUBLE
+                         + {1 - lam} * u2.c1::DOUBLE / tot.t::DOUBLE) * 1e6)
+              AS BIGINT))::DOUBLE / 1e6) / count(*)::DOUBLE) AS p
   FROM bg
   JOIN bi ON bi.w1 = bg.w1 AND bi.w2 = bg.w2
   JOIN uni u1 ON u1.w = bg.w1

@@ -990,75 +990,20 @@ def q_fuzzy_dedup_prod(spark, sf_dir):
 # Registry
 # ---------------------------------------------------------------------------
 
-# Ordering contract: the driver certifies the FIRST 50 entries per round
-# (CORRECTNESS_r03 stopped at 50). Never-driver-checked and new queries
-# lead; one representative per operator family follows; redundant
-# oracle-twins whose semantics are already certified through a sibling
-# (e.g. fuzzy_dedup_salted == fuzzy_dedup_keep's keep-set) park at the
-# tail — all remain runnable and locally checkable via
-# tools/check_queries.py.
+# Ordering contract: the driver certifies the FIRST 50 entries per round.
+# Round-5 rotation (VERDICT r4 item 1): the 32 queries that sat OUTSIDE the
+# r4 window lead (including ann_ivf_pq_residual_topk, which had never had a
+# driver row), followed by every query whose implementation changed this
+# round (perplexity micro-unit sums + vocab-floor seam, domain_cap skew
+# plan, decontaminate/dsir word_ngrams reuse, WAV walk bound) and a
+# cross-family representative sample. Queries certified green in r4 with
+# untouched implementations park at the tail — all remain runnable and
+# locally checkable via tools/check_queries.py.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- new this round / never driver-certified -----------------------
-    "perplexity_ngram": q_perplexity_ngram,
-    "perplexity_buckets": q_perplexity_buckets,
-    "decontaminate_flags": q_decontaminate_flags,
-    "dup_ngram_fraction": q_dup_ngram_fraction,
-    "dedup_lines": q_dedup_lines,
-    "gopher_signals": q_gopher_signals,
-    "c4_filter": q_c4_filter,
-    "domain_cap": q_domain_cap,
-    "dsir_weights": q_dsir_weights,
-    "dsir_topk": q_dsir_topk,
-    "winnow_dedup_keep": q_winnow_dedup_keep,
-    "image_pixels": q_image_pixels,
-    "audio_pcm_stats": q_audio_pcm_stats,
-    "video_frames": q_video_frames,
-    "pricing_summary": q_pricing_summary,
-    "segment_revenue": q_segment_revenue,
-    "region_customers": q_region_customers,
-    "fix_id": q_fix_id,
-    "row_number_ids": q_row_number_ids,
-    "set_ops": q_set_ops,
-    "rollup_counts": q_rollup_counts,
-    "cube_counts": q_cube_counts,
-    "top_docs_per_lang": q_top_docs_per_lang,
-    "multimodal_meta": q_multimodal_meta,
-    "image_meta": q_image_meta,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_multiprobe_topk": q_ann_multiprobe_topk,
-    "pq_codebooks": q_pq_codebooks,
-    "ann_pq_topk": q_ann_pq_topk,
-    "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
-    # rows-only: xxhash64 base hash has no DuckDB twin; the identical plan
-    # shape is oracle-checked as fuzzy_dedup_prod_checked, and pytest
-    # property-checks this profile (exact-dup clustering, idempotence)
-    "fuzzy_dedup_prod": q_fuzzy_dedup_prod,
-    # --- one representative per operator family ------------------------
-    "quality_signals": q_quality_signals,
-    "perplexity": q_perplexity,
-    "langid": q_langid,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
-    "scrub_pii": q_scrub,
-    "quality_filter": q_quality_filter,
-    "profiled_quantile_filter": q_profiled_quantile_filter,
-    "exact_dedup_keep": q_exact_dedup_keep,
-    "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
-    "fuzzy_dedup_prod_checked": q_fuzzy_dedup_prod_checked,
-    "simhash_prod_near_pairs": q_simhash_prod_near_pairs,
-    "simhash_capped_near_pairs": q_simhash_capped_near_pairs,
-    "simhash_dedup_keep": q_simhash_dedup_keep,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "embedding_near_dup_prod_pairs": q_embedding_near_dup_prod_pairs,
-    "embedding_dedup_prod_keep": q_embedding_dedup_prod_keep,
-    "kmeans_cells": q_kmeans_cells,
-    "rpv2_pre_banded_keep": q_rpv2_pre_banded_keep,
-    # --- redundant oracle-twins / intermediate stages (certified via a
-    # sibling in prior rounds; beyond the driver's 50-query window) ------
-    "langid_confusion": q_langid_confusion,
-    # identical formulation/params to embedding_dedup_prod_keep (above)
-    "embedding_dedup_star_keep": q_embedding_dedup_star_keep,
+    # --- outside the r4 window (stale or never driver-certified) --------
     "ann_ivf_pq_residual_topk": q_ann_ivf_pq_residual_topk,
+    "embedding_dedup_star_keep": q_embedding_dedup_star_keep,
+    "langid_confusion": q_langid_confusion,
     "quantile_filter": q_quantile_filter,
     "token_counts": q_token_counts,
     "duplicate_line_signals": q_duplicate_line_signals,
@@ -1088,6 +1033,64 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessions": q_events_sessions,
     "hash_sample": q_hash_sample,
     "salted_count": q_salted_count,
+    # --- implementation changed in r5: re-certify ------------------------
+    "perplexity": q_perplexity,
+    "perplexity_ngram": q_perplexity_ngram,
+    "perplexity_buckets": q_perplexity_buckets,
+    "domain_cap": q_domain_cap,
+    "decontaminate_flags": q_decontaminate_flags,
+    "dup_ngram_fraction": q_dup_ngram_fraction,
+    "dsir_weights": q_dsir_weights,
+    "dsir_topk": q_dsir_topk,
+    "audio_pcm_stats": q_audio_pcm_stats,
+    # --- cross-family representatives (r4-green, unchanged) --------------
+    "quality_filter": q_quality_filter,
+    "scrub_pii": q_scrub,
+    "exact_dedup_keep": q_exact_dedup_keep,
+    "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
+    "simhash_dedup_keep": q_simhash_dedup_keep,
+    "winnow_dedup_keep": q_winnow_dedup_keep,
+    "pq_codebooks": q_pq_codebooks,
+    "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
+    # ==================== driver window ends here (50) ====================
+    # --- r4-green, implementation untouched this round -------------------
+    "quality_signals": q_quality_signals,
+    "langid": q_langid,
+    "gopher_signals": q_gopher_signals,
+    "c4_filter": q_c4_filter,
+    "dedup_lines": q_dedup_lines,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
+    "profiled_quantile_filter": q_profiled_quantile_filter,
+    "fuzzy_dedup_prod_checked": q_fuzzy_dedup_prod_checked,
+    "simhash_prod_near_pairs": q_simhash_prod_near_pairs,
+    "simhash_capped_near_pairs": q_simhash_capped_near_pairs,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_near_dup_prod_pairs": q_embedding_near_dup_prod_pairs,
+    # identical formulation/params to embedding_dedup_star_keep (head)
+    "embedding_dedup_prod_keep": q_embedding_dedup_prod_keep,
+    "kmeans_cells": q_kmeans_cells,
+    "rpv2_pre_banded_keep": q_rpv2_pre_banded_keep,
+    "image_pixels": q_image_pixels,
+    "video_frames": q_video_frames,
+    "image_meta": q_image_meta,
+    "multimodal_meta": q_multimodal_meta,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_multiprobe_topk": q_ann_multiprobe_topk,
+    "pricing_summary": q_pricing_summary,
+    "segment_revenue": q_segment_revenue,
+    "region_customers": q_region_customers,
+    "fix_id": q_fix_id,
+    "row_number_ids": q_row_number_ids,
+    "set_ops": q_set_ops,
+    "rollup_counts": q_rollup_counts,
+    "cube_counts": q_cube_counts,
+    "top_docs_per_lang": q_top_docs_per_lang,
+    # rows-only: xxhash64 base hash has no DuckDB twin; the identical plan
+    # shape is oracle-checked as fuzzy_dedup_prod_checked, and pytest
+    # property-checks this profile (exact-dup clustering, idempotence)
+    "fuzzy_dedup_prod": q_fuzzy_dedup_prod,
 }
 
 ORACLES: dict[str, str] = {

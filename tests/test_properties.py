@@ -216,8 +216,11 @@ def test_wav_pcm_roundtrip(rate, n, extra):
         fmt_end = 12 + 8 + 16
         chunk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
         body = raw[12:]
+        # declared RIFF size counts the WAVE fourcc + all chunks (the
+        # walker is spec-strict now: chunks past the declared payload are
+        # rejected, so an under-declared size would fail the data chunk)
         raw = (b"RIFF"
-               + struct.pack("<I", len(body) + len(chunk))
+               + struct.pack("<I", 4 + len(body) + len(chunk))
                + raw[8:fmt_end] + chunk + raw[fmt_end:])
     dec = parse_wav_pcm(raw)
     assert dec is not None and dec[0] == rate and dec[1] == expect

@@ -88,12 +88,34 @@ def main() -> int:
         dest / "documents.parquet",
     )
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "embeddings"]:
+              "lineitem", "events"]:
         src = Path(SRC_SF) / f"{t}.parquet"
         if src.exists():
             shutil.copy(src, dest / f"{t}.parquet")
+
+    # scale embeddings table (sf0.1 ships only 2k vectors): 50k vectors,
+    # deterministic seeded normals, identical schema to the driver table
+    # (vec_id long, embedding list<float>, label int32 in 0..9). The
+    # embedding dedup queries plant their own perturbed near-dup twins;
+    # this gives the star/PQ families a corpus an order of magnitude past
+    # their sf0.1 certification scale.
+    import numpy as np
+
+    n_emb = int(sys.argv[4]) if len(sys.argv) > 4 else 50_000
+    rng = np.random.default_rng(11)
+    emb = rng.normal(size=(n_emb, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    etab = pa.table({
+        "vec_id": pa.array(range(n_emb), pa.int64()),
+        "embedding": pa.array([row for row in emb.tolist()],
+                              pa.list_(pa.float32())),
+        "label": pa.array((np.arange(n_emb) % 10).astype("int32"),
+                          pa.int32()),
+    })
+    pq.write_table(etab, dest / "embeddings.parquet")
     print(f"wrote {dest}/documents.parquet: {len(out)} docs "
-          f"({n_organic} organic + {n_flood} template-flood)")
+          f"({n_organic} organic + {n_flood} template-flood); "
+          f"embeddings.parquet: {n_emb} vectors")
     return 0
 
 
