@@ -1,0 +1,142 @@
+"""Corpus-wide duplicated-span removal (C4's "three-sentence span" rule).
+
+C4 (Raffel et al. 2020, public paper) removes every occurrence but one of
+any span of three consecutive sentences duplicated anywhere in the corpus
+— the cross-document complement of the within-doc line dedup
+(``functions/signals.dedup_lines``) and the document-level keep-lists
+(MinHash / SimHash / winnowing families), operating at sub-document
+granularity WITHOUT dropping whole documents.
+
+Units here are LINES (the engine's portable text unit — a production
+deployment plugs a sentence splitter into ``lines`` upstream; the fixture
+corpus carries no sentence punctuation, so queries synthesize page-shaped
+text exactly like ``queries.q_c4_filter``). A span is ``n`` consecutive
+lines.
+
+Deterministic rule (engine-portable, oracle-checked):
+
+* span hash = md5int over the ``n`` lines joined with a 0x01 separator;
+* the GLOBAL FIRST occurrence of a duplicated span is min doc id, then
+  min start position inside that doc;
+* every line belonging to any NON-FIRST occurrence of a duplicated span
+  is removed; survivors are rejoined in original order.
+
+Plan shape (all JVM-native, no windows, no per-row Python):
+
+* posexplode lines -> zip_with span frame (linear, same formulation as
+  ``word_ngrams``) -> one grouped count + one grouped two-level min (the
+  duplicated-span table, tiny vs the corpus: bounded by the duplicated
+  mass, and broadcast by AQE);
+* one join back marks removed occurrences; ``explode(sequence(p, p+n-1))``
+  expands them to line positions (<= n rows per removed span);
+* one anti-join + per-doc rebuild aggregation (map-side combinable).
+
+At 100 TB: the span frame is the corpus-sized side and is shuffled once
+for the count (map-side partial agg on the hash); the duplicated-span
+list is the only state that persists — the same asymptotics as exact
+dedup. A hot boilerplate span (cookie banners) produces ONE duplicated
+hash row regardless of its millions of occurrences; the removal join keys
+on the hash, so AQE's skew split handles the fan-out side.
+
+Reference scope note: the reference pipeline dedups whole documents only
+(minhashlsh_*.py); span-level hygiene is part of the engine-native
+LLM-pipeline tier (SURVEY.md "beyond the reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5int
+from ..functions.text import lines
+
+SPAN_N = 3  # C4's span length (three sentences; three lines here)
+_SEP = "\x01"
+
+
+def span_frame(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = SPAN_N
+) -> DataFrame:
+    """DF(id, p, h): one row per n-line span — start position ``p`` (0-based
+    line index) and span hash ``h``. Docs with fewer than ``n`` lines emit
+    nothing."""
+    ln = df.select(
+        F.col(id_col).alias("id"),
+        lines(F.col(text_col)).alias("_ls"),
+    ).where(F.size("_ls") >= n)
+    # n-line spans via the zip_with n-gram formulation (linear under
+    # Catalyst; see functions/text.py:45)
+    cur = F.col("_ls")
+    for k in range(1, n):
+        cur = F.zip_with(
+            cur,
+            F.slice("_ls", k + 1, F.size("_ls")),
+            lambda a, b: F.concat(a, F.lit(_SEP), b),
+        )
+    spans = ln.select(
+        "id", F.posexplode(F.array_compact(cur)).alias("p", "_s")
+    )
+    return spans.select("id", "p", md5int(F.col("_s")).alias("h"))
+
+
+def duplicated_spans(spans: DataFrame) -> DataFrame:
+    """DF(h, fid, fp): spans occurring >= 2 times corpus-wide, with the
+    global first occurrence (min doc id, then min position in that doc)."""
+    dup = spans.groupBy("h").agg(
+        F.count("*").alias("_n"), F.min("id").alias("fid")
+    ).where(F.col("_n") >= 2)
+    fp = (
+        spans.join(dup.select("h", "fid"), "h")
+        .where(F.col("id") == F.col("fid"))
+        .groupBy("h", "fid")
+        .agg(F.min("p").alias("fp"))
+    )
+    return fp
+
+
+def span_dedup(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = SPAN_N
+) -> DataFrame:
+    """DF(id, clean_text, n_removed_lines): every non-first occurrence of
+    a corpus-duplicated n-line span removed, survivors rejoined in order.
+
+    The span frame feeds the duplicate detection AND the removal join, so
+    it is checkpointed once (Catalyst does not share subplans)."""
+    spans = span_frame(df, id_col, text_col, n).localCheckpoint(eager=True)
+    dup = duplicated_spans(spans)
+    # non-first occurrences -> the n line positions they cover
+    removed = (
+        spans.join(dup, "h")
+        .where((F.col("id") != F.col("fid")) | (F.col("p") != F.col("fp")))
+        .select("id", F.explode(F.sequence(F.col("p"), F.col("p") + n - 1)).alias("pos"))
+        .distinct()
+    )
+    ln = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(lines(F.col(text_col))).alias("pos", "_l"),
+    )
+    kept = ln.join(removed, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_l"))),
+                lambda s: s["_l"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").alias("_kept"),
+    )
+    n_lines = ln.groupBy("id").agg(F.count("*").alias("_all"))
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(rebuilt, "id", "left")
+        .join(n_lines, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (
+                F.coalesce("_all", F.lit(0)) - F.coalesce("_kept", F.lit(0))
+            ).cast("long").alias("n_removed_lines"),
+        )
+    )

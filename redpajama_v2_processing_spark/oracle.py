@@ -532,6 +532,56 @@ SELECT s.doc_id AS id, coalesce(r.clean_text, '') AS clean_text
 FROM shaped s LEFT JOIN r USING (doc_id)"""
 
 
+def q_span_dedup() -> str:
+    """Twin of operators/span_dedup.span_dedup over queries.q_span_dedup's
+    synthetic pages: 3-line per-language banner (the corpus-duplicated
+    span) + 3 unique token lines; duplicate detection groups on the raw
+    span string (Spark groups on its md5int — identical partition of the
+    span set), first occurrence = min doc id then min position."""
+    return f"""
+WITH tk AS (SELECT doc_id, lang, {tokens('text')} AS t FROM documents),
+shaped AS (
+  SELECT doc_id,
+    'shared banner one for ' || lang || chr(10) ||
+    'shared banner two for ' || lang || chr(10) ||
+    'shared banner three for ' || lang || chr(10) ||
+    coalesce(array_to_string(t[1:5], ' '), '') || chr(10) ||
+    coalesce(array_to_string(t[6:10], ' '), '') || chr(10) ||
+    coalesce(array_to_string(t[11:15], ' '), '') AS text
+  FROM tk),
+lsx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM shaped),
+l AS (
+  SELECT doc_id, i.i - 1 AS pos, ls[i.i::INT] AS line
+  FROM lsx, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) i),
+sp AS (
+  SELECT a.doc_id, a.pos AS p,
+         a.line || chr(1) || b.line || chr(1) || c.line AS s
+  FROM l a
+  JOIN l b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN l c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+dup AS (SELECT s, min(doc_id) AS fid FROM sp GROUP BY 1 HAVING count(*) >= 2),
+fp AS (
+  SELECT d.s, d.fid, min(sp.p) AS fp
+  FROM dup d JOIN sp ON sp.s = d.s AND sp.doc_id = d.fid
+  GROUP BY 1, 2),
+rem AS (
+  SELECT DISTINCT sp.doc_id, sp.p + o.o AS pos
+  FROM sp JOIN fp ON sp.s = fp.s,
+       LATERAL (SELECT unnest(range(0, 3)) AS o) o
+  WHERE NOT (sp.doc_id = fp.fid AND sp.p = fp.fp)),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM l LEFT JOIN rem ON rem.doc_id = l.doc_id AND rem.pos = l.pos
+  WHERE rem.doc_id IS NULL),
+r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS _kept
+      FROM kept GROUP BY 1),
+tot AS (SELECT doc_id, count(*) AS _all FROM l GROUP BY 1)
+SELECT s.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       (coalesce(tot._all, 0) - coalesce(r._kept, 0))::BIGINT AS n_removed_lines
+FROM shaped s LEFT JOIN r USING (doc_id) LEFT JOIN tot USING (doc_id)"""
+
+
 def q_duplicate_line_signals() -> str:
     """Twin of functions/signals.duplicate_line_signals: Gopher-style
     line-repetition fractions over non-empty raw lines."""
@@ -1394,24 +1444,24 @@ def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> list[str]:
     c{iters}(cid, cv) and m{iters}(cid, pos, c)."""
     cos = _cos_expr("e.v", "c.cv")
     ctes = [
-        "e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
+        "e AS MATERIALIZED (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
         f"""c0 AS (
   SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
   FROM embeddings ORDER BY vec_id LIMIT {k})""",
     ]
     for t in range(1, iters + 1):
-        ctes.append(f"""a{t} AS (
+        ctes.append(f"""a{t} AS MATERIALIZED (
   SELECT id, cid FROM (
     SELECT e.id, c.cid,
       row_number() OVER (PARTITION BY e.id
         ORDER BY (round({cos}, {ANN_ROUND}) + 0.0) DESC, c.cid) AS rn
     FROM e CROSS JOIN c{t - 1} c) WHERE rn = 1)""")
-        ctes.append(f"""m{t} AS (
+        ctes.append(f"""m{t} AS MATERIALIZED (
   SELECT a.cid, (i.i - 1) AS pos, ({_exact_mean4('e.v[i.i::INT]')} + 0.0) AS c
   FROM e JOIN a{t} a USING (id), (SELECT unnest(range(1, {dim + 1})) AS i) i
   GROUP BY 1, 2)""")
         ctes.append(
-            f"c{t} AS (SELECT cid, list(c ORDER BY pos) AS cv FROM m{t} GROUP BY cid)"
+            f"c{t} AS MATERIALIZED (SELECT cid, list(c ORDER BY pos) AS cv FROM m{t} GROUP BY cid)"
         )
     return ctes
 
@@ -1472,30 +1522,30 @@ def _pq_ctes(m: int = 4, k_codes: int = 16, iters: int = 2,
           f"(round(e.sv[i::INT]*1e6)::BIGINT - round(c.cv[i::INT]*1e6)::BIGINT)), "
           f"'sum')")
     ctes = [
-        f"""sv AS (
+        f"""sv AS MATERIALIZED (
   SELECT {id_col} AS id, s.s AS sub,
     list_transform({vec_col}[(s.s*{d}+1)::INT:((s.s+1)*{d})::INT],
                    x -> x::DOUBLE) AS sv
   FROM {table}, (SELECT unnest(range(0, {m})) AS s) s)""",
-        f"""pc0 AS (
+        f"""pc0 AS MATERIALIZED (
   SELECT sub, id AS cid, sv AS cv FROM sv
   WHERE id IN (SELECT {id_col} FROM {table} ORDER BY {id_col} LIMIT {k_codes}))""",
     ]
     for t in range(1, iters + 1):
-        ctes.append(f"""pa{t} AS (
+        ctes.append(f"""pa{t} AS MATERIALIZED (
   SELECT id, sub, cid FROM (
     SELECT e.id, e.sub, c.cid,
       row_number() OVER (PARTITION BY e.id, e.sub
         ORDER BY {l2} ASC, c.cid) AS rn
     FROM sv e JOIN pc{t - 1} c USING (sub)) WHERE rn = 1)""")
-        ctes.append(f"""pm{t} AS (
+        ctes.append(f"""pm{t} AS MATERIALIZED (
   SELECT a.sub, a.cid, (i.i - 1) AS pos,
     ({_exact_mean4('e.sv[i.i::INT]')} + 0.0) AS c
   FROM sv e JOIN pa{t} a USING (id, sub),
        (SELECT unnest(range(1, {d + 1})) AS i) i
   GROUP BY 1, 2, 3)""")
         ctes.append(
-            f"pc{t} AS (SELECT sub, cid, list(c ORDER BY pos) AS cv "
+            f"pc{t} AS MATERIALIZED (SELECT sub, cid, list(c ORDER BY pos) AS cv "
             f"FROM pm{t} GROUP BY 1, 2)"
         )
     return ctes
@@ -1613,12 +1663,12 @@ def q_ann_ivf_pq_residual_topk(query_vec_id: int = 0, k_cells: int = 8,
     body = ",\n".join(
         _kmeans_ctes(k_cells, cell_iters, dim)
         + [
-            f"""rassign AS (
+            f"""rassign AS MATERIALIZED (
   SELECT id, cid FROM (
     SELECT e.id, v.cid,
       row_number() OVER (PARTITION BY e.id ORDER BY {ccos} DESC, v.cid) AS rn
     FROM e CROSS JOIN {last} v) WHERE rn = 1)""",
-            f"""resid AS (
+            f"""resid AS MATERIALIZED (
   SELECT e.id AS vec_id, a.cid AS cell,
     list_transform(range(1, {dim + 1}), i ->
       (round(e.v[i::INT]*1e6)::BIGINT - round(v.cv[i::INT]*1e6)::BIGINT)::DOUBLE

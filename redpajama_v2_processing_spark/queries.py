@@ -192,6 +192,35 @@ def q_dedup_lines(spark, sf_dir):
     return dedup_lines(shaped, "doc_id")
 
 
+def q_span_dedup(spark, sf_dir):
+    """C4-style corpus-wide duplicated three-line-span removal (first
+    occurrence kept). The fixture text has no newlines or cross-doc spans,
+    so a 6-line page is synthesized per doc: a 3-line boilerplate banner
+    shared by every doc of the same language (the duplicated span — the
+    language's min-doc_id page keeps it, every other page loses those
+    lines) above 3 doc-unique token lines. Identical construction in the
+    oracle."""
+    from .operators.span_dedup import span_dedup
+    from .functions.text import tokens as _tokens
+
+    docs = _docs(spark, sf_dir)
+    t = _tokens(F.col("text"))
+    j = lambda a, n: F.array_join(F.slice(t, a, n), " ")  # noqa: E731
+    banner = lambda k: F.concat(  # noqa: E731
+        F.lit(f"shared banner {k} for "), F.col("lang")
+    )
+    shaped = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", banner("one"), banner("two"), banner("three"),
+            j(1, 5), j(6, 5), j(11, 5),
+        ).alias("text"),
+    )
+    return span_dedup(shaped, "doc_id").select(
+        F.col("id").alias("doc_id"), "clean_text", "n_removed_lines"
+    )
+
+
 def q_duplicate_line_signals(spark, sf_dir):
     """Gopher-style line-repetition signals (duplicate-line fraction by
     count and by character mass)."""
@@ -1000,6 +1029,8 @@ def q_fuzzy_dedup_prod(spark, sf_dir):
 # untouched implementations park at the tail — all remain runnable and
 # locally checkable via tools/check_queries.py.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- new this round --------------------------------------------------
+    "span_dedup": q_span_dedup,
     # --- outside the r4 window (stale or never driver-certified) --------
     "ann_ivf_pq_residual_topk": q_ann_ivf_pq_residual_topk,
     "embedding_dedup_star_keep": q_embedding_dedup_star_keep,
@@ -1052,9 +1083,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_dedup_keep": q_winnow_dedup_keep,
     "pq_codebooks": q_pq_codebooks,
     "ann_pq_topk": q_ann_pq_topk,
-    "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
     # ==================== driver window ends here (50) ====================
     # --- r4-green, implementation untouched this round -------------------
+    # (ann_ivf_pq_topk parked: r4-green; its residual sibling leads the head)
+    "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
     "quality_signals": q_quality_signals,
     "langid": q_langid,
     "gopher_signals": q_gopher_signals,
@@ -1102,6 +1134,7 @@ ORACLES: dict[str, str] = {
     "decontaminate_flags": oracle.q_decontaminate_flags(),
     "dup_ngram_fraction": oracle.q_dup_ngram_fraction(),
     "dedup_lines": oracle.q_dedup_lines(),
+    "span_dedup": oracle.q_span_dedup(),
     "gopher_signals": oracle.q_gopher_signals(),
     "c4_filter": oracle.q_c4_filter(),
     "domain_cap": oracle.q_domain_cap(),

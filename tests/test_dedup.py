@@ -165,3 +165,26 @@ def test_decontaminate_ngram_overlap(spark):
     assert strict == {2}
     kept = sorted(r.doc_id for r in decontaminate(docs, bench, "doc_id").collect())
     assert kept == [1, 3]
+
+
+def test_span_dedup_c4_rule(spark):
+    """C4 duplicated-span removal: a 3-line block shared across docs
+    survives only in its global first occurrence (min doc id, min pos);
+    a span repeated WITHIN one doc keeps only the first copy; docs with
+    < 3 lines are untouched; removal counts are reported."""
+    from redpajama_v2_processing_spark.operators.span_dedup import span_dedup
+
+    docs = docs_frame(spark, [
+        "A\nB\nC\nx0\ny0",          # 0: first occurrence of (A,B,C) — kept whole
+        "A\nB\nC\nx1\ny1",          # 1: loses lines 0-2
+        "S\nT\nU\nS\nT\nU",         # 2: within-doc repeat — keeps pos 0-2 only
+        "solo\nlines",              # 3: < 3 lines, untouched
+        "x9\nA\nB\nC\ny9",          # 4: interior occurrence — loses lines 1-3
+    ])
+    out = {r.id: (r.clean_text, r.n_removed_lines)
+           for r in span_dedup(docs, "doc_id").collect()}
+    assert out[0] == ("A\nB\nC\nx0\ny0", 0)
+    assert out[1] == ("x1\ny1", 3)
+    assert out[2] == ("S\nT\nU", 3)
+    assert out[3] == ("solo\nlines", 0)
+    assert out[4] == ("x9\ny9", 3)
