@@ -374,7 +374,13 @@ def embedding_dedup_star_keep(
     """
     from .connected_components import connected_components
 
-    banded = banded_keys_frame(embeddings, id_col, vec_col, dim, nbits, band_bits)
+    # the banded frame feeds the bucket-min aggregation AND the join back;
+    # Catalyst does not share subplans, so without this the 64-sum banding
+    # aggregation (the dominant cost) computes twice — same checkpoint the
+    # pairs path takes at embedding_near_dup_pairs.
+    banded = banded_keys_frame(
+        embeddings, id_col, vec_col, dim, nbits, band_bits
+    ).localCheckpoint(eager=True)
     buckets = banded.groupBy("band", "key").agg(F.min("_id").alias("_min_id"))
     cand = (
         banded.join(buckets, ["band", "key"])
