@@ -1800,6 +1800,91 @@ FROM z GROUP BY 1"""
 # ---------------------------------------------------------------------------
 
 
+_URL_TRACKING_KEYS = (
+    "fbclid", "gclid", "msclkid", "dclid", "igshid",
+    "mc_cid", "mc_eid", "ref", "ref_src", "spm",
+)
+
+_SYNTH_URL_SQL = """
+SELECT doc_id,
+  CASE doc_id % 6
+    WHEN 0 THEN 'http://' || h || p
+    WHEN 1 THEN 'HTTP://WWW.' || upper(h) || ':80' || p || '/'
+    WHEN 2 THEN 'http://' || h || p || '?utm_source=feed&b=2&a=1'
+    WHEN 3 THEN 'http://crawler:pw@' || h || p || '?a=1&b=2#frag'
+    WHEN 4 THEN 'https://' || h || ':443' || p || '?fbclid=x1y&a=1&b=2'
+    ELSE 'http://' || h || p || '?b=2&a=1&utm_campaign=z#top'
+  END AS url
+FROM (SELECT doc_id, 'news-' || ((doc_id // 7) % 5)::VARCHAR || '.example.com' AS h,
+             '/Articles/' || (doc_id // 7)::VARCHAR AS p
+      FROM documents)"""
+
+
+def _url_canon_ctes(src: str = "u") -> str:
+    """CTE chain computing curl from ``{src}(doc_id, url)`` per the
+    functions/url.py contract (same regexes, same tracking set, same
+    lexicographic param sort)."""
+    tk = ", ".join(f"'{k}'" for k in _URL_TRACKING_KEYS)
+    return f"""
+s1 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS u0 FROM {src}),
+s2 AS (
+  SELECT doc_id, url, u0,
+    lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+    regexp_replace(u0, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+  FROM s1),
+s3 AS (
+  SELECT doc_id, url, u0, scheme, rest,
+    lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1), '^[^@]*@', '')) AS h0,
+    regexp_replace(rest, '^[^/?]*', '') AS pathq
+  FROM s2),
+s4 AS (
+  SELECT doc_id, url, u0, scheme, pathq,
+    regexp_replace(
+      CASE scheme WHEN 'http' THEN regexp_replace(h0, ':80$', '')
+                  WHEN 'https' THEN regexp_replace(h0, ':443$', '')
+                  ELSE h0 END,
+      '^www\\.', '') AS host,
+    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS p0,
+    CASE WHEN position('?' IN pathq) > 0
+         THEN regexp_replace(pathq, '^[^?]*\\?', '') ELSE '' END AS q0
+  FROM s3),
+s5 AS (
+  SELECT doc_id, url, u0, scheme, host,
+    CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path,
+    -- array_to_string of an EMPTY list is NULL in DuckDB (array_join in
+    -- Spark yields '') — coalesce to keep the twins identical
+    coalesce(array_to_string(list_sort(list_filter(string_split(q0, '&'),
+      x -> x <> ''
+       AND NOT starts_with(regexp_extract(x, '^([^=]*)', 1), 'utm_')
+       AND NOT list_contains([{tk}], regexp_extract(x, '^([^=]*)', 1))
+    )), '&'), '') AS qc
+  FROM s4),
+canon AS (
+  SELECT doc_id, url,
+    CASE WHEN scheme = '' THEN u0
+         ELSE scheme || '://' || host || path ||
+              CASE WHEN qc = '' THEN '' ELSE '?' || qc END
+    END AS curl
+  FROM s5)"""
+
+
+def q_url_canonicalize() -> str:
+    """Twin of queries.q_url_canonicalize: six-variant messy recrawl URL
+    synthesis + the functions/url.py canonical rule."""
+    return f"""
+WITH u AS ({_SYNTH_URL_SQL}),
+{_url_canon_ctes()}
+SELECT doc_id, url, curl FROM canon"""
+
+
+def q_url_dedup_keep() -> str:
+    """Twin of queries.q_url_dedup_keep: min doc_id per canonical URL."""
+    return f"""
+WITH u AS ({_SYNTH_URL_SQL}),
+{_url_canon_ctes()}
+SELECT min(doc_id) AS doc_id FROM canon GROUP BY curl"""
+
+
 def q_domain_cap(cap: int = 15, blocked=("src3", "src7")) -> str:
     """Twin of queries.q_domain_cap: blocklist anti-filter, then keep the
     ``cap`` smallest doc_ids per source."""

@@ -847,6 +847,51 @@ def q_region_customers(spark, sf_dir):
     )
 
 
+def _synthetic_urls(spark, sf_dir):
+    """DF(doc_id, url): deterministic messy crawl URLs — six recrawl
+    variants of host/path keyed on doc_id (case-mangled scheme+host,
+    www prefix, default ports, userinfo, tracking params, unsorted
+    params, fragments, trailing slash). doc_id // 7 groups share a
+    path, so canonical collisions span variant classes. Identical
+    construction in oracle._synthetic_url_sql."""
+    docs = _docs(spark, sf_dir)
+    grp = F.floor(F.col("doc_id") / 7).cast("long")
+    # host is keyed on the path group (NOT the doc) so a group's 7 docs
+    # are recrawls of the SAME resource and the dedup actually binds
+    host = F.concat(F.lit("news-"), (grp % 5).cast("string"), F.lit(".example.com"))
+    pth = F.concat(F.lit("/Articles/"), grp.cast("string"))
+    v = F.col("doc_id") % 6
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://"), host, pth))
+        .when(v == 1, F.concat(F.lit("HTTP://WWW."), F.upper(host), F.lit(":80"), pth, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("http://"), host, pth, F.lit("?utm_source=feed&b=2&a=1")))
+        .when(v == 3, F.concat(F.lit("http://crawler:pw@"), host, pth, F.lit("?a=1&b=2#frag")))
+        .when(v == 4, F.concat(F.lit("https://"), host, F.lit(":443"), pth, F.lit("?fbclid=x1y&a=1&b=2")))
+        .otherwise(F.concat(F.lit("http://"), host, pth, F.lit("?b=2&a=1&utm_campaign=z#top")))
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """CCNet/RefinedWeb-style URL canonicalization (functions/url.py
+    contract) over synthetic messy recrawl URLs."""
+    from .functions.url import canonicalize_url
+
+    return _synthetic_urls(spark, sf_dir).select(
+        "doc_id", "url", canonicalize_url(F.col("url")).alias("curl")
+    )
+
+
+def q_url_dedup_keep(spark, sf_dir):
+    """URL-level exact dedup: one survivor (min doc_id) per canonical
+    URL — the cheapest dedup tier, run before any content pass."""
+    from .functions.url import url_dedup_keep
+
+    return url_dedup_keep(_synthetic_urls(spark, sf_dir), "url", "doc_id").select(
+        F.col("id").alias("doc_id")
+    )
+
+
 def q_fix_id(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     synth = F.concat(
@@ -1031,6 +1076,8 @@ def q_fuzzy_dedup_prod(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round --------------------------------------------------
     "span_dedup": q_span_dedup,
+    "url_canonicalize": q_url_canonicalize,
+    "url_dedup_keep": q_url_dedup_keep,
     # --- outside the r4 window (stale or never driver-certified) --------
     "ann_ivf_pq_residual_topk": q_ann_ivf_pq_residual_topk,
     "embedding_dedup_star_keep": q_embedding_dedup_star_keep,
@@ -1081,11 +1128,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
     "simhash_dedup_keep": q_simhash_dedup_keep,
     "winnow_dedup_keep": q_winnow_dedup_keep,
-    "pq_codebooks": q_pq_codebooks,
-    "ann_pq_topk": q_ann_pq_topk,
     # ==================== driver window ends here (50) ====================
     # --- r4-green, implementation untouched this round -------------------
-    # (ann_ivf_pq_topk parked: r4-green; its residual sibling leads the head)
+    # (pq_codebooks/ann_pq_topk/ann_ivf_pq_topk parked: r4-green AND
+    # 50k-certified; the residual sibling leads the head)
+    "pq_codebooks": q_pq_codebooks,
+    "ann_pq_topk": q_ann_pq_topk,
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
     "quality_signals": q_quality_signals,
     "langid": q_langid,
@@ -1135,6 +1183,8 @@ ORACLES: dict[str, str] = {
     "dup_ngram_fraction": oracle.q_dup_ngram_fraction(),
     "dedup_lines": oracle.q_dedup_lines(),
     "span_dedup": oracle.q_span_dedup(),
+    "url_canonicalize": oracle.q_url_canonicalize(),
+    "url_dedup_keep": oracle.q_url_dedup_keep(),
     "gopher_signals": oracle.q_gopher_signals(),
     "c4_filter": oracle.q_c4_filter(),
     "domain_cap": oracle.q_domain_cap(),

@@ -329,3 +329,42 @@ def test_perplexity_model_udf_swap_seam(spark):
 
     with _pytest.raises(ValueError):
         perplexity_model_udf(spark, None)  # fallback needs a trained model
+
+
+def test_url_canonicalize_contract(spark):
+    """functions/url.py contract: fragment/userinfo/default-port/www
+    stripping, scheme+host lowercasing (path case preserved), trailing
+    slash, tracking-param removal, lexicographic param sort; schemeless
+    input passes through trim + fragment strip only."""
+    from redpajama_v2_processing_spark.functions.url import (
+        canonicalize_url, url_dedup_keep)
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/A/B/#frag", "http://example.com/A/B"),
+        ("https://user:pw@Example.com:443/p?b=2&a=1", "https://example.com/p?a=1&b=2"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/p?utm_source=x&fbclid=y", "http://example.com/p"),
+        ("http://example.com/p?utm_source=x&z=9&gclid=y&a=1", "http://example.com/p?a=1&z=9"),
+        ("  http://example.com/p/  ", "http://example.com/p"),
+        ("http://example.com:8080/p", "http://example.com:8080/p"),
+        ("https://example.com:80/p", "https://example.com:80/p"),
+        ("example.com/p#frag", "example.com/p"),
+        ("http://example.com/CaseSensitive/Path?Key=V", "http://example.com/CaseSensitive/Path?Key=V"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {r.i: r.c for r in df.select(
+        "i", canonicalize_url("url").alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+    # dedup: rows 0/1 of each trio share a canonical url -> min id survives
+    urls = spark.createDataFrame([
+        (10, "http://a.com/x"), (11, "HTTP://WWW.A.com:80/x/"),
+        (12, "http://a.com/y?p=1&utm_b=2"), (13, "http://a.com/y?p=1"),
+        (14, "https://a.com/x"),
+    ], "doc_id long, url string")
+    kept = sorted(r.id for r in url_dedup_keep(urls, "url", "doc_id").collect())
+    assert kept == [10, 12, 14]
