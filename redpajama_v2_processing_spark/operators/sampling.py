@@ -136,3 +136,78 @@ def domain_blocklist_filter(
     so AQE broadcasts it — the corpus never shuffles."""
     b = blocklist.select(F.col(block_domain_col).alias(domain_col)).distinct()
     return df.join(F.broadcast(b), domain_col, "left_anti")
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    salt: str = "mix",
+    default_keep: bool = True,
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """DF(id, source, n_tokens, epoch): deterministic source-mixture
+    sampling to per-source TOKEN budgets — how LLM training mixes are
+    assembled (The Pile / ROOTS / Dolma publish per-source token budgets
+    and epoch factors; sources are downsampled OR repeated to hit them).
+
+    Semantics per source s with corpus tokens T_s and budget B_s
+    (rate r = B_s / T_s, held exactly as integer micro-units
+    floor(B_s * denom / T_s) — engine-portable, no float):
+
+    * r < 1  -> hash-downsample: keep iff hash(id) mod denom < r*denom
+      (expected tokens = B_s; deterministic, resumable — same rows on
+      re-run, same semantics as ``lang_ratio_downsample``);
+    * r >= 1 -> EPOCH OVERSAMPLE: every doc emits floor(r) copies
+      (epoch = 0..floor(r)-1), plus one extra copy iff
+      hash(id) mod denom < frac(r)*denom — expected tokens = B_s.
+      Duplicate rows are real training-mix epochs, distinguished by the
+      ``epoch`` column so a sink can shuffle/interleave them.
+
+    Sources absent from ``budgets``: kept whole at epoch 0 when
+    ``default_keep`` (budget-neutral passthrough), else dropped.
+
+    Scale shape: ONE aggregation over (source) — a broadcast-sized
+    table at any corpus size (distinct sources << corpus) — then one
+    broadcast join + a narrow filter/generate. No windows, no skew
+    exposure: the hot-source rows never concentrate on a reducer
+    because nothing groups by source row-wise.
+    """
+    from ..functions.text import tokens
+
+    ntok = F.size(tokens(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        ntok.alias("n_tokens"),
+    )
+    totals = base.groupBy("source").agg(F.sum("n_tokens").alias("_t"))
+    bcases = F.lit(None).cast("long")
+    for s, b in sorted(budgets.items()):
+        bcases = F.when(F.col("source") == s, F.lit(int(b))).otherwise(bcases)
+    rates = totals.select(
+        "source",
+        # micro-unit rate; NULL budget (unlisted source) -> NULL rate
+        F.floor(bcases * denom / F.greatest(F.col("_t"), F.lit(1))).alias("_r"),
+    )
+    joined = base.join(F.broadcast(rates), "source")
+    h = F.pmod(md5int(F.concat(F.lit(salt), F.lit(":"), F.col("id").cast("string"))), F.lit(denom))
+    copies = (
+        F.when(F.col("_r").isNull(), F.lit(1) if default_keep else F.lit(0))
+        .otherwise(
+            # integer div: `/` would be double division (inexact at the
+            # margins); `div` keeps the epoch count bigint-exact
+            F.expr(f"_r div {denom}")
+            + F.when(h < F.pmod(F.col("_r"), F.lit(denom)), 1).otherwise(0)
+        )
+    )
+    return (
+        joined.withColumn("_c", copies)
+        .where(F.col("_c") > 0)
+        .select(
+            "id", "source", "n_tokens",
+            F.explode(F.sequence(F.lit(0), F.col("_c") - 1)).alias("epoch"),
+        )
+    )

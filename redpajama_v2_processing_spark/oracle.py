@@ -1800,6 +1800,39 @@ FROM z GROUP BY 1"""
 # ---------------------------------------------------------------------------
 
 
+def q_token_budget_mix(
+    budgets=(("src0", 300), ("src1", 700), ("src2", 3500), ("src3", 1400)),
+    salt: str = "mix",
+    denom: int = 1_000_000,
+) -> str:
+    """Twin of operators/sampling.token_budget_mix: per-source micro-unit
+    rate floor(budget*denom/T_s); r<1 hash-downsample, r>=1 epoch
+    oversample (floor(r) copies + fractional extra by hash), unlisted
+    sources pass through at epoch 0."""
+    vals = ", ".join(f"('{s}', {b})" for s, b in budgets)
+    h = md5int(f"'{salt}:' || base.id::VARCHAR")
+    return f"""
+WITH b(source, budget) AS (VALUES {vals}),
+base AS (SELECT doc_id AS id, source, len({tokens('text')}) AS n_tokens
+         FROM documents),
+tot AS (SELECT source, sum(n_tokens)::BIGINT AS t FROM base GROUP BY 1),
+rate AS (
+  SELECT tot.source,
+    CASE WHEN b.budget IS NULL THEN NULL
+         ELSE (b.budget::BIGINT * {denom}) // greatest(t, 1) END AS r
+  FROM tot LEFT JOIN b USING (source)),
+c AS (
+  SELECT base.id, base.source, base.n_tokens,
+    CASE WHEN r IS NULL THEN 1
+         ELSE r // {denom} +
+              CASE WHEN {h} % {denom} < r % {denom} THEN 1 ELSE 0 END
+    END AS n_copies
+  FROM base JOIN rate USING (source))
+SELECT id AS doc_id, source, n_tokens, e.e::BIGINT AS epoch
+FROM c, LATERAL (SELECT unnest(range(0, n_copies)) AS e) e
+WHERE n_copies > 0"""
+
+
 _URL_TRACKING_KEYS = (
     "fbclid", "gclid", "msclkid", "dclid", "igshid",
     "mc_cid", "mc_eid", "ref", "ref_src", "spm",

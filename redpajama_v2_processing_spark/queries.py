@@ -872,6 +872,20 @@ def _synthetic_urls(spark, sf_dir):
     return docs.select("doc_id", url.alias("url"))
 
 
+MIX_BUDGETS = {"src0": 300, "src1": 700, "src2": 3500, "src3": 1400}
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Pile/ROOTS-style source mixture to per-source token budgets:
+    src0/src1 downsample (r<1), src2 oversamples ~2.5 epochs, src3 sits
+    at the r~1 boundary, unlisted sources pass through at epoch 0."""
+    from .operators.sampling import token_budget_mix
+
+    return token_budget_mix(_docs(spark, sf_dir), MIX_BUDGETS).select(
+        F.col("id").alias("doc_id"), "source", "n_tokens", "epoch"
+    )
+
+
 def q_url_canonicalize(spark, sf_dir):
     """CCNet/RefinedWeb-style URL canonicalization (functions/url.py
     contract) over synthetic messy recrawl URLs."""
@@ -1078,6 +1092,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "url_canonicalize": q_url_canonicalize,
     "url_dedup_keep": q_url_dedup_keep,
+    "token_budget_mix": q_token_budget_mix,
     # --- outside the r4 window (stale or never driver-certified) --------
     "ann_ivf_pq_residual_topk": q_ann_ivf_pq_residual_topk,
     "embedding_dedup_star_keep": q_embedding_dedup_star_keep,
@@ -1127,11 +1142,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup_keep": q_exact_dedup_keep,
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
     "simhash_dedup_keep": q_simhash_dedup_keep,
-    "winnow_dedup_keep": q_winnow_dedup_keep,
     # ==================== driver window ends here (50) ====================
     # --- r4-green, implementation untouched this round -------------------
-    # (pq_codebooks/ann_pq_topk/ann_ivf_pq_topk parked: r4-green AND
-    # 50k-certified; the residual sibling leads the head)
+    # (winnow_dedup_keep + pq_codebooks/ann_pq_topk/ann_ivf_pq_topk
+    # parked: r4-green AND 50k-certified; the residual sibling leads the
+    # head)
+    "winnow_dedup_keep": q_winnow_dedup_keep,
     "pq_codebooks": q_pq_codebooks,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
@@ -1185,6 +1201,7 @@ ORACLES: dict[str, str] = {
     "span_dedup": oracle.q_span_dedup(),
     "url_canonicalize": oracle.q_url_canonicalize(),
     "url_dedup_keep": oracle.q_url_dedup_keep(),
+    "token_budget_mix": oracle.q_token_budget_mix(),
     "gopher_signals": oracle.q_gopher_signals(),
     "c4_filter": oracle.q_c4_filter(),
     "domain_cap": oracle.q_domain_cap(),

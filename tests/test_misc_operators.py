@@ -368,3 +368,28 @@ def test_url_canonicalize_contract(spark):
     ], "doc_id long, url string")
     kept = sorted(r.id for r in url_dedup_keep(urls, "url", "doc_id").collect())
     assert kept == [10, 12, 14]
+
+
+def test_token_budget_mix_epochs(spark):
+    """token_budget_mix: r<1 downsamples by hash (expected tokens =
+    budget); r>=1 emits floor(r) epochs per doc plus a fractional extra
+    by hash; unlisted sources pass through whole at epoch 0."""
+    from redpajama_v2_processing_spark.operators.sampling import token_budget_mix
+    from pyspark.sql import functions as F
+
+    rows = [(i, "a" if i < 20 else "b" if i < 40 else "c",
+             "w " * 10) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # T_a = T_b = 200 tokens. a: budget 2000 -> r=10.0 exactly (10 epochs
+    # each, no fractional). b: budget 100 -> r=0.5 downsample. c unlisted.
+    out = token_budget_mix(df, {"a": 2000, "b": 100}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    a, b, c = by_src["a"], by_src.get("b", []), by_src["c"]
+    assert len(a) == 20 * 10 and {r.epoch for r in a} == set(range(10))
+    assert 0 < len(b) < 20 and all(r.epoch == 0 for r in b)
+    assert len(c) == 20 and all(r.epoch == 0 for r in c)
+    # determinism: identical survivor set on re-run
+    again = sorted((r.id, r.epoch) for r in token_budget_mix(df, {"a": 2000, "b": 100}).collect())
+    assert again == sorted((r.id, r.epoch) for r in out)
