@@ -1800,6 +1800,68 @@ FROM z GROUP BY 1"""
 # ---------------------------------------------------------------------------
 
 
+def _classifier_ctes(
+    n_buckets: int = 64, n_iters: int = 3, lr_x100: int = 50,
+    label_expr: str = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+) -> str:
+    """CTE chain training the hashed logistic-regression quality
+    classifier (operators/quality_classifier.py contract): exact
+    integer micro-unit weights, 4-decimal rounded sigmoid as the only
+    float step, trunc-division update written as (a - a%n)//n so the
+    exact division agrees with Spark's truncating div for negative
+    gradients. Ends with w{n_iters}(j, w)."""
+    p4 = "round(round(1.0/(1.0 + exp(-(m.m::DOUBLE/1e6))), 4) * 1e4)::BIGINT"
+    ctes = [
+        f"""f AS MATERIALIZED (
+  SELECT id, j, x FROM (
+    SELECT doc_id AS id, {md5int('t')} % {n_buckets} AS j, count(*)::BIGINT AS x
+    FROM (SELECT doc_id, unnest({tokens('text')}) AS t FROM documents)
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT doc_id, {n_buckets}, 1::BIGINT FROM documents))""",
+        f"""lab AS (SELECT doc_id AS id, ({label_expr})::BIGINT AS y
+  FROM documents)""",
+        "nn AS (SELECT count(*)::BIGINT AS n FROM lab)",
+        f"w0 AS (SELECT j::INT AS j, 0::BIGINT AS w FROM range(0, {n_buckets + 1}) t(j))",
+    ]
+    for t in range(1, n_iters + 1):
+        ctes.append(f"""m{t} AS MATERIALIZED (
+  SELECT f.id, sum(w.w * f.x)::BIGINT AS m
+  FROM f JOIN w{t - 1} w USING (j) GROUP BY 1)""")
+        ctes.append(f"""r{t} AS (
+  SELECT m.id, ({p4} - lab.y * 10000) AS r
+  FROM m{t} m JOIN lab USING (id))""")
+        ctes.append(f"""g{t} AS (
+  SELECT f.j, sum(r.r * f.x)::BIGINT AS g
+  FROM f JOIN r{t} r USING (id) GROUP BY 1)""")
+        ctes.append(f"""w{t} AS (
+  SELECT w.j,
+    w.w - ((({lr_x100} * coalesce(g.g, 0)) - (({lr_x100} * coalesce(g.g, 0)) % nn.n)) // nn.n) AS w
+  FROM w{t - 1} w LEFT JOIN g{t} g USING (j), nn)""")
+    return ",\n".join(ctes)
+
+
+def q_quality_classifier_weights(n_iters: int = 3) -> str:
+    """Twin of queries.q_quality_classifier_weights."""
+    return f"""
+WITH {_classifier_ctes(n_iters=n_iters)}
+SELECT j, w AS w_micro FROM w{n_iters}"""
+
+
+def q_quality_classifier_scores(n_iters: int = 3) -> str:
+    """Twin of queries.q_quality_classifier_scores: score every doc with
+    the trained weights (4-decimal sigmoid, rounded-float contract)."""
+    return f"""
+WITH {_classifier_ctes(n_iters=n_iters)},
+fm AS (
+  SELECT f.id, sum(w.w * f.x)::BIGINT AS margin_micro
+  FROM f JOIN w{n_iters} w USING (j) GROUP BY 1)
+SELECT id AS doc_id, margin_micro,
+  (round(1.0/(1.0 + exp(-(margin_micro::DOUBLE/1e6))), 4) + 0.0) AS score4,
+  (round(1.0/(1.0 + exp(-(margin_micro::DOUBLE/1e6))), 4) >= 0.5) AS pred
+FROM fm"""
+
+
 def q_token_budget_mix(
     budgets=(("src0", 300), ("src1", 700), ("src2", 3500), ("src3", 1400)),
     salt: str = "mix",

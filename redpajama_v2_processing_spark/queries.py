@@ -872,6 +872,29 @@ def _synthetic_urls(spark, sf_dir):
     return docs.select("doc_id", url.alias("url"))
 
 
+def q_quality_classifier_weights(spark, sf_dir):
+    """Trained hashed-logistic-regression quality classifier (GPT-3/
+    LLaMA-style learned filter), trained in-engine with exact integer
+    micro-unit GD: the weight-vector artifact after 3 iterations.
+    Label: lang == 'en' (the classifier learns langid-lite from hashed
+    bag-of-words, so scores separate meaningfully on the fixture)."""
+    from .operators.quality_classifier import weights_frame
+
+    docs = _docs(spark, sf_dir)
+    return weights_frame(docs, F.col("lang") == "en", "doc_id")
+
+
+def q_quality_classifier_scores(spark, sf_dir):
+    """Per-doc scores from the trained classifier: exact bigint margin,
+    4-decimal sigmoid score, boolean keep prediction."""
+    from .operators.quality_classifier import classifier_scores
+
+    docs = _docs(spark, sf_dir)
+    return classifier_scores(docs, F.col("lang") == "en", "doc_id").select(
+        F.col("id").alias("doc_id"), "margin_micro", "score4", "pred"
+    )
+
+
 MIX_BUDGETS = {"src0": 300, "src1": 700, "src2": 3500, "src3": 1400}
 
 
@@ -1093,6 +1116,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonicalize": q_url_canonicalize,
     "url_dedup_keep": q_url_dedup_keep,
     "token_budget_mix": q_token_budget_mix,
+    "quality_classifier_weights": q_quality_classifier_weights,
+    "quality_classifier_scores": q_quality_classifier_scores,
     # --- outside the r4 window (stale or never driver-certified) --------
     "ann_ivf_pq_residual_topk": q_ann_ivf_pq_residual_topk,
     "embedding_dedup_star_keep": q_embedding_dedup_star_keep,
@@ -1140,13 +1165,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter": q_quality_filter,
     "scrub_pii": q_scrub,
     "exact_dedup_keep": q_exact_dedup_keep,
-    "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
-    "simhash_dedup_keep": q_simhash_dedup_keep,
     # ==================== driver window ends here (50) ====================
     # --- r4-green, implementation untouched this round -------------------
-    # (winnow_dedup_keep + pq_codebooks/ann_pq_topk/ann_ivf_pq_topk
-    # parked: r4-green AND 50k-certified; the residual sibling leads the
-    # head)
+    # (the four dedup keeps + the PQ trio parked: r4-green AND
+    # 50k-certified; five brand-new round-5 queries lead the head)
+    "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
+    "simhash_dedup_keep": q_simhash_dedup_keep,
     "winnow_dedup_keep": q_winnow_dedup_keep,
     "pq_codebooks": q_pq_codebooks,
     "ann_pq_topk": q_ann_pq_topk,
@@ -1202,6 +1226,8 @@ ORACLES: dict[str, str] = {
     "url_canonicalize": oracle.q_url_canonicalize(),
     "url_dedup_keep": oracle.q_url_dedup_keep(),
     "token_budget_mix": oracle.q_token_budget_mix(),
+    "quality_classifier_weights": oracle.q_quality_classifier_weights(),
+    "quality_classifier_scores": oracle.q_quality_classifier_scores(),
     "gopher_signals": oracle.q_gopher_signals(),
     "c4_filter": oracle.q_c4_filter(),
     "domain_cap": oracle.q_domain_cap(),

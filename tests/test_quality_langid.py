@@ -87,3 +87,30 @@ def test_langid_fixture_accuracy(spark, pages_small):
     total = scored.count()
     hit = scored.where(F.col("lang") == F.col("pred")).count()
     assert hit / total > 0.8
+
+
+def test_quality_classifier_learns_disjoint_vocab(spark):
+    """Hashed-LR classifier: 3 exact-GD iterations separate two classes
+    with disjoint vocabularies; scores/pred align with labels; weights
+    are integers (micro-unit contract) and deterministic across runs."""
+    from pyspark.sql import functions as F
+    from redpajama_v2_processing_spark.operators.quality_classifier import (
+        classifier_scores, weights_frame)
+
+    rows = [(i, "good clean prose reference encyclopedia" if i % 2 == 0
+             else "spam casino pills winner jackpot click")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    label = F.col("doc_id") % 2 == 0
+
+    out = {r.id: r for r in classifier_scores(df, label, "doc_id").collect()}
+    assert len(out) == 40
+    for i, r in out.items():
+        assert r.pred == (i % 2 == 0), (i, r)
+        assert isinstance(r.margin_micro, int)
+        assert (r.score4 > 0.5) == (i % 2 == 0)
+
+    w1 = sorted((r.j, r.w_micro) for r in weights_frame(df, label, "doc_id").collect())
+    w2 = sorted((r.j, r.w_micro) for r in weights_frame(df, label, "doc_id").collect())
+    assert w1 == w2
+    assert any(w != 0 for _, w in w1)
