@@ -84,6 +84,8 @@ HEADLINE = [
     "ann_multiprobe_topk", "pq_codebooks", "ann_pq_topk",
     "decontaminate_flags", "dup_ngram_fraction", "dsir_weights", "domain_cap",
     "winnow_near_dup_pairs", "winnow_dedup_keep",
+    "span_dedup", "url_canonicalize", "url_dedup_keep", "token_budget_mix",
+    "quality_classifier_scores",
     "image_meta", "image_pixels", "audio_pcm_stats", "video_frames",
     "quantile_filter", "session_windows",
     "events_hourly", "events_sessions", "pricing_summary", "segment_revenue",
