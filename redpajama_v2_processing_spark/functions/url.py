@@ -111,3 +111,19 @@ def url_dedup_keep(df, url_col: str, id_col: str, strip_www: bool = True):
         .agg(F.min("id").alias("id"))
         .select("id")
     )
+
+
+def url_blocklist_filter(df, patterns, url_col: str = "url"):
+    """Drop rows whose url matches ANY of the regex ``patterns`` (the
+    UT1-style URL-pattern tier that complements the domain blocklist in
+    ``operators/sampling.domain_blocklist_filter``).
+
+    The patterns fold into ONE alternation evaluated in a single
+    codegen-friendly rlike pass — a narrow filter, no joins, no shuffle;
+    at scale the predicate runs at the scan. Patterns must stay in the
+    regex subset Java and RE2 share (literals, classes, alternation,
+    anchors) so the DuckDB oracle twin is exact."""
+    if not patterns:
+        return df
+    alternation = "|".join(f"(?:{p})" for p in patterns)
+    return df.where(~F.col(url_col).rlike(alternation))

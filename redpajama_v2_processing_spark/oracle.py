@@ -582,6 +582,48 @@ SELECT s.doc_id, coalesce(r.clean_text, '') AS clean_text,
 FROM shaped s LEFT JOIN r USING (doc_id) LEFT JOIN tot USING (doc_id)"""
 
 
+def q_paragraph_dedup() -> str:
+    """Twin of queries.q_paragraph_dedup: span_dedup at n=1 — corpus-wide
+    exact duplicated-line removal, global first occurrence (min doc id,
+    then min position) kept. Same synthetic page construction as
+    q_span_dedup."""
+    return f"""
+WITH tk AS (SELECT doc_id, lang, {tokens('text')} AS t FROM documents),
+shaped AS (
+  SELECT doc_id,
+    'shared banner one for ' || lang || chr(10) ||
+    'shared banner two for ' || lang || chr(10) ||
+    'shared banner three for ' || lang || chr(10) ||
+    coalesce(array_to_string(t[1:5], ' '), '') || chr(10) ||
+    coalesce(array_to_string(t[6:10], ' '), '') || chr(10) ||
+    coalesce(array_to_string(t[11:15], ' '), '') AS text
+  FROM tk),
+lsx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM shaped),
+l AS (
+  SELECT doc_id, i.i - 1 AS pos, ls[i.i::INT] AS line
+  FROM lsx, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) i),
+dup AS (SELECT line, min(doc_id) AS fid FROM l GROUP BY 1 HAVING count(*) >= 2),
+fp AS (
+  SELECT d.line, d.fid, min(l.pos) AS fp
+  FROM dup d JOIN l ON l.line = d.line AND l.doc_id = d.fid
+  GROUP BY 1, 2),
+rem AS (
+  SELECT l.doc_id, l.pos
+  FROM l JOIN fp ON l.line = fp.line
+  WHERE NOT (l.doc_id = fp.fid AND l.pos = fp.fp)),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM l LEFT JOIN rem ON rem.doc_id = l.doc_id AND rem.pos = l.pos
+  WHERE rem.doc_id IS NULL),
+r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS _kept
+      FROM kept GROUP BY 1),
+tot AS (SELECT doc_id, count(*) AS _all FROM l GROUP BY 1)
+SELECT s.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       (coalesce(tot._all, 0) - coalesce(r._kept, 0))::BIGINT AS n_removed_lines
+FROM shaped s LEFT JOIN r USING (doc_id) LEFT JOIN tot USING (doc_id)"""
+
+
 def q_duplicate_line_signals() -> str:
     """Twin of functions/signals.duplicate_line_signals: Gopher-style
     line-repetition fractions over non-empty raw lines."""
@@ -1970,6 +2012,17 @@ def q_url_canonicalize() -> str:
 WITH u AS ({_SYNTH_URL_SQL}),
 {_url_canon_ctes()}
 SELECT doc_id, url, curl FROM canon"""
+
+
+def q_url_blocklist(
+    patterns=(r"news-3\.example\.com", r"/Articles/1[0-9]($|[?/])"),
+) -> str:
+    """Twin of queries.q_url_blocklist: single-alternation regex drop."""
+    alternation = "|".join(f"(?:{p})" for p in patterns)
+    return f"""
+WITH u AS ({_SYNTH_URL_SQL})
+SELECT doc_id, url FROM u
+WHERE NOT regexp_matches(url, '{alternation}')"""
 
 
 def q_url_dedup_keep() -> str:

@@ -192,15 +192,12 @@ def q_dedup_lines(spark, sf_dir):
     return dedup_lines(shaped, "doc_id")
 
 
-def q_span_dedup(spark, sf_dir):
-    """C4-style corpus-wide duplicated three-line-span removal (first
-    occurrence kept). The fixture text has no newlines or cross-doc spans,
-    so a 6-line page is synthesized per doc: a 3-line boilerplate banner
-    shared by every doc of the same language (the duplicated span — the
-    language's min-doc_id page keeps it, every other page loses those
-    lines) above 3 doc-unique token lines. Identical construction in the
-    oracle."""
-    from .operators.span_dedup import span_dedup
+def _span_pages(spark, sf_dir):
+    """DF(doc_id, text): 6-line synthetic pages for the span/paragraph
+    dedup queries — the fixture text has no newlines or cross-doc spans,
+    so each doc gets a 3-line boilerplate banner shared by every doc of
+    the same language above 3 doc-unique token lines. Identical
+    construction in the oracle twins."""
     from .functions.text import tokens as _tokens
 
     docs = _docs(spark, sf_dir)
@@ -209,14 +206,23 @@ def q_span_dedup(spark, sf_dir):
     banner = lambda k: F.concat(  # noqa: E731
         F.lit(f"shared banner {k} for "), F.col("lang")
     )
-    shaped = docs.select(
+    return docs.select(
         "doc_id",
         F.concat_ws(
             "\n", banner("one"), banner("two"), banner("three"),
             j(1, 5), j(6, 5), j(11, 5),
         ).alias("text"),
     )
-    return span_dedup(shaped, "doc_id").select(
+
+
+def q_span_dedup(spark, sf_dir):
+    """C4-style corpus-wide duplicated three-line-span removal (first
+    occurrence kept): the per-language banner is the duplicated span —
+    the language's min-doc_id page keeps it, every other page loses
+    those lines."""
+    from .operators.span_dedup import span_dedup
+
+    return span_dedup(_span_pages(spark, sf_dir), "doc_id").select(
         F.col("id").alias("doc_id"), "clean_text", "n_removed_lines"
     )
 
@@ -872,6 +878,47 @@ def _synthetic_urls(spark, sf_dir):
     return docs.select("doc_id", url.alias("url"))
 
 
+def q_bloom_anti_join(spark, sf_dir):
+    """Reference anti-join semantics through the EXPLICIT partitioned
+    Bloom prefilter (bitmap built map-side-partial, broadcast to probe;
+    only maybe-present rows reach the verification join). Result is
+    identical to anti_join_duplicates — same oracle — only the plan
+    differs."""
+    from .operators.exact_dedup import bloom_anti_join_duplicates
+
+    docs = _docs(spark, sf_dir)
+    dups = docs.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    return bloom_anti_join_duplicates(docs, dups, "doc_id", "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide exact duplicated-LINE removal keeping the global first
+    occurrence — span_dedup at n=1 (RefinedWeb-style paragraph dedup;
+    the cross-document complement of within-doc dedup_lines). Page
+    construction identical to q_span_dedup / its oracle."""
+    from .operators.span_dedup import span_dedup
+
+    return span_dedup(_span_pages(spark, sf_dir), "doc_id", n=1).select(
+        F.col("id").alias("doc_id"), "clean_text", "n_removed_lines"
+    )
+
+
+URL_BLOCK_PATTERNS = (r"news-3\.example\.com", r"/Articles/1[0-9]($|[?/])")
+
+
+def q_url_blocklist(spark, sf_dir):
+    """UT1-style URL-pattern blocklist over the synthetic recrawl URLs:
+    one host pattern + one path-range pattern, folded into a single
+    rlike pass (narrow filter, runs at the scan)."""
+    from .functions.url import url_blocklist_filter
+
+    return url_blocklist_filter(
+        _synthetic_urls(spark, sf_dir), URL_BLOCK_PATTERNS
+    ).select("doc_id", "url")
+
+
 def q_quality_classifier_weights(spark, sf_dir):
     """Trained hashed-logistic-regression quality classifier (GPT-3/
     LLaMA-style learned filter), trained in-engine with exact integer
@@ -1118,6 +1165,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_mix": q_token_budget_mix,
     "quality_classifier_weights": q_quality_classifier_weights,
     "quality_classifier_scores": q_quality_classifier_scores,
+    "paragraph_dedup": q_paragraph_dedup,
+    "bloom_anti_join": q_bloom_anti_join,
+    "url_blocklist": q_url_blocklist,
     # --- outside the r4 window (stale or never driver-certified) --------
     "ann_ivf_pq_residual_topk": q_ann_ivf_pq_residual_topk,
     "embedding_dedup_star_keep": q_embedding_dedup_star_keep,
@@ -1161,14 +1211,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "dsir_topk": q_dsir_topk,
     "audio_pcm_stats": q_audio_pcm_stats,
-    # --- cross-family representatives (r4-green, unchanged) --------------
+    # ==================== driver window ends here (50) ====================
+    # --- r4-green, implementation untouched this round -------------------
+    # (quality_filter/scrub/exact + the four dedup keeps + the PQ trio
+    # parked: r4-green AND 50k- or tri-scale-certified; nine brand-new
+    # round-5 queries lead the head)
     "quality_filter": q_quality_filter,
     "scrub_pii": q_scrub,
     "exact_dedup_keep": q_exact_dedup_keep,
-    # ==================== driver window ends here (50) ====================
-    # --- r4-green, implementation untouched this round -------------------
-    # (the four dedup keeps + the PQ trio parked: r4-green AND
-    # 50k-certified; five brand-new round-5 queries lead the head)
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
     "simhash_dedup_keep": q_simhash_dedup_keep,
     "winnow_dedup_keep": q_winnow_dedup_keep,
@@ -1228,6 +1278,10 @@ ORACLES: dict[str, str] = {
     "token_budget_mix": oracle.q_token_budget_mix(),
     "quality_classifier_weights": oracle.q_quality_classifier_weights(),
     "quality_classifier_scores": oracle.q_quality_classifier_scores(),
+    "paragraph_dedup": oracle.q_paragraph_dedup(),
+    # bloom path is plan-different but result-identical to the anti join
+    "bloom_anti_join": oracle.q_anti_join(),
+    "url_blocklist": oracle.q_url_blocklist(),
     "gopher_signals": oracle.q_gopher_signals(),
     "c4_filter": oracle.q_c4_filter(),
     "domain_cap": oracle.q_domain_cap(),

@@ -162,3 +162,42 @@ def stream_lang_rates(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_url_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "24 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming URL-level dedup: emit each CANONICAL url's first page
+    only, with watermark-bounded state — the streaming twin of the batch
+    ``functions/url.url_dedup_keep`` pre-content tier.
+
+    Recrawl variants of one resource (case, www, default ports, tracking
+    params, fragments — see functions/url.py) collapse to one canonical
+    key; ``dropDuplicatesWithinWatermark`` keeps one row per key and
+    evicts key state past the event-time horizon, exactly like
+    ``stream_exact_dedup`` does for content fingerprints. URL dedup runs
+    FIRST in a real ingest (cheapest key, no content inspection), so the
+    content tiers downstream see each resource once per horizon."""
+    from ..functions.url import canonicalize_url
+
+    pages = read_pages_stream(spark, input_dir)
+    deduped = (
+        pages.withColumn("_curl", canonicalize_url(F.col("url")))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["_curl"])
+        .drop("_curl")
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -188,3 +188,32 @@ def test_span_dedup_c4_rule(spark):
     assert out[2] == ("S\nT\nU", 3)
     assert out[3] == ("solo\nlines", 0)
     assert out[4] == ("x9\ny9", 3)
+
+
+def test_bloom_anti_join_exact_and_prefilters(spark):
+    """Explicit partitioned-Bloom anti join: result identical to the
+    plain left-anti join (false positives removed by verification), and
+    the bitmap proves absence for keys outside the duplicate set."""
+    from pyspark.sql import functions as F
+
+    from redpajama_v2_processing_spark.operators.exact_dedup import (
+        anti_join_duplicates, bloom_anti_join_duplicates, bloom_bitmap,
+        bloom_maybe_contains)
+
+    docs = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    dups = docs.where(F.col("doc_id") % 7 == 0).select("doc_id")
+
+    want = sorted(r.doc_id for r in
+                  anti_join_duplicates(docs, dups, "doc_id", "doc_id").collect())
+    got = sorted(r.doc_id for r in
+                 bloom_anti_join_duplicates(docs, dups, "doc_id", "doc_id").collect())
+    assert got == want
+
+    # every true member must probe maybe=True (no false negatives)
+    bm = bloom_bitmap(dups, "doc_id")
+    probed = bloom_maybe_contains(docs, F.col("doc_id"), bm)
+    flags = {r.doc_id: r._maybe for r in probed.collect()}
+    assert all(flags[i] for i in range(0, 500, 7))
+    # and the prefilter actually prunes: most non-members are definite-no
+    non_member_maybe = sum(1 for i, m in flags.items() if i % 7 != 0 and m)
+    assert non_member_maybe < 50  # fpp ~ (1 - e^{-kn/m})^k, tiny here

@@ -393,3 +393,22 @@ def test_token_budget_mix_epochs(spark):
     # determinism: identical survivor set on re-run
     again = sorted((r.id, r.epoch) for r in token_budget_mix(df, {"a": 2000, "b": 100}).collect())
     assert again == sorted((r.id, r.epoch) for r in out)
+
+
+def test_url_blocklist_filter(spark):
+    """Single-alternation URL-pattern blocklist: host and path-range
+    patterns drop matching rows; empty pattern list is a no-op."""
+    from pyspark.sql import functions as F
+    from redpajama_v2_processing_spark.functions.url import url_blocklist_filter
+
+    urls = spark.createDataFrame([
+        (0, "http://news-3.example.com/Articles/2"),
+        (1, "http://news-1.example.com/Articles/12"),
+        (2, "http://news-1.example.com/Articles/12?x=1"),
+        (3, "http://news-1.example.com/Articles/123"),   # 123 not in 1[0-9]$
+        (4, "http://news-1.example.com/Articles/2"),
+    ], "doc_id long, url string")
+    pats = (r"news-3\.example\.com", r"/Articles/1[0-9]($|[?/])")
+    kept = sorted(r.doc_id for r in url_blocklist_filter(urls, pats).collect())
+    assert kept == [3, 4]
+    assert url_blocklist_filter(urls, ()).count() == 5

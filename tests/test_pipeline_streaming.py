@@ -618,3 +618,47 @@ def test_streaming_simhash_dedup_collapses_near_dups(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == n_distinct < batch.count()
     assert got.select("simhash").distinct().count() == n_distinct
+
+
+def test_streaming_url_dedup_collapses_recrawl_variants(spark, tmp_path):
+    """Streaming canonical-URL dedup: messy recrawl variants of one
+    resource (www/case/port/tracking-param noise) collapse to one output
+    page per canonical url, matching the batch canonical-distinct
+    count."""
+    from pyspark.sql import functions as F2
+
+    from redpajama_v2_processing_spark.functions.url import canonicalize_url
+    from redpajama_v2_processing_spark.streaming.ingest import stream_url_dedup
+
+    src_dir = str(tmp_path / "pages_url_stream")
+    write_pages(spark, src_dir, n_rows=60, seed=7, partitions=2)
+    # remap urls so consecutive triples are recrawl variants of one page
+    base = read_pages(spark, src_dir)
+    grp = (F2.xxhash64("url") % 20).cast("string")
+    messy = base.withColumn(
+        "url",
+        F2.element_at(
+            F2.array(
+                F2.concat(F2.lit("http://site-"), grp, F2.lit(".com/p")),
+                F2.concat(F2.lit("HTTP://WWW.SITE-"), grp, F2.lit(".COM:80/p/")),
+                F2.concat(F2.lit("http://site-"), grp, F2.lit(".com/p?utm_s=1#f")),
+            ),
+            (F2.pmod(F2.xxhash64("url", F2.lit(1)), F2.lit(3)) + 1).cast("int"),
+        ),
+    )
+    messy_dir = str(tmp_path / "pages_url_messy")
+    messy.write.parquet(messy_dir)
+
+    out_dir = str(tmp_path / "url_out")
+    q = stream_url_dedup(spark, messy_dir, out_dir, str(tmp_path / "uckpt"))
+    q.awaitTermination(120)
+
+    n_canon = (
+        spark.read.parquet(messy_dir)
+        .select(canonicalize_url(F2.col("url")).alias("c"))
+        .distinct()
+        .count()
+    )
+    got = spark.read.parquet(out_dir)
+    assert got.count() == n_canon < messy.count()
+    assert got.select(canonicalize_url(F2.col("url")).alias("c")).distinct().count() == n_canon
