@@ -85,7 +85,8 @@ HEADLINE = [
     "decontaminate_flags", "dup_ngram_fraction", "dsir_weights", "domain_cap",
     "winnow_near_dup_pairs", "winnow_dedup_keep",
     "span_dedup", "url_canonicalize", "url_dedup_keep", "token_budget_mix",
-    "quality_classifier_scores",
+    "quality_classifier_scores", "paragraph_dedup", "bloom_anti_join",
+    "url_blocklist",
     "image_meta", "image_pixels", "audio_pcm_stats", "video_frames",
     "quantile_filter", "session_windows",
     "events_hourly", "events_sessions", "pricing_summary", "segment_revenue",

@@ -197,3 +197,24 @@ def test_domain_cap_windows_are_skew_capped(spark):
     assert plan.count("RunningWindowFunction") + plan.count("Window ") >= 1
     # under-cap rows take the broadcast anti-join path, never a window
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_bloom_probe_path_is_narrow(spark):
+    """The Bloom maybe-contains probe must be k broadcast-join lookups —
+    no sort-merge join and no exchange of the probe-side corpus (the
+    only exchanges in the full plan belong to the bitmap build and the
+    maybe-row verification join)."""
+    from redpajama_v2_processing_spark.operators.exact_dedup import (
+        bloom_bitmap, bloom_maybe_contains)
+
+    docs = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    dups = docs.where(F.col("doc_id") % 7 == 0)
+    bm = bloom_bitmap(dups, "doc_id").localCheckpoint(eager=True)
+    plan = _physical(bloom_maybe_contains(docs, F.col("doc_id"), bm))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 5  # k probes
+    # probe side reads the checkpointed bitmap; the only allowed exchanges
+    # are broadcast exchanges for it
+    import re
+    non_broadcast_exchanges = re.findall(r"Exchange (?!SinglePartition)(?!broadcast)\w+", plan)
+    assert not any("hashpartitioning" in e for e in non_broadcast_exchanges), plan
