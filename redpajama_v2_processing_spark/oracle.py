@@ -2014,6 +2014,56 @@ WITH u AS ({_SYNTH_URL_SQL}),
 SELECT doc_id, url, curl FROM canon"""
 
 
+def q_fineweb_filter() -> str:
+    """Twin of queries.q_fineweb_filter: FineWeb punct/short/dup-mass
+    fractions + composite keep over the same synthesized 6-line pages
+    (terminal '.' on line i iff i < doc_id % 6; lines split INCLUDING
+    empties; dup mass = ALL occurrences of repeated lines)."""
+    mk = []
+    for i, base in enumerate([
+        "'shared banner one for ' || lang",
+        "'shared banner two for ' || lang",
+        "'shared banner three for ' || lang",
+        "coalesce(array_to_string(t[1:10], ' '), '')",
+        "coalesce(array_to_string(t[11:20], ' '), '')",
+        "coalesce(array_to_string(t[21:30], ' '), '')",
+    ]):
+        mk.append(f"CASE WHEN doc_id % 6 > {i} THEN {base} || '.' ELSE {base} END")
+    joined = " || chr(10) || ".join(mk)
+    return f"""
+WITH tk AS (SELECT doc_id, lang, {tokens('text')} AS t FROM documents),
+shaped AS (SELECT doc_id, {joined} AS text FROM tk),
+lsx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM shaped),
+l AS (
+  SELECT doc_id, ls[i.i::INT] AS line
+  FROM lsx, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) i),
+g AS (
+  SELECT doc_id, line, count(*) AS c, len(line) AS ln,
+    max(CASE WHEN regexp_matches(line, '[.!?"]\\s*$') THEN 1 ELSE 0 END) AS p
+  FROM l GROUP BY 1, 2),
+a AS (
+  SELECT doc_id,
+    sum(c) AS n, sum(c * p) AS np,
+    sum(c * CASE WHEN ln < 30 THEN 1 ELSE 0 END) AS ns,
+    sum(ln * c) AS tchar,
+    sum(CASE WHEN c > 1 THEN ln * c ELSE 0 END) AS dchar
+  FROM g GROUP BY 1),
+s AS (
+  SELECT doc_id,
+    round({ratio('np', 'n')}, 6) AS punct_line_frac,
+    round({ratio('ns', 'n')}, 6) AS short_line_frac,
+    round({ratio('dchar', 'tchar')}, 6) AS dup_line_char_frac
+  FROM a)
+SELECT d.doc_id,
+  coalesce(s.punct_line_frac, 0.0) AS punct_line_frac,
+  coalesce(s.short_line_frac, 0.0) AS short_line_frac,
+  coalesce(s.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+  (coalesce(s.punct_line_frac, 0.0) >= 0.12
+   AND coalesce(s.dup_line_char_frac, 0.0) <= 0.10
+   AND coalesce(s.short_line_frac, 0.0) < 0.67) AS keep
+FROM documents d LEFT JOIN s USING (doc_id)"""
+
+
 def q_url_blocklist(
     patterns=(r"news-3\.example\.com", r"/Articles/1[0-9]($|[?/])"),
 ) -> str:

@@ -905,6 +905,33 @@ def q_paragraph_dedup(spark, sf_dir):
     )
 
 
+def q_fineweb_filter(spark, sf_dir):
+    """FineWeb custom filters (punct-line, short-line, duplicated-line
+    char mass) over synthesized 6-line pages: 3 short banner lines + 3
+    longer 10-token lines, with a terminal '.' appended to line i iff
+    i < doc_id % 6 — so punct/short fractions vary across docs and every
+    rule binds somewhere. Identical construction in the oracle."""
+    from .functions.fineweb import fineweb_filter
+    from .functions.text import tokens as _tokens
+
+    docs = _docs(spark, sf_dir)
+    t = _tokens(F.col("text"))
+    j = lambda a: F.array_join(F.slice(t, a, 10), " ")  # noqa: E731
+    banner = lambda k: F.concat(  # noqa: E731
+        F.lit(f"shared banner {k} for "), F.col("lang")
+    )
+    raw = [banner("one"), banner("two"), banner("three"), j(1), j(11), j(21)]
+    dot = [
+        F.when(F.col("doc_id") % 6 > i, F.concat(l, F.lit("."))).otherwise(l)
+        for i, l in enumerate(raw)
+    ]
+    shaped = docs.select("doc_id", F.concat_ws("\n", *dot).alias("text"))
+    return fineweb_filter(shaped, "doc_id").select(
+        F.col("id").alias("doc_id"), "punct_line_frac", "short_line_frac",
+        "dup_line_char_frac", "keep",
+    )
+
+
 URL_BLOCK_PATTERNS = (r"news-3\.example\.com", r"/Articles/1[0-9]($|[?/])")
 
 
@@ -1168,6 +1195,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup": q_paragraph_dedup,
     "bloom_anti_join": q_bloom_anti_join,
     "url_blocklist": q_url_blocklist,
+    "fineweb_filter": q_fineweb_filter,
     # --- outside the r4 window (stale or never driver-certified) --------
     "ann_ivf_pq_residual_topk": q_ann_ivf_pq_residual_topk,
     "embedding_dedup_star_keep": q_embedding_dedup_star_keep,
@@ -1210,8 +1238,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_ngram_fraction": q_dup_ngram_fraction,
     "dsir_weights": q_dsir_weights,
     "dsir_topk": q_dsir_topk,
-    "audio_pcm_stats": q_audio_pcm_stats,
     # ==================== driver window ends here (50) ====================
+    "audio_pcm_stats": q_audio_pcm_stats,
     # --- r4-green, implementation untouched this round -------------------
     # (quality_filter/scrub/exact + the four dedup keeps + the PQ trio
     # parked: r4-green AND 50k- or tri-scale-certified; nine brand-new
@@ -1282,6 +1310,7 @@ ORACLES: dict[str, str] = {
     # bloom path is plan-different but result-identical to the anti join
     "bloom_anti_join": oracle.q_anti_join(),
     "url_blocklist": oracle.q_url_blocklist(),
+    "fineweb_filter": oracle.q_fineweb_filter(),
     "gopher_signals": oracle.q_gopher_signals(),
     "c4_filter": oracle.q_c4_filter(),
     "domain_cap": oracle.q_domain_cap(),

@@ -251,3 +251,25 @@ def test_dedup_lines_keeps_first_occurrence_order(spark):
     assert out[1] == "only"
     assert out[2] == "" and out[3] == ""
     assert out[4] == "x"
+
+
+def test_fineweb_filter_rules(spark):
+    """FineWeb composite filter: punctuation-poor pages drop, short-line
+    walls drop, duplicated-line mass drops; a healthy page keeps; empty
+    docs score 0.0 everywhere (and drop on the punct rule)."""
+    from redpajama_v2_processing_spark.functions.fineweb import fineweb_filter
+
+    LONG = "this is a perfectly reasonable sentence of some length here"
+    docs = spark.createDataFrame([
+        (0, f"{LONG}.\n{LONG} two.\n{LONG} three."),          # healthy
+        (1, f"{LONG}\n{LONG} two\n{LONG} three"),             # no punctuation
+        (2, "hi.\nok.\nyes.\nno.\nshort.\ntiny."),            # short-line wall
+        (3, f"{LONG}.\n{LONG}.\n{LONG}.\n{LONG} unique."),    # dup mass
+        (4, ""),                                              # empty
+    ], "doc_id long, text string")
+    out = {r.id: r for r in fineweb_filter(docs, "doc_id").collect()}
+    assert out[0].keep
+    assert not out[1].keep and out[1].punct_line_frac == 0.0
+    assert not out[2].keep and out[2].short_line_frac == 1.0
+    assert not out[3].keep and out[3].dup_line_char_frac > 0.10
+    assert not out[4].keep and out[4].punct_line_frac == 0.0
