@@ -218,3 +218,19 @@ def test_bloom_probe_path_is_narrow(spark):
     import re
     non_broadcast_exchanges = re.findall(r"Exchange (?!SinglePartition)(?!broadcast)\w+", plan)
     assert not any("hashpartitioning" in e for e in non_broadcast_exchanges), plan
+
+
+def test_round5_queries_stay_jvm_side(spark):
+    """No Python eval nodes and no cartesian products in any round-5
+    query plan; token_budget_mix additionally must not contain a Window
+    (its scale contract is agg + broadcast join + generate only)."""
+    from redpajama_v2_processing_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    for name in ["url_canonicalize", "url_dedup_keep", "url_blocklist",
+                 "token_budget_mix", "span_dedup", "paragraph_dedup"]:
+        plan = _physical(Q.QUERIES[name](spark, sf))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    mix = _physical(Q.QUERIES["token_budget_mix"](spark, sf))
+    assert "Window" not in mix
