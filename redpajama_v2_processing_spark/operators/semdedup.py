@@ -1,0 +1,135 @@
+"""SemDeDup — semantic deduplication in embedding space (Abbas et al.
+2023, arXiv:2303.09540).
+
+The reference dedups on text shingles only (src/minhashlsh.py); SemDeDup
+is the embedding-side complement used for web-scale training data
+(LAION/C4 in the paper): k-means the corpus embeddings into cells, find
+duplicate pairs ONLY within a cell (cosine above threshold), and keep one
+representative per duplicate group — the paper keeps the member with the
+LOWEST cosine to its cluster centroid (the least-prototypical example,
+maximizing retained diversity), which this implementation follows (ties
+break on the smaller id).
+
+Spark-first shape, end-to-end:
+
+* the coarse quantizer is the engine's deterministic spherical k-means
+  (`operators/ann.kmeans_centroids`: broadcast centroids, grouped
+  `min_by` argmax assignment — no window, no collect);
+* the within-cell self-join carries ONLY (id, cid) — vectors never
+  travel through the cell shuffle; the surviving candidate pairs re-join
+  the vectors by id for the exact rounded-cosine verify;
+* duplicate groups close transitively via the distributed
+  connected-components fixpoint, and the keep rule is one grouped
+  `min_by` per component root.
+
+Scale contract (the 100 TB question): candidate volume is
+sum_c C(n_c, 2) — k_cells is the knob, exactly as in the paper (k is
+scaled with the corpus so cells stay ~10^4 wide; 50k clusters for
+LAION-440M). Expected pairs ~ n * (n/k) at uniform occupancy; a skewed
+hot cell is bounded the same way the LSH buckets are (pick k so
+n/k << sqrt budget, or pre-split dense cells by re-running k-means
+inside them — the paper's own recipe). Centroids (k rows) broadcast;
+the corpus shuffles once on cid (ids only) and once on id (CC labels).
+
+Everything is rounded at config.ANN_ROUND before any comparison, so the
+whole iterative pipeline is engine-portable and oracle-checked
+(oracle.q_semdedup_keep runs the identical Lloyd chain + pair graph +
+keep rule as one DuckDB recursive-CTE query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import ANN_ROUND
+from ..functions.vectors import cosine
+from .ann import kmeans_centroids
+from .connected_components import connected_components
+
+
+def semdedup_assign(
+    embeddings: DataFrame,
+    k_cells: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DF(id, cid, ccos): each vector's trained k-means cell plus its
+    rounded cosine to that cell's centroid (the keep-rule statistic).
+
+    One broadcast join against the k centroids + one grouped ``min_by``
+    argmax (partial-agg friendly — the exchange carries one row per id;
+    ``min_by`` over (-cos, cid) = max cosine, ties to the smallest cid,
+    the same assignment the Lloyd iterations themselves use).
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cent = F.broadcast(kmeans_centroids(embeddings, k_cells, iters, id_col, vec_col))
+    ccos = F.round(cosine(F.col("v"), F.col("cv")), ANN_ROUND) + 0.0
+    return (
+        emb.join(cent)
+        .withColumn("_c", ccos)
+        .groupBy("id")
+        .agg(
+            F.min_by(
+                F.struct("cid", "_c"),
+                F.struct((-F.col("_c")).alias("a"), F.col("cid").alias("b")),
+            ).alias("_w")
+        )
+        .select("id", F.col("_w.cid").alias("cid"), F.col("_w._c").alias("ccos"))
+    )
+
+
+def semdedup_keep(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    k_cells: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DF(id): the SemDeDup keep-list — one representative per semantic
+    duplicate group (the member with the lowest centroid cosine, ties to
+    the smaller id), singletons kept.
+
+    The assignment frame feeds three consumers (both self-join sides and
+    the keep rule), so it is checkpointed once; Catalyst does not share
+    subplans and the k-means chain is the dominant cost.
+    """
+    assign = semdedup_assign(
+        embeddings, k_cells, iters, id_col, vec_col
+    ).localCheckpoint(eager=True)
+
+    # ids-only within-cell candidate pairs (vectors stay out of the cid
+    # shuffle), then exact verify on the re-joined vectors
+    a = assign.select(F.col("id").alias("src"), "cid")
+    b = assign.select(F.col("id").alias("dst"), "cid")
+    cand = a.join(b, "cid").where(F.col("src") < F.col("dst")).select("src", "dst")
+    va = embeddings.select(
+        F.col(id_col).alias("src"), F.col(vec_col).cast("array<double>").alias("_va")
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("dst"), F.col(vec_col).cast("array<double>").alias("_vb")
+    )
+    cos = F.round(cosine(F.col("_va"), F.col("_vb")), ANN_ROUND) + 0.0
+    edges = (
+        cand.join(va, "src").join(vb, "dst").where(cos >= threshold).select("src", "dst")
+    )
+
+    cc = connected_components(edges)
+    labels = assign.join(cc, "id", "left").select(
+        "id", F.coalesce("root", F.col("id")).alias("root"), "ccos"
+    )
+    # paper's keep rule: per duplicate group, the member LEAST similar to
+    # its cluster centroid survives (one grouped min_by — no window)
+    return (
+        labels.groupBy("root")
+        .agg(
+            F.min_by(
+                "id", F.struct(F.col("ccos").alias("a"), F.col("id").alias("b"))
+            ).alias("id")
+        )
+        .select("id")
+    )

@@ -1481,15 +1481,18 @@ def _exact_mean4(expr: str) -> str:
     )
 
 
-def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> list[str]:
+def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64,
+                 table: str = "embeddings") -> list[str]:
     """CTE chain for deterministic spherical k-means, ending in
-    c{iters}(cid, cv) and m{iters}(cid, pos, c)."""
+    c{iters}(cid, cv) and m{iters}(cid, pos, c). ``table`` lets the chain
+    train over any (vec_id, embedding) relation (e.g. the augmented
+    embeddings in the SemDeDup twin)."""
     cos = _cos_expr("e.v", "c.cv")
     ctes = [
-        "e AS MATERIALIZED (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
+        f"e AS MATERIALIZED (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v FROM {table})",
         f"""c0 AS (
   SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
-  FROM embeddings ORDER BY vec_id LIMIT {k})""",
+  FROM {table} ORDER BY vec_id LIMIT {k})""",
     ]
     for t in range(1, iters + 1):
         ctes.append(f"""a{t} AS MATERIALIZED (
@@ -1517,6 +1520,107 @@ def q_kmeans_cells(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     return (f"WITH {body}\n"
             f"SELECT cid::BIGINT AS cid, pos::BIGINT AS pos, c::DOUBLE AS centroid "
             f"FROM m{iters}")
+
+
+def q_semdedup_keep(threshold: float = 0.95, k_cells: int = 8,
+                    iters: int = 3, dim: int = 64) -> str:
+    """Twin of operators/semdedup.semdedup_keep over the augmented
+    embeddings: the SAME deterministic Lloyd chain (trained on aug),
+    rounded-cosine argmax assignment carrying the centroid cosine,
+    within-cell pairs verified at the rounded threshold, recursive-CTE
+    connected components, and the paper's keep rule — per duplicate
+    group the member with the LOWEST centroid cosine (ties to min id)."""
+    last = f"c{iters}"
+    ccos = f"(round({_cos_expr('e.v', 'c.cv')}, {ANN_ROUND}) + 0.0)"
+    pcos = f"(round({_cos_expr('x.v', 'y.v')}, {ANN_ROUND}) + 0.0)"
+    body = ",\n".join(_kmeans_ctes(k_cells, iters, dim, table="aug"))
+    return f"""
+WITH RECURSIVE {_AUG_EMB},
+{body},
+assign AS MATERIALIZED (
+  SELECT id, cid, ccos FROM (
+    SELECT e.id, c.cid, {ccos} AS ccos,
+      row_number() OVER (PARTITION BY e.id ORDER BY {ccos} DESC, c.cid) AS rn
+    FROM e CROSS JOIN {last} c) WHERE rn = 1),
+pairs AS (
+  SELECT a.id AS src, b.id AS dst
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id),
+edges AS MATERIALIZED (
+  SELECT p.src, p.dst FROM pairs p
+  JOIN e x ON x.id = p.src JOIN e y ON y.id = p.dst
+  WHERE {pcos} >= {threshold}),
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(id, root) AS (
+  SELECT id, id FROM e
+  UNION
+  SELECT s.src, r.root FROM sym s JOIN reach r ON s.dst = r.id
+),
+labels AS (SELECT id, min(root) AS root FROM reach GROUP BY id)
+SELECT id AS vec_id FROM (
+  SELECT l.id,
+    row_number() OVER (PARTITION BY l.root ORDER BY a.ccos ASC, l.id ASC) AS rn
+  FROM labels l JOIN assign a USING (id)) WHERE rn = 1"""
+
+
+def _jaccard_ctes(n: int = 3, max_df: int = 10) -> str:
+    """Shingle -> inverted-index -> exact-Jaccard CTE chain, ending in
+    jac(src, dst, jaccard). Shingle construction is byte-identical to the
+    minhash chain's (same gram join, same whole-text fallback)."""
+    gram = " || ' ' || ".join(f"t[(i+{j})::INT]" for j in range(n))
+    return f"""
+base AS (SELECT doc_id, {norm('text')} AS nrm FROM documents),
+tk AS (SELECT doc_id, nrm, {tokens('nrm')} AS t FROM base),
+shg AS (
+  SELECT doc_id,
+    CASE WHEN len(t) < {n}
+         THEN (CASE WHEN trim(nrm) = '' THEN []::VARCHAR[] ELSE [nrm] END)
+         ELSE list_distinct(list_transform(range(1, len(t) - {n - 2}), i -> {gram}))
+    END AS sh
+  FROM tk),
+flat AS MATERIALIZED (SELECT doc_id AS id, s.s AS g FROM shg, unnest(sh) AS s(s)),
+sizes AS (SELECT id, count(*) AS sz FROM flat GROUP BY id),
+rare AS (
+  SELECT id, g FROM flat
+  WHERE g IN (SELECT g FROM flat GROUP BY g HAVING count(*) <= {max_df})),
+cand AS (
+  SELECT DISTINCT a.id AS src, b.id AS dst
+  FROM rare a JOIN rare b ON a.g = b.g AND a.id < b.id),
+inter AS (
+  SELECT c.src, c.dst, count(*) AS i
+  FROM cand c
+  JOIN flat fa ON fa.id = c.src
+  JOIN flat fb ON fb.id = c.dst AND fb.g = fa.g
+  GROUP BY 1, 2),
+jac AS (
+  SELECT i.src, i.dst,
+    (round(i.i::DOUBLE / (sa.sz + sb.sz - i.i)::DOUBLE, 6) + 0.0)::DOUBLE AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.id = i.src
+  JOIN sizes sb ON sb.id = i.dst)"""
+
+
+def q_ngram_jaccard_pairs(n: int = 3, threshold: float = 0.6,
+                          max_df: int = 10) -> str:
+    """Twin of operators/jaccard_dedup.ngram_jaccard_pairs."""
+    return (f"WITH {_jaccard_ctes(n, max_df)}\n"
+            f"SELECT src, dst, jaccard FROM jac WHERE jaccard >= {threshold}")
+
+
+def q_ngram_jaccard_dedup_keep(n: int = 3, threshold: float = 0.6,
+                               max_df: int = 10) -> str:
+    """Twin of operators/jaccard_dedup.ngram_jaccard_dedup_keep:
+    recursive-CTE connected components over the exact-Jaccard edge set,
+    min-id keep, singletons (incl. unsignable docs) kept."""
+    return f"""
+WITH RECURSIVE {_jaccard_ctes(n, max_df)},
+edges AS MATERIALIZED (SELECT src, dst FROM jac WHERE jaccard >= {threshold}),
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(id, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.src, r.root FROM sym s JOIN reach r ON s.dst = r.id
+)
+SELECT id AS doc_id FROM reach GROUP BY id HAVING min(root) = id"""
 
 
 def q_ann_ivf_trained_topk(query_vec_id: int = 0, k_cells: int = 8,

@@ -671,6 +671,38 @@ def q_embedding_dedup_prod_keep(spark, sf_dir):
     ).select(F.col("id").alias("vec_id"))
 
 
+def q_semdedup_keep(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means cells over the augmented
+    embeddings, within-cell cosine duplicate groups, keep the member
+    LEAST similar to its cluster centroid — the paper's keep rule. Whole
+    pipeline (Lloyd chain + pair graph + keep) oracle-checked."""
+    from .operators.semdedup import semdedup_keep
+
+    return semdedup_keep(
+        _augmented_embeddings(spark, sf_dir), EMB_NEAR_DUP_THRESHOLD,
+        k_cells=8, iters=3,
+    ).select(F.col("id").alias("vec_id"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs: rare-gram inverted-index
+    candidates (df <= max_df), exact relational set intersection — the
+    ground-truth tier MinHash-LSH approximates."""
+    from .operators.jaccard_dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id")
+
+
+def q_ngram_jaccard_dedup_keep(spark, sf_dir):
+    """Keep-list over the exact-Jaccard near-dup graph (min id per
+    component, unsignable docs kept)."""
+    from .operators.jaccard_dedup import ngram_jaccard_dedup_keep
+
+    return ngram_jaccard_dedup_keep(_docs(spark, sf_dir), "doc_id").select(
+        F.col("id").alias("doc_id")
+    )
+
+
 def q_pq_codebooks(spark, sf_dir):
     """Product-quantization codebooks: per-subspace deterministic Lloyd
     training (4 subspaces x 16 codes, integer micro-unit L2 assignment,
@@ -1196,6 +1228,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_anti_join": q_bloom_anti_join,
     "url_blocklist": q_url_blocklist,
     "fineweb_filter": q_fineweb_filter,
+    "semdedup_keep": q_semdedup_keep,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ngram_jaccard_dedup_keep": q_ngram_jaccard_dedup_keep,
     # --- outside the r4 window (stale or never driver-certified) --------
     "ann_ivf_pq_residual_topk": q_ann_ivf_pq_residual_topk,
     "embedding_dedup_star_keep": q_embedding_dedup_star_keep,
@@ -1225,10 +1260,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dedup_keep": q_embedding_dedup_keep,
     "ann_cosine_topk": q_ann_cosine_topk,
     "label_centroids": q_label_centroids,
-    "events_hourly": q_events_hourly,
-    "events_sessions": q_events_sessions,
     "hash_sample": q_hash_sample,
-    "salted_count": q_salted_count,
     # --- implementation changed in r5: re-certify ------------------------
     "perplexity": q_perplexity,
     "perplexity_ngram": q_perplexity_ngram,
@@ -1240,6 +1272,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_topk": q_dsir_topk,
     # ==================== driver window ends here (50) ====================
     "audio_pcm_stats": q_audio_pcm_stats,
+    # parked to make window room for the three new r5 dedup queries:
+    # multiply certified (r3 + pytest), implementations untouched
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "salted_count": q_salted_count,
     # --- r4-green, implementation untouched this round -------------------
     # (quality_filter/scrub/exact + the four dedup keeps + the PQ trio
     # parked: r4-green AND 50k- or tri-scale-certified; nine brand-new
@@ -1311,6 +1348,9 @@ ORACLES: dict[str, str] = {
     "bloom_anti_join": oracle.q_anti_join(),
     "url_blocklist": oracle.q_url_blocklist(),
     "fineweb_filter": oracle.q_fineweb_filter(),
+    "semdedup_keep": oracle.q_semdedup_keep(),
+    "ngram_jaccard_pairs": oracle.q_ngram_jaccard_pairs(),
+    "ngram_jaccard_dedup_keep": oracle.q_ngram_jaccard_dedup_keep(),
     "gopher_signals": oracle.q_gopher_signals(),
     "c4_filter": oracle.q_c4_filter(),
     "domain_cap": oracle.q_domain_cap(),

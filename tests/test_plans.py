@@ -234,3 +234,34 @@ def test_round5_queries_stay_jvm_side(spark):
         assert "CartesianProduct" not in plan, name
     mix = _physical(Q.QUERIES["token_budget_mix"](spark, sf))
     assert "Window" not in mix
+
+
+def test_semdedup_and_jaccard_plan_shape(spark):
+    """SemDeDup: assignment is grouped min_by (no Window), keep rule is
+    grouped min_by (no Window), no Python eval; the only nested-loop join
+    is the broadcast centroid cross join (k rows — by design, same as the
+    IVF family). Jaccard dedup: pure equi-join shape — no cartesian, no
+    nested-loop fallback, no Python eval, no Window."""
+    from redpajama_v2_processing_spark.operators.jaccard_dedup import (
+        ngram_jaccard_dedup_keep,
+    )
+    from redpajama_v2_processing_spark.operators.semdedup import semdedup_keep
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, -0.5, 0.25]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    p1 = _physical(semdedup_keep(emb, 0.95, k_cells=2, iters=1))
+    assert "EvalPython" not in p1
+    assert "CartesianProduct" not in p1
+    assert "Window" not in p1
+
+    docs = spark.createDataFrame(
+        [(i, f"some doc {i} tokens words here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    p2 = _physical(ngram_jaccard_dedup_keep(docs, "doc_id"))
+    assert "EvalPython" not in p2
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoopJoin" not in p2
+    assert "Window" not in p2
