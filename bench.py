@@ -86,7 +86,8 @@ HEADLINE = [
     "winnow_near_dup_pairs", "winnow_dedup_keep",
     "span_dedup", "url_canonicalize", "url_dedup_keep", "token_budget_mix",
     "quality_classifier_scores", "paragraph_dedup", "bloom_anti_join",
-    "url_blocklist",
+    "url_blocklist", "fineweb_filter", "semdedup_keep",
+    "ngram_jaccard_dedup_keep",
     "image_meta", "image_pixels", "audio_pcm_stats", "video_frames",
     "quantile_filter", "session_windows",
     "events_hourly", "events_sessions", "pricing_summary", "segment_revenue",
@@ -311,6 +312,31 @@ def main() -> int:
                 .count()
             )
             row["winnow_sec"] = round(time.time() - t0, 1)
+            # exact-Jaccard candidate volume: rare-gram inverted-index
+            # pairs (df <= 10) — same stop-gram bound as winnow; linear
+            # growth expected (each rare gram caps at C(10, 2) pairs)
+            from redpajama_v2_processing_spark.operators.minhash_lsh import (
+                with_shingles,
+            )
+
+            t0 = time.time()
+            jf = with_shingles(docs, "id_int", n=3).select(
+                "id", F.explode("_sh").alias("g")
+            )
+            jrare = (
+                jf.groupBy("g").agg(F.count("*").alias("_df"))
+                .where(F.col("_df") <= 10)
+                .select("g")
+            )
+            jr = jf.join(jrare, "g")
+            row["jaccard_candidates"] = (
+                jr.select(F.col("id").alias("_a"), "g")
+                .join(jr.select(F.col("id").alias("_b"), "g"), "g")
+                .where(F.col("_a") < F.col("_b"))
+                .select("_a", "_b").distinct()
+                .count()
+            )
+            row["jaccard_sec"] = round(time.time() - t0, 1)
             report[str(n)] = row
         ratios = {
             k: round(report["50000"][k] / max(report["5000"][k], 1), 2)
@@ -321,6 +347,7 @@ def main() -> int:
                 "emb_uncapped_candidates", "emb_capped_candidates",
                 "emb_star_candidates",
                 "winnow_candidates",
+                "jaccard_candidates",
             )
         }
         print(json.dumps({"growth": report, "ratio_50k_over_5k": ratios,

@@ -203,11 +203,23 @@ def gopher_signals(
     * ellipsis_line_fraction: lines ending with '...' or '…'
     * alpha_word_fraction: words containing >= 1 ASCII letter
     """
+    staged = _gopher_staged(df, id_col, text_col)
+    shape = _gopher_shape_cols()
+    return staged.select("id", *[c.alias(n) for n, c in shape.items()])
+
+
+def _gopher_staged(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     text = F.col(text_col)
-    staged = df.select(
+    return df.select(
         F.col(id_col).alias("id"), text.alias("_t"),
         tokens(text).alias("_tok"), lines(text).alias("_lines"),
     )
+
+
+def _gopher_shape_cols() -> dict[str, Column]:
+    """The four Gopher shape ratios over a ``_gopher_staged`` frame
+    (columns _t/_tok/_lines) — shared by gopher_signals and
+    gopher_filter so both surfaces use identical expressions."""
     tok, ls = F.col("_tok"), F.col("_lines")
     n_sym = (
         F.length("_t") - F.length(F.regexp_replace("_t", r"#", ""))
@@ -216,13 +228,74 @@ def gopher_signals(
     bullets = F.size(F.filter(ls, lambda l: l.rlike(r"^\s*([-*•])")))
     ellipsis = F.size(F.filter(ls, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
     alpha = F.size(F.filter(tok, lambda w: w.rlike(r"[A-Za-z]")))
-    return staged.select(
+    return {
+        "symbol_word_ratio": F.round(_ratio(n_sym, F.size(tok)), 6),
+        "bullet_line_fraction": F.round(_ratio(bullets, F.size(ls)), 6),
+        "ellipsis_line_fraction": F.round(_ratio(ellipsis, F.size(ls)), 6),
+        "alpha_word_fraction": F.round(_ratio(alpha, F.size(tok)), 6),
+    }
+
+
+#: Gopher's stop-word presence set (Rae et al. 2021 §A.1.1: a page must
+#: contain >= 2 of these to survive)
+GOPHER_STOPS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl: float = 3.0,
+    max_mwl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet: float = 0.9,
+    max_ellipsis: float = 0.3,
+    min_alpha: float = 0.8,
+    min_stop_hits: int = 2,
+    max_dup_line: float = 0.3,
+    max_dup_line_char: float = 0.2,
+) -> DataFrame:
+    """DF(id, keep): the Gopher document-deletion rule (Rae et al. 2021
+    §A.1.1) composed end-to-end — word-count and mean-word-length bands,
+    symbol/word ratio, bullet- and ellipsis-line fractions, alpha-word
+    fraction, >= 2 Gopher stop words, and the duplicate-line fraction
+    caps (line-count and char-mass) from the paper's repetition table.
+
+    Plan shape: one narrow codegen projection for every per-row rule
+    (shared expressions with gopher_signals) + ONE line-explode
+    aggregation for the duplicate-line pair (duplicate_line_signals),
+    joined back on id. No Python, no window; all ratios rounded at 6
+    before comparison so the cut is engine-portable (oracle-checked as
+    q_gopher_filter).
+    """
+    staged = _gopher_staged(df, id_col, text_col)
+    shape = _gopher_shape_cols()
+    tok = F.col("_tok")
+    nw = F.size(tok)
+    mwl = F.round(mean_word_length(tok), 6)
+    stops = lexicon_hits(joined_tokens(tok), GOPHER_STOPS)
+    per_row = staged.select(
         "id",
-        F.round(_ratio(n_sym, F.size(tok)), 6).alias("symbol_word_ratio"),
-        F.round(_ratio(bullets, F.size(ls)), 6).alias("bullet_line_fraction"),
-        F.round(_ratio(ellipsis, F.size(ls)), 6).alias("ellipsis_line_fraction"),
-        F.round(_ratio(alpha, F.size(tok)), 6).alias("alpha_word_fraction"),
+        nw.alias("_nw"), mwl.alias("_mwl"), stops.alias("_stops"),
+        *[c.alias(f"_{n}") for n, c in shape.items()],
     )
+    dup = duplicate_line_signals(df, id_col, text_col)
+    keep = (
+        (F.col("_nw") >= min_words) & (F.col("_nw") <= max_words)
+        & (F.col("_mwl") >= min_mwl) & (F.col("_mwl") <= max_mwl)
+        & (F.col("_symbol_word_ratio") <= max_symbol_ratio)
+        & (F.col("_bullet_line_fraction") <= max_bullet)
+        & (F.col("_ellipsis_line_fraction") <= max_ellipsis)
+        & (F.col("_alpha_word_fraction") >= min_alpha)
+        & (F.col("_stops") >= min_stop_hits)
+        & (F.col("dup_line_fraction") <= max_dup_line)
+        & (F.col("dup_line_char_fraction") <= max_dup_line_char)
+    )
+    return per_row.join(dup, "id").select("id", keep.alias("keep"))
 
 
 # ---------------------------------------------------------------------------

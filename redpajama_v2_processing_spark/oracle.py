@@ -473,6 +473,96 @@ SELECT id,
 FROM st"""
 
 
+def q_gopher_filter(
+    min_words: int = 10, max_words: int = 100_000,
+    min_mwl: float = 3.0, max_mwl: float = 10.0,
+    max_symbol_ratio: float = 0.1, max_bullet: float = 0.9,
+    max_ellipsis: float = 0.3, min_alpha: float = 0.8,
+    min_stop_hits: int = 2,
+    max_dup_line: float = 0.3, max_dup_line_char: float = 0.2,
+) -> str:
+    """Twin of queries.q_gopher_filter: the same shaped pages (gopher
+    shaping + duplicated l1/l2 tail on every 6th doc), the same rounded
+    shape ratios, Gopher stop-word presence, and the duplicate-line caps
+    computed exactly as q_duplicate_line_signals does (non-empty lines)."""
+    from .functions.signals import GOPHER_STOPS
+
+    n_sym = ("(length(text) - length(replace(text, '#', ''))"
+             " + len(regexp_extract_all(text, '(\\.\\.\\.|…)')))")
+    sym = ratio(n_sym, "len(t)")
+    bullet = ratio(
+        "len(list_filter(ls, l -> regexp_matches(l, '^\\s*([-*•])')))",
+        "len(ls)")
+    ell = ratio(
+        "len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))",
+        "len(ls)")
+    alpha = ratio(
+        "len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))", "len(t)")
+    mwl = ratio("list_aggregate(list_transform(t, w -> length(w)), 'sum')",
+                "len(t)")
+    stops = (f"len(list_filter(t, w -> "
+             f"list_contains({sql_list(GOPHER_STOPS)}, lower(w))))")
+    return f"""
+WITH tk0 AS (SELECT doc_id, {tokens('text')} AS t FROM documents),
+parts AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN '- ' ELSE '' END)
+      || coalesce(array_to_string(t[1:5], ' '), '') AS l1,
+    coalesce(array_to_string(t[6:10], ' '), '')
+      || (CASE WHEN doc_id % 4 = 0 THEN '...' ELSE '.' END) AS l2,
+    coalesce(array_to_string(t[11:15], ' '), '') || ' '
+      || repeat('#', doc_id % 5) AS l3,
+    doc_id::VARCHAR || ' 12345 '
+      || coalesce(array_to_string(t[16:18], ' '), '') AS l4
+  FROM tk0),
+shaped AS (
+  SELECT doc_id,
+    l1 || chr(10) || l2 || chr(10) || l3 || chr(10) || l4
+    || (CASE WHEN doc_id % 6 = 0
+        THEN chr(10) || l1 || chr(10) || l2 ELSE '' END) AS text
+  FROM parts),
+st AS (
+  SELECT doc_id AS id, text, {tokens('text')} AS t,
+         string_split(text, chr(10)) AS ls
+  FROM shaped),
+per AS (
+  SELECT id,
+    len(t) AS nw,
+    round({mwl}, 6) AS mwl,
+    {stops} AS stops,
+    round({sym}, 6) AS sym,
+    round({bullet}, 6) AS bul,
+    round({ell}, 6) AS ell,
+    round({alpha}, 6) AS alp
+  FROM st),
+l AS (
+  SELECT id, u.line AS line
+  FROM st, unnest(ls) AS u(line)
+  WHERE u.line != ''),
+g AS (SELECT id, line, count(*) AS c, length(line) AS len
+      FROM l GROUP BY 1, 2),
+a AS (SELECT id,
+  sum(c) - count(*) AS dup, sum(c) AS tot,
+  sum(len * (c - 1)) AS dchar, sum(len * c) AS tchar
+  FROM g GROUP BY 1),
+dupf AS (
+  SELECT p.id,
+    coalesce(round({ratio('dup', 'tot')}, 6), 0.0) AS dlf,
+    coalesce(round({ratio('dchar', 'tchar')}, 6), 0.0) AS dlcf
+  FROM per p LEFT JOIN a USING (id))
+SELECT p.id,
+  (p.nw >= {min_words} AND p.nw <= {max_words}
+   AND p.mwl >= {min_mwl} AND p.mwl <= {max_mwl}
+   AND p.sym <= {max_symbol_ratio}
+   AND p.bul <= {max_bullet}
+   AND p.ell <= {max_ellipsis}
+   AND p.alp >= {min_alpha}
+   AND p.stops >= {min_stop_hits}
+   AND d.dlf <= {max_dup_line}
+   AND d.dlcf <= {max_dup_line_char}) AS keep
+FROM per p JOIN dupf d USING (id)"""
+
+
 def q_c4_filter(min_line_words: int = 5, min_lines: int = 3) -> str:
     """Twin of queries.q_c4_filter: the same synthesized page-shaped text
     (three punctuated 6-word lines + junk line + rule-triggering

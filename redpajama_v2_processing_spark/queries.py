@@ -141,6 +141,44 @@ def q_gopher_signals(spark, sf_dir):
     return gopher_signals(shaped, "doc_id")
 
 
+def _gopher_shaped(spark, sf_dir):
+    """DF(doc_id, text): page-shaped text for the Gopher filter — the
+    q_gopher_signals shaping (bullet/ellipsis/hash/digit injections) plus
+    a duplicated l1+l2 tail on every 6th doc so the duplicate-line caps
+    actually bind. Identical construction in the oracle."""
+    from .functions.text import tokens as _tokens
+
+    docs = _docs(spark, sf_dir)
+    t = _tokens(F.col("text"))
+    j = lambda a, n: F.array_join(F.slice(t, a, n), " ")  # noqa: E731
+    l1 = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.lit("- "), j(1, 5))
+    ).otherwise(j(1, 5))
+    l2 = F.concat(
+        j(6, 5),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("...")).otherwise(F.lit(".")),
+    )
+    l3 = F.concat(j(11, 5), F.lit(" "), F.expr("repeat('#', doc_id % 5)"))
+    l4 = F.concat(F.col("doc_id").cast("string"), F.lit(" 12345 "), j(16, 3))
+    base_txt = F.concat_ws("\n", l1, l2, l3, l4)
+    shaped_txt = F.when(
+        F.col("doc_id") % 6 == 0, F.concat_ws("\n", base_txt, l1, l2)
+    ).otherwise(base_txt)
+    return docs.select("doc_id", shaped_txt.alias("text"))
+
+
+def q_gopher_filter(spark, sf_dir):
+    """The composed Gopher document-deletion rule (Rae et al. 2021
+    §A.1.1) as one keep/drop surface: word-count + mean-word-length
+    bands, symbol ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, >= 2 Gopher stop words, duplicate-line caps. min_words
+    lowered to 10 for the shaped fixture pages (operator default is the
+    paper's 50) so both keep classes stay populated."""
+    from .functions.signals import gopher_filter
+
+    return gopher_filter(_gopher_shaped(spark, sf_dir), "doc_id", min_words=10)
+
+
 def q_c4_filter(spark, sf_dir):
     """C4 cleaning (Raffel et al. 2020): keep >= 5-word lines ending in
     terminal punctuation, drop pages with < 3 retained lines, braces, or
@@ -1231,6 +1269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_keep": q_semdedup_keep,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ngram_jaccard_dedup_keep": q_ngram_jaccard_dedup_keep,
+    "gopher_filter": q_gopher_filter,
     # --- outside the r4 window (stale or never driver-certified) --------
     "ann_ivf_pq_residual_topk": q_ann_ivf_pq_residual_topk,
     "embedding_dedup_star_keep": q_embedding_dedup_star_keep,
@@ -1246,7 +1285,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anti_join_duplicates": q_anti_join,
     "fingerprint": q_fingerprint,
     "lang_downsample": q_lang_downsample,
-    "top_sources": q_top_sources,
     "quality_thresholds": q_quality_thresholds,
     "minhash_bands": q_minhash_bands,
     "lsh_buckets": q_lsh_buckets,
@@ -1277,6 +1315,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "salted_count": q_salted_count,
+    "top_sources": q_top_sources,
     # --- r4-green, implementation untouched this round -------------------
     # (quality_filter/scrub/exact + the four dedup keeps + the PQ trio
     # parked: r4-green AND 50k- or tri-scale-certified; nine brand-new
@@ -1351,6 +1390,7 @@ ORACLES: dict[str, str] = {
     "semdedup_keep": oracle.q_semdedup_keep(),
     "ngram_jaccard_pairs": oracle.q_ngram_jaccard_pairs(),
     "ngram_jaccard_dedup_keep": oracle.q_ngram_jaccard_dedup_keep(),
+    "gopher_filter": oracle.q_gopher_filter(),
     "gopher_signals": oracle.q_gopher_signals(),
     "c4_filter": oracle.q_c4_filter(),
     "domain_cap": oracle.q_domain_cap(),

@@ -273,3 +273,35 @@ def test_fineweb_filter_rules(spark):
     assert not out[2].keep and out[2].short_line_frac == 1.0
     assert not out[3].keep and out[3].dup_line_char_frac > 0.10
     assert not out[4].keep and out[4].punct_line_frac == 0.0
+
+
+def test_gopher_filter_rules(spark):
+    """Composed Gopher deletion rule: each clause independently kills a
+    crafted page; a healthy page with stop words survives."""
+    from redpajama_v2_processing_spark.functions.signals import gopher_filter
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and runs away with "
+        "great speed to be seen of all the other animals that have come "
+        "here to watch the daily race with much interest and delight today"
+    )
+    docs = spark.createDataFrame([
+        (0, good),                                    # healthy -> keep
+        (1, "too short to pass the word count rule"), # < min_words
+        (2, good + " " + "#" * 40),                   # symbol ratio
+        (3, "\n".join("- bullet line item" for _ in range(10))),  # bullets
+        (4, good.replace("the", "zq").replace("and", "qz")
+               .replace("that", "jx").replace("with", "xj")
+               .replace("to", "vv").replace("of", "ww")
+               .replace("be", "yy").replace("have", "kk")),  # no stop words
+        (5, "\n".join(["same line of text repeated here"] * 6
+                      + [good])),                     # dup-line mass
+    ], "doc_id long, text string")
+    out = {r.id: r.keep for r in
+           gopher_filter(docs, "doc_id", min_words=10).collect()}
+    assert out[0] is True
+    assert out[1] is False            # word count
+    assert out[2] is False            # symbol/word ratio
+    assert out[3] is False            # bullet fraction (and stops)
+    assert out[4] is False            # stop-word presence
+    assert out[5] is False            # duplicate-line caps
