@@ -87,7 +87,7 @@ HEADLINE = [
     "span_dedup", "url_canonicalize", "url_dedup_keep", "token_budget_mix",
     "quality_classifier_scores", "paragraph_dedup", "bloom_anti_join",
     "url_blocklist", "fineweb_filter", "semdedup_keep",
-    "ngram_jaccard_dedup_keep",
+    "ngram_jaccard_dedup_keep", "gopher_filter", "ccnet_pipeline",
     "image_meta", "image_pixels", "audio_pcm_stats", "video_frames",
     "quantile_filter", "session_windows",
     "events_hourly", "events_sessions", "pricing_summary", "segment_revenue",

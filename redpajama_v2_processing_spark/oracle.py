@@ -164,11 +164,15 @@ SELECT d.doc_id, round(coalesce(s.p, 0.0), 4)::DOUBLE AS perplexity
 FROM documents d LEFT JOIN s USING (doc_id)"""
 
 
-def _bigram_ppl_ctes(lam: float = 0.75) -> str:
+def _bigram_ppl_ctes(lam: float = 0.75, table: str = "documents",
+                     lang_col: str = "lang") -> str:
     """CTEs ending in scored(doc_id, lang, p): interpolated word-bigram
     LM perplexity per document (round 4, 0.0 for < 2 tokens) — twin of
-    functions/perplexity.with_bigram_perplexity."""
-    return f"""tk AS (SELECT doc_id, {tokens('text')} AS t FROM documents),
+    functions/perplexity.with_bigram_perplexity. ``table``/``lang_col``
+    let the chain train and score over any (doc_id, text, lang) relation
+    (the LM trains on the scored corpus itself, so a gated corpus trains
+    a gated LM — the CCNet composition depends on this)."""
+    return f"""tk AS (SELECT doc_id, {tokens('text')} AS t FROM {table}),
 tok AS (SELECT unnest(t) AS w FROM tk),
 uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY 1),
 tot AS (SELECT sum(c1) AS t FROM uni),
@@ -188,8 +192,8 @@ s AS (
   JOIN uni u2 ON u2.w = bg.w2, tot
   GROUP BY bg.doc_id),
 scored AS (
-  SELECT d.doc_id, d.lang, round(coalesce(s.p, 0.0), 4)::DOUBLE AS p
-  FROM documents d LEFT JOIN s USING (doc_id))"""
+  SELECT d.doc_id, d.{lang_col} AS lang, round(coalesce(s.p, 0.0), 4)::DOUBLE AS p
+  FROM {table} d LEFT JOIN s USING (doc_id))"""
 
 
 def q_perplexity_ngram(lam: float = 0.75) -> str:
@@ -213,6 +217,31 @@ th AS (
          round(quantile_cont(p, {2 * p!r}), 6)::DOUBLE AS p67
   FROM scored GROUP BY lang)
 SELECT s.doc_id, s.lang,
+  CASE WHEN s.p <= th.p33 THEN 'head'
+       WHEN s.p <= th.p67 THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM scored s JOIN th USING (lang)"""
+
+
+def q_ccnet_pipeline(min_score: float = 0.02, lam: float = 0.75) -> str:
+    """Twin of queries.q_ccnet_pipeline — the CCNet corpus construction
+    (Wenzek et al. 2020), the recipe that produced the reference's input
+    shards (/root/reference/README.md:24-46): langid gate (score >=
+    min_score) then per-DETECTED-language bigram-LM perplexity terciles;
+    the LM trains on the GATED corpus (the chain's table parameter), as
+    CCNet trains its LM on the language-filtered slice."""
+    p = 1.0 / 3.0
+    return f"""
+WITH gated AS MATERIALIZED (
+  SELECT d.doc_id, d.text, l.langid
+  FROM documents d JOIN ({q_langid()}) l USING (doc_id)
+  WHERE l.score >= {min_score}),
+{_bigram_ppl_ctes(lam, table="gated", lang_col="langid")},
+th AS (
+  SELECT lang, round(quantile_cont(p, {p!r}), 6)::DOUBLE AS p33,
+         round(quantile_cont(p, {2 * p!r}), 6)::DOUBLE AS p67
+  FROM scored GROUP BY lang)
+SELECT s.doc_id, s.lang AS langid,
   CASE WHEN s.p <= th.p33 THEN 'head'
        WHEN s.p <= th.p67 THEN 'middle'
        ELSE 'tail' END AS ppl_bucket

@@ -110,6 +110,22 @@ def q_langid(spark, sf_dir):
     )
 
 
+def q_ccnet_pipeline(spark, sf_dir):
+    """The CCNet corpus construction (Wenzek et al. 2020) composed
+    end-to-end — the recipe that produced the reference's input shards
+    (/root/reference/README.md:24-46): langid gate (score >= 0.02) then
+    per-DETECTED-language bigram-LM perplexity terciles. The LM trains on
+    the gated corpus itself (CCNet trains per-language LMs on the
+    filtered slice), so the gate changes the model, not just the rows —
+    the whole composition is one oracle-checked query."""
+    from .functions.perplexity import perplexity_buckets
+
+    gated = with_langid(_docs(spark, sf_dir), score_col="score").where(
+        F.col("score") >= 0.02
+    )
+    return perplexity_buckets(gated, "doc_id", lang_col="langid")
+
+
 def q_gopher_signals(spark, sf_dir):
     """Residual Gopher (Rae et al. 2021) shape heuristics: symbol/word
     ratio, bullet- and ellipsis-line fractions, alpha-word fraction.
@@ -1270,6 +1286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ngram_jaccard_dedup_keep": q_ngram_jaccard_dedup_keep,
     "gopher_filter": q_gopher_filter,
+    "ccnet_pipeline": q_ccnet_pipeline,
     # --- outside the r4 window (stale or never driver-certified) --------
     "ann_ivf_pq_residual_topk": q_ann_ivf_pq_residual_topk,
     "embedding_dedup_star_keep": q_embedding_dedup_star_keep,
@@ -1283,7 +1300,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sliding": q_events_sliding,
     "semi_join_keeplist": q_semi_join,
     "anti_join_duplicates": q_anti_join,
-    "fingerprint": q_fingerprint,
     "lang_downsample": q_lang_downsample,
     "quality_thresholds": q_quality_thresholds,
     "minhash_bands": q_minhash_bands,
@@ -1316,6 +1332,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessions": q_events_sessions,
     "salted_count": q_salted_count,
     "top_sources": q_top_sources,
+    "fingerprint": q_fingerprint,
     # --- r4-green, implementation untouched this round -------------------
     # (quality_filter/scrub/exact + the four dedup keeps + the PQ trio
     # parked: r4-green AND 50k- or tri-scale-certified; nine brand-new
@@ -1391,6 +1408,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": oracle.q_ngram_jaccard_pairs(),
     "ngram_jaccard_dedup_keep": oracle.q_ngram_jaccard_dedup_keep(),
     "gopher_filter": oracle.q_gopher_filter(),
+    "ccnet_pipeline": oracle.q_ccnet_pipeline(),
     "gopher_signals": oracle.q_gopher_signals(),
     "c4_filter": oracle.q_c4_filter(),
     "domain_cap": oracle.q_domain_cap(),
