@@ -229,3 +229,41 @@ def test_wav_pcm_roundtrip(rate, n, extra):
     bad = bytearray(synth_wav_bytes(rate, max(n, 1)))
     bad[20] = 3  # format tag != PCM
     assert parse_wav_pcm(bytes(bad)) is None
+
+
+@given(texts=TEXTS)
+@settings(**SETTINGS)
+def test_ngram_jaccard_matches_python_model(spark, texts):
+    """ngram_jaccard_pairs with the df cap lifted must equal brute-force
+    pairwise Jaccard of the Python-modeled shingle sets (same normalize/
+    token/whole-text-fallback contract), rounded at 6."""
+    from redpajama_v2_processing_spark.operators.jaccard_dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    def py_norm(t):
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    def py_shingles(t, n=3):
+        nm = py_norm(t)
+        toks = nm.split(" ") if nm else []
+        if len(toks) < n:
+            return set() if nm == "" else {nm}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: py_shingles(t) for i, t in enumerate(texts)}
+    expected = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] & sets[b]:
+                inter = len(sets[a] & sets[b])
+                expected[(a, b)] = round(
+                    inter / (len(sets[a]) + len(sets[b]) - inter), 6
+                )
+    got = {
+        (r.src, r.dst): r.jaccard
+        for r in ngram_jaccard_pairs(
+            _df(spark, texts), "i", "t", threshold=0.0, max_df=10**6
+        ).collect()
+    }
+    assert got == expected
