@@ -88,6 +88,7 @@ HEADLINE = [
     "quality_classifier_scores", "paragraph_dedup", "bloom_anti_join",
     "url_blocklist", "fineweb_filter", "semdedup_keep",
     "ngram_jaccard_dedup_keep", "gopher_filter", "ccnet_pipeline",
+    "contamination_report", "dedup_cluster_sizes", "chunk_documents",
     "image_meta", "image_pixels", "audio_pcm_stats", "video_frames",
     "quantile_filter", "session_windows",
     "events_hourly", "events_sessions", "pricing_summary", "segment_revenue",

@@ -65,6 +65,41 @@ def contaminated_ids(
     )
 
 
+def contamination_report(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    bench_id_col: str,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = DECONTAM_NGRAM,
+    min_hits: int = 1,
+) -> DataFrame:
+    """DF(bench_id, contaminated_docs): per-BENCHMARK contamination rate —
+    for each benchmark document, how many corpus docs share >= ``min_hits``
+    distinct n-grams with it. The eval-suite monitoring surface behind
+    ``contaminated_ids`` (which answers the corpus-side question).
+
+    Plan: the benchmark gram frame KEEPS its id (still broadcast-sized —
+    benchmark suites are tiny vs the corpus), one broadcast join, one
+    grouped count per (bench, doc) pair, one re-aggregation per bench id.
+    The corpus never shuffles for the probe.
+    """
+    dg = ngram_hash_frame(docs, id_col, text_col, n)
+    bg = ngram_hash_frame(bench, bench_id_col, bench_text_col, n).select(
+        F.col("id").alias("bench_id"), "gh"
+    )
+    pair_hits = (
+        dg.join(F.broadcast(bg), "gh")
+        .groupBy("bench_id", "id")
+        .agg(F.count("*").alias("_h"))
+        .where(F.col("_h") >= min_hits)
+    )
+    return pair_hits.groupBy("bench_id").agg(
+        F.count("*").cast("long").alias("contaminated_docs")
+    )
+
+
 def duplicated_ngram_fraction(
     docs: DataFrame,
     id_col: str,

@@ -222,6 +222,25 @@ def fuzzy_dedup_labels(
     )
 
 
+def dedup_cluster_sizes(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    cfg: dict = ORACLE_MINHASH,
+    base: str = "md5",
+    salted: bool = False,
+) -> DataFrame:
+    """DF(cluster_size, n_clusters): near-dup component-size histogram
+    (singletons included) — the dedup monitoring surface (how much mass
+    sits in big boilerplate clusters vs pairs). Two grouped counts over
+    the label frame; the histogram is tiny at any corpus size."""
+    labels = fuzzy_dedup_labels(docs, id_col, text_col, cfg, base, salted)
+    sizes = labels.groupBy("root").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
+
+
 def fuzzy_dedup_keep_ids(
     docs: DataFrame,
     id_col: str,

@@ -393,6 +393,70 @@ FROM dg JOIN bg USING (gh)
 GROUP BY doc_id HAVING count(*) >= {min_hits}"""
 
 
+def q_contamination_report(n: int = 13, min_hits: int = 1, every: int = 40,
+                           prefix_tokens: int = 20) -> str:
+    """Twin of operators/decontaminate.contamination_report over the
+    same corpus-derived benchmark: per-benchmark contaminated-doc
+    counts (grams keep their bench id through the probe)."""
+    gram = f"array_to_string(t[i.i::INT:(i.i + {n - 1})::INT], ' ')"
+    return f"""
+WITH tk AS (SELECT doc_id, {tokens('text')} AS t FROM documents),
+bt AS (SELECT doc_id AS bench_id, t[1:{prefix_tokens}] AS t
+       FROM tk WHERE doc_id % {every} = 0),
+bg AS (
+  SELECT DISTINCT bench_id, {md5int(gram)} AS gh
+  FROM bt, LATERAL (SELECT unnest(range(1, len(t) - {n - 2})) AS i) i
+  WHERE len(t) >= {n}),
+dg AS (
+  SELECT DISTINCT doc_id, {md5int(gram)} AS gh
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t) - {n - 2})) AS i) i
+  WHERE len(t) >= {n}),
+ph AS (
+  SELECT bg.bench_id, dg.doc_id, count(*) AS h
+  FROM dg JOIN bg USING (gh)
+  GROUP BY 1, 2 HAVING count(*) >= {min_hits})
+SELECT bench_id, count(*)::BIGINT AS contaminated_docs
+FROM ph GROUP BY bench_id"""
+
+
+def q_dedup_cluster_sizes() -> str:
+    """Twin of operators/minhash_lsh.dedup_cluster_sizes: component-size
+    histogram over the oracle minhash profile's star-edge graph."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes()}, {_edges_cte()},
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(id, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.src, r.root FROM sym s JOIN reach r ON s.dst = r.id
+),
+labels AS (SELECT id, min(root) AS root FROM reach GROUP BY id),
+sizes AS (SELECT root, count(*) AS cluster_size FROM labels GROUP BY root)
+SELECT cluster_size::BIGINT AS cluster_size, count(*)::BIGINT AS n_clusters
+FROM sizes GROUP BY cluster_size"""
+
+
+def q_chunk_documents(max_tokens: int = 64, overlap: int = 8) -> str:
+    """Twin of functions/chunking.chunk_documents: identical integer
+    window arithmetic and slicing."""
+    stride = max_tokens - overlap
+    return f"""
+WITH tk AS (
+  SELECT doc_id, {tokens('text')} AS t FROM documents),
+nz AS (SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) > 0),
+ch AS (
+  SELECT doc_id, t,
+    i.i AS ci,
+    t[((i.i - 1) * {stride} + 1)::INT:((i.i - 1) * {stride} + {max_tokens})::INT] AS c
+  FROM nz, LATERAL (
+    SELECT unnest(range(1,
+      (greatest(n - {overlap}, 1) + {stride - 1}) // {stride} + 1)) AS i) i)
+SELECT doc_id, (ci - 1)::BIGINT AS chunk_idx,
+  len(c)::BIGINT AS n_tokens,
+  array_to_string(c, ' ') AS chunk_text
+FROM ch"""
+
+
 def q_dup_ngram_fraction(n: int = 13) -> str:
     """Twin of operators/decontaminate.duplicated_ngram_fraction over the
     fragment-augmented corpus: identical token/hash contracts, distinct

@@ -375,6 +375,43 @@ def q_decontaminate_flags(spark, sf_dir):
     )
 
 
+def q_contamination_report(spark, sf_dir):
+    """Per-benchmark contamination rate over the same synthetic eval set
+    as decontaminate_flags (every 40th doc's first 20 tokens): how many
+    corpus docs share >= 1 distinct 13-gram with EACH benchmark entry."""
+    from .functions.text import tokens as _tokens
+    from .operators.decontaminate import contamination_report
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 40 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(_tokens(F.col("text")), 1, 20), " ").alias("text"),
+    )
+    return contamination_report(docs, bench, "doc_id", "bench_id")
+
+
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup component-size histogram (oracle minhash profile) — the
+    monitoring surface for how much corpus mass sits in big boilerplate
+    clusters vs isolated pairs."""
+    from .operators.minhash_lsh import dedup_cluster_sizes
+
+    return dedup_cluster_sizes(_docs(spark, sf_dir), "doc_id").select(
+        F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters"
+    )
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Token-window chunking (training-sequence prep): 64-token windows,
+    8-token overlap; every token covered, trailing windows never fully
+    contained in the previous — exact integer window arithmetic."""
+    from .functions.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), "doc_id").select(
+        F.col("id").alias("doc_id"), "chunk_idx", "n_tokens", "chunk_text"
+    )
+
+
 def q_dup_ngram_fraction(spark, sf_dir):
     """Duplicated-span mass (Lee et al. 2022): fraction of each doc's
     distinct 13-grams appearing in >= 2 docs. The fixture has no organic
@@ -1287,16 +1324,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_dedup_keep": q_ngram_jaccard_dedup_keep,
     "gopher_filter": q_gopher_filter,
     "ccnet_pipeline": q_ccnet_pipeline,
+    "contamination_report": q_contamination_report,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "chunk_documents": q_chunk_documents,
     # --- outside the r4 window (stale or never driver-certified) --------
     "ann_ivf_pq_residual_topk": q_ann_ivf_pq_residual_topk,
     "embedding_dedup_star_keep": q_embedding_dedup_star_keep,
     "langid_confusion": q_langid_confusion,
-    "quantile_filter": q_quantile_filter,
     "token_counts": q_token_counts,
     "duplicate_line_signals": q_duplicate_line_signals,
     "session_windows": q_session_windows,
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
-    "unigram_entropy": q_unigram_entropy,
     "events_sliding": q_events_sliding,
     "semi_join_keeplist": q_semi_join,
     "anti_join_duplicates": q_anti_join,
@@ -1304,7 +1342,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_thresholds": q_quality_thresholds,
     "minhash_bands": q_minhash_bands,
     "lsh_buckets": q_lsh_buckets,
-    "lsh_candidate_edges": q_candidate_edges,
     "fuzzy_dedup_salted": q_fuzzy_dedup_salted,
     "fuzzy_dedup_distributed": q_fuzzy_dedup_distributed,
     "ngram_jaccard": q_jaccard_vs_query,
@@ -1333,6 +1370,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_count": q_salted_count,
     "top_sources": q_top_sources,
     "fingerprint": q_fingerprint,
+    "unigram_entropy": q_unigram_entropy,
+    "quantile_filter": q_quantile_filter,
+    "lsh_candidate_edges": q_candidate_edges,
     # --- r4-green, implementation untouched this round -------------------
     # (quality_filter/scrub/exact + the four dedup keeps + the PQ trio
     # parked: r4-green AND 50k- or tri-scale-certified; nine brand-new
@@ -1409,6 +1449,9 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_dedup_keep": oracle.q_ngram_jaccard_dedup_keep(),
     "gopher_filter": oracle.q_gopher_filter(),
     "ccnet_pipeline": oracle.q_ccnet_pipeline(),
+    "contamination_report": oracle.q_contamination_report(),
+    "dedup_cluster_sizes": oracle.q_dedup_cluster_sizes(),
+    "chunk_documents": oracle.q_chunk_documents(),
     "gopher_signals": oracle.q_gopher_signals(),
     "c4_filter": oracle.q_c4_filter(),
     "domain_cap": oracle.q_domain_cap(),

@@ -229,7 +229,8 @@ def test_round5_queries_stay_jvm_side(spark):
     sf = "/root/testdata/sf0.001"
     for name in ["url_canonicalize", "url_dedup_keep", "url_blocklist",
                  "token_budget_mix", "span_dedup", "paragraph_dedup",
-                 "gopher_filter", "ccnet_pipeline"]:
+                 "gopher_filter", "ccnet_pipeline", "contamination_report",
+                 "chunk_documents", "dedup_cluster_sizes"]:
         plan = _physical(Q.QUERIES[name](spark, sf))
         assert "EvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name

@@ -305,3 +305,33 @@ def test_gopher_filter_rules(spark):
     assert out[3] is False            # bullet fraction (and stops)
     assert out[4] is False            # stop-word presence
     assert out[5] is False            # duplicate-line caps
+
+
+def test_chunk_documents_window_contract(spark):
+    """Every token covered, consecutive chunks share `overlap` tokens,
+    no trailing chunk fully contained in the previous; short docs emit
+    one chunk; empty docs emit none."""
+    from redpajama_v2_processing_spark.functions.chunking import (
+        chunk_documents,
+    )
+
+    texts = {0: " ".join(f"w{i}" for i in range(100)),   # 2 chunks
+             1: " ".join(f"w{i}" for i in range(64)),    # exactly 1
+             2: " ".join(f"w{i}" for i in range(65)),    # 2 (9-token tail)
+             3: "one two",                               # 1 short chunk
+             4: ""}                                      # none
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    rows = chunk_documents(df, "doc_id", max_tokens=64, overlap=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.id, {})[r.chunk_idx] = r
+    assert set(by_doc[0]) == {0, 1} and set(by_doc[1]) == {0}
+    assert set(by_doc[2]) == {0, 1} and 4 not in by_doc
+    assert by_doc[3][0].chunk_text == "one two" and by_doc[3][0].n_tokens == 2
+    # coverage + overlap: doc 0 = tokens 0..99, stride 56
+    c0, c1 = by_doc[0][0], by_doc[0][1]
+    assert c0.n_tokens == 64 and c0.chunk_text.startswith("w0 ")
+    assert c1.n_tokens == 44 and c1.chunk_text.startswith("w56 ")
+    assert c0.chunk_text.split()[-8:] == c1.chunk_text.split()[:8]
+    # doc 2's tail window adds new tokens beyond the overlap
+    assert by_doc[2][1].n_tokens == 9
