@@ -16,7 +16,7 @@ previous one. Docs with no tokens emit no chunks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -52,4 +52,95 @@ def chunk_documents(
         (F.col("_i") - 1).cast("long").alias("chunk_idx"),
         F.size(chunk).cast("long").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def with_token_offsets(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    eod_tokens: int = 1,
+    bucket_size: int = 1024,
+) -> DataFrame:
+    """DF(id, n_tokens, start_offset): each document's exclusive prefix
+    sum of (n_tokens + eod_tokens) in ascending id order — the global
+    token layout of the GPT data-prep convention (concatenate every doc
+    with an end-of-document token, then split into fixed blocks;
+    ``pack_blocks`` derives the block spans).
+
+    Scale shape — a distributed two-level prefix scan, NO global-order
+    window (a single ``Window.orderBy(id)`` funnels the whole corpus
+    through one reducer):
+
+    1. bucket docs by ``id div bucket_size`` (range buckets — numeric
+       ids assumed, the engine's ``with_ids``/``fix_id`` contract);
+    2. per-bucket token sums: a TINY table (corpus/bucket_size rows);
+       its running total is a window over that tiny table only;
+    3. bucket offsets broadcast-join back; the intra-bucket running
+       total is a window PARTITIONED by bucket — every window partition
+       is bounded at ``bucket_size`` rows by construction, so no reducer
+       ever sees more than that regardless of corpus size.
+
+    Deterministic, resumable (same ids -> same offsets), and
+    oracle-checked against DuckDB's global window cumsum.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).withColumn("_w", F.col("n_tokens") + eod_tokens)
+    b = base.withColumn("_b", F.expr(f"id div {bucket_size}"))
+    per_bucket = b.groupBy("_b").agg(F.sum("_w").alias("_bw"))
+    w_buckets = (
+        Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.withColumn(
+        "_off", F.coalesce(F.sum("_bw").over(w_buckets), F.lit(0))
+    ).select("_b", "_off")
+    w_intra = (
+        Window.partitionBy("_b")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "start_offset",
+            (F.col("_off") + F.coalesce(F.sum("_w").over(w_intra), F.lit(0))
+             ).cast("long"),
+        )
+        .select("id", "n_tokens", "start_offset")
+    )
+
+
+def pack_blocks(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_tokens: int = 128,
+    eod_tokens: int = 1,
+    bucket_size: int = 1024,
+) -> DataFrame:
+    """DF(block_idx, id, block_start_offset): which training blocks each
+    document's tokens land in after the concat-with-EOD layout — one row
+    per (document, block) span. A document occupying global token range
+    [s, s + n + eod) spans blocks s div B .. (s + n + eod - 1) div B;
+    empty docs still carry their EOD token(s). The explode is bounded by
+    ceil((n + eod)/B) + 1 rows per doc — linear in corpus tokens."""
+    off = with_token_offsets(docs, id_col, text_col, eod_tokens, bucket_size)
+    first = F.expr(f"start_offset div {block_tokens}")
+    last = F.expr(
+        f"(start_offset + n_tokens + {eod_tokens} - 1) div {block_tokens}"
+    )
+    return (
+        off.select(
+            "id",
+            F.explode(F.sequence(first, last)).alias("block_idx"),
+        )
+        .select(
+            F.col("block_idx").cast("long").alias("block_idx"),
+            "id",
+            (F.col("block_idx") * block_tokens).cast("long").alias(
+                "block_start_offset"
+            ),
+        )
     )

@@ -457,6 +457,36 @@ SELECT doc_id, (ci - 1)::BIGINT AS chunk_idx,
 FROM ch"""
 
 
+def q_token_offsets(eod: int = 1) -> str:
+    """Twin of functions/chunking.with_token_offsets: DuckDB expresses
+    the same layout as one global window cumsum (the Spark side uses the
+    two-level scan; results are identical by construction)."""
+    return f"""
+WITH tk AS (SELECT doc_id, len({tokens('text')}) AS n FROM documents)
+SELECT doc_id, n::BIGINT AS n_tokens,
+  coalesce(sum(n + {eod}) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+    AS start_offset
+FROM tk"""
+
+
+def q_pack_blocks(block: int = 128, eod: int = 1) -> str:
+    """Twin of functions/chunking.pack_blocks."""
+    return f"""
+WITH tk AS (SELECT doc_id, len({tokens('text')}) AS n FROM documents),
+o AS (
+  SELECT doc_id, n,
+    coalesce(sum(n + {eod}) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM tk)
+SELECT b.b::BIGINT AS block_idx, doc_id,
+  (b.b * {block})::BIGINT AS block_start_offset
+FROM o, LATERAL (
+  -- sum() OVER is HUGEINT in DuckDB; range() needs BIGINT
+  SELECT unnest(range((s // {block})::BIGINT,
+                      ((s + n + {eod} - 1) // {block} + 1)::BIGINT)) AS b) b"""
+
+
 def q_dup_ngram_fraction(n: int = 13) -> str:
     """Twin of operators/decontaminate.duplicated_ngram_fraction over the
     fragment-augmented corpus: identical token/hash contracts, distinct

@@ -412,6 +412,28 @@ def q_chunk_documents(spark, sf_dir):
     )
 
 
+def q_token_offsets(spark, sf_dir):
+    """Global concat-with-EOD token layout: exclusive prefix sum of
+    (n_tokens + 1) in id order via the distributed two-level scan (no
+    global-order window)."""
+    from .functions.chunking import with_token_offsets
+
+    return with_token_offsets(_docs(spark, sf_dir), "doc_id").select(
+        F.col("id").alias("doc_id"), "n_tokens", "start_offset"
+    )
+
+
+def q_pack_blocks(spark, sf_dir):
+    """Training-block packing: which 128-token blocks each doc's tokens
+    land in after the concat-with-EOD layout (one row per doc-block
+    span)."""
+    from .functions.chunking import pack_blocks
+
+    return pack_blocks(_docs(spark, sf_dir), "doc_id").select(
+        "block_idx", F.col("id").alias("doc_id"), "block_start_offset"
+    )
+
+
 def q_dup_ngram_fraction(spark, sf_dir):
     """Duplicated-span mass (Lee et al. 2022): fraction of each doc's
     distinct 13-grams appearing in >= 2 docs. The fixture has no organic
@@ -1327,6 +1349,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_report": q_contamination_report,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "chunk_documents": q_chunk_documents,
+    "token_offsets": q_token_offsets,
+    "pack_blocks": q_pack_blocks,
     # --- outside the r4 window (stale or never driver-certified) --------
     "ann_ivf_pq_residual_topk": q_ann_ivf_pq_residual_topk,
     "embedding_dedup_star_keep": q_embedding_dedup_star_keep,
@@ -1345,8 +1369,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_dedup_salted": q_fuzzy_dedup_salted,
     "fuzzy_dedup_distributed": q_fuzzy_dedup_distributed,
     "ngram_jaccard": q_jaccard_vs_query,
-    "simhash": q_simhash,
-    "simhash_near_pairs": q_simhash_near_pairs,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_dedup_keep": q_embedding_dedup_keep,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1373,6 +1395,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_entropy": q_unigram_entropy,
     "quantile_filter": q_quantile_filter,
     "lsh_candidate_edges": q_candidate_edges,
+    "simhash": q_simhash,
+    "simhash_near_pairs": q_simhash_near_pairs,
     # --- r4-green, implementation untouched this round -------------------
     # (quality_filter/scrub/exact + the four dedup keeps + the PQ trio
     # parked: r4-green AND 50k- or tri-scale-certified; nine brand-new
@@ -1452,6 +1476,8 @@ ORACLES: dict[str, str] = {
     "contamination_report": oracle.q_contamination_report(),
     "dedup_cluster_sizes": oracle.q_dedup_cluster_sizes(),
     "chunk_documents": oracle.q_chunk_documents(),
+    "token_offsets": oracle.q_token_offsets(),
+    "pack_blocks": oracle.q_pack_blocks(),
     "gopher_signals": oracle.q_gopher_signals(),
     "c4_filter": oracle.q_c4_filter(),
     "domain_cap": oracle.q_domain_cap(),

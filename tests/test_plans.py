@@ -230,7 +230,8 @@ def test_round5_queries_stay_jvm_side(spark):
     for name in ["url_canonicalize", "url_dedup_keep", "url_blocklist",
                  "token_budget_mix", "span_dedup", "paragraph_dedup",
                  "gopher_filter", "ccnet_pipeline", "contamination_report",
-                 "chunk_documents", "dedup_cluster_sizes"]:
+                 "chunk_documents", "dedup_cluster_sizes",
+                 "token_offsets", "pack_blocks"]:
         plan = _physical(Q.QUERIES[name](spark, sf))
         assert "EvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name

@@ -335,3 +335,31 @@ def test_chunk_documents_window_contract(spark):
     assert c0.chunk_text.split()[-8:] == c1.chunk_text.split()[:8]
     # doc 2's tail window adds new tokens beyond the overlap
     assert by_doc[2][1].n_tokens == 9
+
+
+def test_token_offsets_and_pack_blocks(spark):
+    """Two-level prefix scan equals a Python cumsum on non-contiguous
+    ids spanning several buckets; block spans cover exactly each doc's
+    [start, start + n + eod) range."""
+    from redpajama_v2_processing_spark.functions.chunking import (
+        pack_blocks, with_token_offsets,
+    )
+
+    rows = [(i, " ".join(f"w{j}" for j in range(cnt)))
+            for i, cnt in [(0, 5), (3, 0), (7, 10), (2050, 4), (9000, 7)]]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: (r.n_tokens, r.start_offset)
+           for r in with_token_offsets(df, "doc_id", bucket_size=1024).collect()}
+    off, expected = 0, {}
+    for i, cnt in [(0, 5), (3, 0), (7, 10), (2050, 4), (9000, 7)]:
+        expected[i] = (cnt, off)
+        off += cnt + 1
+    assert got == expected
+    blocks = pack_blocks(df, "doc_id", block_tokens=8, bucket_size=1024).collect()
+    spans = {}
+    for r in blocks:
+        spans.setdefault(r.id, []).append(r.block_idx)
+    for i, cnt in [(0, 5), (3, 0), (7, 10), (2050, 4), (9000, 7)]:
+        s = expected[i][1]
+        want = list(range(s // 8, (s + cnt + 1 - 1) // 8 + 1))
+        assert sorted(spans[i]) == want, (i, spans[i], want)
