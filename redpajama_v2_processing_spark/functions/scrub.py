@@ -25,3 +25,48 @@ def mask_flagged_words(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     pattern = r"(?i)\b(" + "|".join(FLAGGED_WORDS) + r")\b"
     return F.regexp_replace(c, pattern, "<FLAGGED>")
+
+
+#: candidate pattern shared with PII_PATTERNS' <CC> rule (Java + RE2 subset)
+CC_CANDIDATE = r"\b(?:\d[ \-]?){13,16}\b"
+
+
+def luhn_valid(cand: Column) -> Column:
+    """Boolean: does a card-number candidate pass the Luhn checksum?
+
+    Pure expression arithmetic over the digit string (right-to-left,
+    double every second digit, subtract 9 when the double exceeds 9,
+    total divisible by 10). Array lambdas evaluate interpreted — fine
+    here because they run per CANDIDATE (rare), never per corpus row.
+    """
+    clean = F.regexp_replace(cand, r"[ \-]", "")
+    n = F.length(clean)
+
+    def contrib(i: Column) -> Column:
+        d = F.ascii(clean.substr(n - i + 1, F.lit(1))) - 48
+        return F.when(i % 2 == 0, 2 * d - F.when(d >= 5, 9).otherwise(0)).otherwise(d)
+
+    total = F.aggregate(
+        F.transform(F.sequence(F.lit(1), n), contrib),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (n >= 13) & (total % 10 == 0)
+
+
+def scrub_cc_luhn(col: Column | str) -> Column:
+    """Replace ONLY Luhn-VALID card-number candidates with ``<CC>``.
+
+    The naive ``scrub_pii`` <CC> rule masks every 13-16-digit run —
+    order ids, timestamps and tracking numbers included. Real PII
+    pipelines validate the checksum first; this keeps non-validating
+    digit runs intact (the false-positive control). Replacement is an
+    ``aggregate`` fold of ``replace`` over the distinct valid
+    candidates — all native expressions, no Python, no join.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    valid = F.filter(
+        F.array_distinct(F.regexp_extract_all(c, F.lit(CC_CANDIDATE), 0)),
+        luhn_valid,
+    )
+    return F.aggregate(valid, c, lambda acc, cand: F.replace(acc, cand, F.lit("<CC>")))

