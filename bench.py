@@ -89,7 +89,7 @@ HEADLINE = [
     "url_blocklist", "fineweb_filter", "semdedup_keep",
     "ngram_jaccard_dedup_keep", "gopher_filter", "ccnet_pipeline",
     "contamination_report", "dedup_cluster_sizes", "chunk_documents",
-    "token_offsets", "pack_blocks", "scrub_cc_luhn",
+    "token_offsets", "pack_blocks", "scrub_cc_luhn", "temperature_mix",
     "image_meta", "image_pixels", "audio_pcm_stats", "video_frames",
     "quantile_filter", "session_windows",
     "events_hourly", "events_sessions", "pricing_summary", "segment_revenue",

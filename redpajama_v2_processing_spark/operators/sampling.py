@@ -175,14 +175,7 @@ def token_budget_mix(
     exposure: the hot-source rows never concentrate on a reducer
     because nothing groups by source row-wise.
     """
-    from ..functions.text import tokens
-
-    ntok = F.size(tokens(F.col(text_col)))
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(source_col).alias("source"),
-        ntok.alias("n_tokens"),
-    )
+    base = _mix_base(df, id_col, source_col, text_col)
     totals = base.groupBy("source").agg(F.sum("n_tokens").alias("_t"))
     bcases = F.lit(None).cast("long")
     for s, b in sorted(budgets.items()):
@@ -192,6 +185,23 @@ def token_budget_mix(
         # micro-unit rate; NULL budget (unlisted source) -> NULL rate
         F.floor(bcases * denom / F.greatest(F.col("_t"), F.lit(1))).alias("_r"),
     )
+    return _mix_from_rates(base, rates, salt, denom, default_keep)
+
+
+def _mix_base(df, id_col, source_col, text_col):
+    from ..functions.text import tokens
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    )
+
+
+def _mix_from_rates(base, rates, salt, denom, default_keep):
+    """Apply a per-source micro-unit rate table: r<denom hash-downsample,
+    r>=denom epoch-oversample, NULL rate -> default passthrough/drop.
+    Shared tail of token_budget_mix / temperature_token_mix."""
     joined = base.join(F.broadcast(rates), "source")
     h = F.pmod(md5int(F.concat(F.lit(salt), F.lit(":"), F.col("id").cast("string"))), F.lit(denom))
     copies = (
@@ -211,3 +221,47 @@ def token_budget_mix(
             F.explode(F.sequence(F.lit(0), F.col("_c") - 1)).alias("epoch"),
         )
     )
+
+
+def temperature_token_mix(
+    df: DataFrame,
+    alpha: float = 0.7,
+    total_budget: int = 100_000,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    salt: str = "tmix",
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """DF(id, source, n_tokens, epoch): temperature-flattened source
+    mixture — per-source budgets derived IN-ENGINE as
+    ``B_s = total_budget * T_s^alpha / sum_s T_s^alpha`` (the
+    mBERT/XLM-R multilingual sampling rule: alpha < 1 upsamples small
+    sources relative to their share), then the same deterministic
+    hash-downsample / epoch-oversample semantics as ``token_budget_mix``.
+
+    Determinism contract: the only transcendental step
+    (``exp(alpha * ln(T_s))``) is rounded to integer micro-units per
+    source BEFORE the weight sum, so the normalization is an exact
+    bigint sum (order-independent across partitions/engines); the final
+    rate is one fixed-order double expression over exact integers —
+    identical IEEE arithmetic in Spark and DuckDB (oracle-checked).
+
+    Scale shape: ONE aggregation over (source) — broadcast-sized at any
+    corpus size — then a broadcast join + narrow filter/generate; no
+    windows, no skew exposure (same contract as token_budget_mix).
+    """
+    base = _mix_base(df, id_col, source_col, text_col)
+    totals = base.groupBy("source").agg(F.sum("n_tokens").alias("_t"))
+    wm = F.round(
+        F.exp(F.lit(float(alpha)) * F.log(F.col("_t").cast("double"))) * 1e6
+    ).cast("bigint")
+    tot2 = totals.select("source", "_t", wm.alias("_wm"))
+    sw = tot2.agg(F.sum("_wm").alias("_swm"))
+    rate = F.floor(
+        F.lit(float(total_budget)) * F.col("_wm").cast("double")
+        * F.lit(float(denom))
+        / (F.col("_swm").cast("double") * F.col("_t").cast("double"))
+    ).cast("bigint")
+    rates = tot2.crossJoin(F.broadcast(sw)).select("source", rate.alias("_r"))
+    return _mix_from_rates(base, rates, salt, denom, default_keep=False)

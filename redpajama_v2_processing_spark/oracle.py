@@ -2289,6 +2289,34 @@ FROM c, LATERAL (SELECT unnest(range(0, n_copies)) AS e) e
 WHERE n_copies > 0"""
 
 
+def q_temperature_mix(alpha: float = 0.7, total_budget: int = 30_000,
+                      salt: str = "tmix", denom: int = 1_000_000) -> str:
+    """Twin of operators/sampling.temperature_token_mix: micro-unit
+    weights round(exp(alpha*ln(T_s))*1e6) summed as exact bigints, the
+    SAME fixed-order double rate expression, same hash/epoch tail."""
+    h = md5int(f"'{salt}:' || base.id::VARCHAR")
+    return f"""
+WITH base AS (SELECT doc_id AS id, source, len({tokens('text')}) AS n_tokens
+              FROM documents),
+tot AS (SELECT source, sum(n_tokens)::BIGINT AS t FROM base GROUP BY 1),
+w AS (SELECT source, t,
+        round(exp({alpha} * ln(t::DOUBLE)) * 1e6)::BIGINT AS wm FROM tot),
+sw AS (SELECT sum(wm)::BIGINT AS swm FROM w),
+rate AS (
+  SELECT source,
+    floor({total_budget}::DOUBLE * wm::DOUBLE * {denom}::DOUBLE
+          / (swm::DOUBLE * t::DOUBLE))::BIGINT AS r
+  FROM w, sw),
+c AS (
+  SELECT base.id, base.source, base.n_tokens,
+    r // {denom} +
+      CASE WHEN {h} % {denom} < r % {denom} THEN 1 ELSE 0 END AS n_copies
+  FROM base JOIN rate USING (source))
+SELECT id AS doc_id, source, n_tokens, e.e::BIGINT AS epoch
+FROM c, LATERAL (SELECT unnest(range(0, n_copies)) AS e) e
+WHERE n_copies > 0"""
+
+
 _URL_TRACKING_KEYS = (
     "fbclid", "gclid", "msclkid", "dclid", "igshid",
     "mc_cid", "mc_eid", "ref", "ref_src", "spm",

@@ -1151,6 +1151,17 @@ def q_token_budget_mix(spark, sf_dir):
     )
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-flattened source mixture (p_s ∝ T_s^0.7, the
+    mBERT/XLM-R multilingual sampling rule) with budgets derived
+    in-engine from the corpus source totals."""
+    from .operators.sampling import temperature_token_mix
+
+    return temperature_token_mix(
+        _docs(spark, sf_dir), alpha=0.7, total_budget=30_000
+    ).select(F.col("id").alias("doc_id"), "source", "n_tokens", "epoch")
+
+
 def q_url_canonicalize(spark, sf_dir):
     """CCNet/RefinedWeb-style URL canonicalization (functions/url.py
     contract) over synthetic messy recrawl URLs."""
@@ -1375,6 +1386,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_offsets": q_token_offsets,
     "pack_blocks": q_pack_blocks,
     "scrub_cc_luhn": q_scrub_cc_luhn,
+    "temperature_mix": q_temperature_mix,
     # --- outside the r4 window (stale or never driver-certified) --------
     "ann_ivf_pq_residual_topk": q_ann_ivf_pq_residual_topk,
     "embedding_dedup_star_keep": q_embedding_dedup_star_keep,
@@ -1395,7 +1407,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_jaccard_vs_query,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_dedup_keep": q_embedding_dedup_keep,
-    "ann_cosine_topk": q_ann_cosine_topk,
     "hash_sample": q_hash_sample,
     # --- implementation changed in r5: re-certify ------------------------
     "perplexity": q_perplexity,
@@ -1421,6 +1432,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
     "label_centroids": q_label_centroids,
+    "ann_cosine_topk": q_ann_cosine_topk,
     # --- r4-green, implementation untouched this round -------------------
     # (quality_filter/scrub/exact + the four dedup keeps + the PQ trio
     # parked: r4-green AND 50k- or tri-scale-certified; nine brand-new
@@ -1503,6 +1515,7 @@ ORACLES: dict[str, str] = {
     "token_offsets": oracle.q_token_offsets(),
     "pack_blocks": oracle.q_pack_blocks(),
     "scrub_cc_luhn": oracle.q_scrub_cc_luhn(),
+    "temperature_mix": oracle.q_temperature_mix(),
     "gopher_signals": oracle.q_gopher_signals(),
     "c4_filter": oracle.q_c4_filter(),
     "domain_cap": oracle.q_domain_cap(),

@@ -231,7 +231,8 @@ def test_round5_queries_stay_jvm_side(spark):
                  "token_budget_mix", "span_dedup", "paragraph_dedup",
                  "gopher_filter", "ccnet_pipeline", "contamination_report",
                  "chunk_documents", "dedup_cluster_sizes",
-                 "token_offsets", "pack_blocks"]:
+                 "token_offsets", "pack_blocks", "temperature_mix",
+                 "scrub_cc_luhn"]:
         plan = _physical(Q.QUERIES[name](spark, sf))
         assert "EvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
