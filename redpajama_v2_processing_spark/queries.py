@@ -1355,14 +1355,17 @@ def q_fuzzy_dedup_prod(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # Ordering contract: the driver certifies the FIRST 50 entries per round.
-# Round-5 rotation (VERDICT r4 item 1): the 32 queries that sat OUTSIDE the
-# r4 window lead (including ann_ivf_pq_residual_topk, which had never had a
-# driver row), followed by every query whose implementation changed this
-# round (perplexity micro-unit sums + vocab-floor seam, domain_cap skew
-# plan, decontaminate/dsir word_ngrams reuse, WAV walk bound) and a
-# cross-family representative sample. Queries certified green in r4 with
-# untouched implementations park at the tail — all remain runnable and
-# locally checkable via tools/check_queries.py.
+# Round-5 rotation (VERDICT r4 item 1): the ~24 brand-new round-5 queries
+# lead the head, then the stalest queries that sat OUTSIDE the r4 window
+# (including ann_ivf_pq_residual_topk, which had never had a driver row),
+# then every query whose implementation changed this round (perplexity
+# micro-unit sums + vocab-floor seam, domain_cap skew plan,
+# decontaminate/dsir word_ngrams reuse, token_budget_mix shared tail).
+# Queries certified green in r4 (or multiply certified in r3 + 50k) with
+# untouched implementations park at the tail to keep the window at
+# exactly 50 — all remain runnable and locally checkable via
+# tools/check_queries.py, and every parked query was re-driven green
+# this round by the full local drive.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round --------------------------------------------------
     "span_dedup": q_span_dedup,
@@ -1434,9 +1437,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroids": q_label_centroids,
     "ann_cosine_topk": q_ann_cosine_topk,
     # --- r4-green, implementation untouched this round -------------------
-    # (quality_filter/scrub/exact + the four dedup keeps + the PQ trio
-    # parked: r4-green AND 50k- or tri-scale-certified; nine brand-new
-    # round-5 queries lead the head)
+    # (quality_filter/scrub/exact + the dedup keeps + the PQ trio parked:
+    # r4-green AND 50k- or tri-scale-certified; the round-5 additions
+    # lead the head)
     "quality_filter": q_quality_filter,
     "scrub_pii": q_scrub,
     "exact_dedup_keep": q_exact_dedup_keep,
