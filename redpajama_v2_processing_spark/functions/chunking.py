@@ -84,9 +84,14 @@ def with_token_offsets(
     Deterministic, resumable (same ids -> same offsets), and
     oracle-checked against DuckDB's global window cumsum.
     """
+    # null-text guard: size(tokens(NULL)) is NULL under ANSI and -1 on
+    # non-ANSI deployments — both would corrupt the layout; pin null
+    # docs to 0 tokens (they still carry their EOD token(s))
+    n_tok = F.greatest(
+        F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0)), F.lit(0)
+    )
     base = docs.select(
-        F.col(id_col).alias("id"),
-        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.col(id_col).alias("id"), n_tok.cast("long").alias("n_tokens")
     ).withColumn("_w", F.col("n_tokens") + eod_tokens)
     b = base.withColumn("_b", F.expr(f"id div {bucket_size}"))
     per_bucket = b.groupBy("_b").agg(F.sum("_w").alias("_bw"))
@@ -131,6 +136,11 @@ def pack_blocks(
     last = F.expr(
         f"(start_offset + n_tokens + {eod_tokens} - 1) div {block_tokens}"
     )
+    # zero-width docs (possible only at eod_tokens=0) span no blocks:
+    # without this guard F.sequence(first, last) with last < first emits
+    # a DESCENDING phantom sequence (Spark defaults step to -1) where
+    # the oracle's range() emits nothing
+    off = off.where(F.col("n_tokens") + eod_tokens > 0)
     return (
         off.select(
             "id",

@@ -331,18 +331,14 @@ def embedding_dedup_keep(
     """DF(id): keep-list — one vector (min id) per near-dup component
     (connected components over the near-dup pair graph), singletons kept.
     Same keep rule as the text dedup family (root == id)."""
-    from .connected_components import connected_components
+    from .connected_components import connected_components, keep_min_id
 
     pairs = embedding_near_dup_pairs(
         embeddings, threshold, id_col, vec_col, dim, nbits, band_bits, max_bucket
     )
     cc = connected_components(pairs.select("src", "dst"))
     ids = embeddings.select(F.col(id_col).alias("id"))
-    return (
-        ids.join(cc, "id", "left")
-        .where(F.coalesce("root", F.col("id")) == F.col("id"))
-        .select("id")
-    )
+    return keep_min_id(ids, cc)
 
 
 def embedding_dedup_star_keep(
@@ -372,7 +368,7 @@ def embedding_dedup_star_keep(
     near-dup clusters at high cosine share most band keys, so their
     members reach a common min with probability ~the banding recall curve.
     """
-    from .connected_components import connected_components
+    from .connected_components import connected_components, keep_min_id
 
     # the banded frame feeds the bucket-min aggregation AND the join back;
     # Catalyst does not share subplans, so without this the 64-sum banding
@@ -399,11 +395,7 @@ def embedding_dedup_star_keep(
     )
     cc = connected_components(edges)
     ids = embeddings.select(F.col(id_col).alias("id"))
-    return (
-        ids.join(cc, "id", "left")
-        .where(F.coalesce("root", F.col("id")) == F.col("id"))
-        .select("id")
-    )
+    return keep_min_id(ids, cc)
 
 
 def exact_mean4(col: Column) -> Column:

@@ -161,3 +161,15 @@ def connected_components(
     final_ids = _persistent_ids(sc) - pre_existing - loop_ids
     _unpersist(sc, loop_ids - final_ids)
     return result
+
+
+def keep_min_id(ids: DataFrame, cc: DataFrame) -> DataFrame:
+    """DF(id): the dedup family's shared keep rule — ids whose component
+    root is themselves. ``ids`` must be a single-column (id) frame of
+    every candidate id; ids absent from the label frame (singletons and
+    unsignable inputs) keep themselves via the null-root coalesce."""
+    return (
+        ids.join(cc, "id", "left")
+        .where(F.coalesce("root", F.col("id")) == F.col("id"))
+        .select("id")
+    )

@@ -22,9 +22,18 @@ Scale contract: each rare gram contributes <= C(max_df, 2) pairs, so
 candidates are linear in corpus grams with a constant cap factor —
 never all-pairs. The intersection join touches only candidate rows
 (cand is the small side); the corpus-wide frames shuffle on gram / id
-keys with partial aggregation. Exact-dup clusters of m docs do emit
-C(m, 2) verified pairs; run AFTER exact dedup (as the reference does)
-or lower max_df to bound m.
+keys with partial aggregation.
+
+KNOWN CLIFF (inherent to rare-gram candidate generation): a duplicate
+CLUSTER wider than max_df whose members overlap ONLY through
+cluster-internal grams is missed entirely — every shared gram has
+df = cluster width > max_df, so no candidate pair forms (m <= max_df
+emits C(m, 2) pairs; m > max_df emits 0). This operator is the exact
+ground-truth tier for bounded near-dup groups: run exact dedup FIRST
+(collapsing identical copies so surviving near-dup groups stay small),
+and size max_df >= the widest near-dup group you need caught; for
+unbounded boilerplate clusters use the MinHash-LSH star path, whose
+bucket-min edges have no df cliff.
 """
 
 from __future__ import annotations
@@ -32,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .connected_components import connected_components
+from .connected_components import connected_components, keep_min_id
 from .minhash_lsh import with_shingles
 
 JACCARD_ROUND = 6
@@ -103,8 +112,4 @@ def ngram_jaccard_dedup_keep(
     pairs = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold, max_df)
     cc = connected_components(pairs.select("src", "dst"))
     ids = docs.select(F.col(id_col).alias("id"))
-    return (
-        ids.join(cc, "id", "left")
-        .where(F.coalesce("root", F.col("id")) == F.col("id"))
-        .select("id")
-    )
+    return keep_min_id(ids, cc)

@@ -54,19 +54,31 @@ def semdedup_assign(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
-    """DF(id, cid, ccos): each vector's trained k-means cell plus its
-    rounded cosine to that cell's centroid (the keep-rule statistic).
+    """DF(id, cid, ccos): each well-formed vector's trained k-means cell
+    plus its rounded cosine to that cell's centroid (the keep-rule
+    statistic).
+
+    Malformed vectors (null or wrong length) are EXCLUDED before
+    training and assignment — same contract as banded_keys_frame
+    (operators/ann.py): a single over-length vector would otherwise
+    yield NULL zip_with cosines, and NULL sorts FIRST in the min_by
+    struct ordering, poisoning a centroid and collapsing every vector
+    into one cell on the next iteration. ``semdedup_keep`` keeps
+    malformed vectors as singletons (they cannot be semantic dups of
+    anything), mirroring the text dedups' null-signature guard.
 
     One broadcast join against the k centroids + one grouped ``min_by``
     argmax (partial-agg friendly — the exchange carries one row per id;
     ``min_by`` over (-cos, cid) = max cosine, ties to the smallest cid,
     the same assignment the Lloyd iterations themselves use).
     """
-    emb = embeddings.select(
+    ok = embeddings.where(F.size(F.col(vec_col)) == dim)
+    emb = ok.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    cent = F.broadcast(kmeans_centroids(embeddings, k_cells, iters, id_col, vec_col))
+    cent = F.broadcast(kmeans_centroids(ok, k_cells, iters, id_col, vec_col))
     ccos = F.round(cosine(F.col("v"), F.col("cv")), ANN_ROUND) + 0.0
     return (
         emb.join(cent)
@@ -89,17 +101,20 @@ def semdedup_keep(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """DF(id): the SemDeDup keep-list — one representative per semantic
     duplicate group (the member with the lowest centroid cosine, ties to
-    the smaller id), singletons kept.
+    the smaller id), singletons kept. Malformed vectors (null / wrong
+    length) never enter the cell structure and are kept as singletons
+    (see semdedup_assign's guard).
 
     The assignment frame feeds three consumers (both self-join sides and
     the keep rule), so it is checkpointed once; Catalyst does not share
     subplans and the k-means chain is the dominant cost.
     """
     assign = semdedup_assign(
-        embeddings, k_cells, iters, id_col, vec_col
+        embeddings, k_cells, iters, id_col, vec_col, dim
     ).localCheckpoint(eager=True)
 
     # ids-only within-cell candidate pairs (vectors stay out of the cid
@@ -124,7 +139,7 @@ def semdedup_keep(
     )
     # paper's keep rule: per duplicate group, the member LEAST similar to
     # its cluster centroid survives (one grouped min_by — no window)
-    return (
+    keep_ok = (
         labels.groupBy("root")
         .agg(
             F.min_by(
@@ -133,3 +148,7 @@ def semdedup_keep(
         )
         .select("id")
     )
+    malformed = embeddings.select(F.col(id_col).alias("id")).join(
+        assign.select("id"), "id", "left_anti"
+    )
+    return keep_ok.unionByName(malformed)

@@ -138,7 +138,7 @@ def simhash_dedup_keep(
     bucket mins, so high-similarity clusters stay connected (exactly the
     LSH recall model).
     """
-    from .connected_components import connected_components
+    from .connected_components import connected_components, keep_min_id
 
     sh = with_simhash(docs, id_col, text_col, bits, portable)
     banded = _banded_simhash(sh, bits, band_bits)
@@ -159,11 +159,7 @@ def simhash_dedup_keep(
     )
     cc = connected_components(edges)
     ids = sh.select("id")
-    return (
-        ids.join(cc, "id", "left")
-        .where(F.coalesce("root", F.col("id")) == F.col("id"))
-        .select("id")
-    )
+    return keep_min_id(ids, cc)
 
 
 def simhash_near_pairs(

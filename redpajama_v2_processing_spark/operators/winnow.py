@@ -171,7 +171,7 @@ def winnow_dedup_keep(
     quadratic in corpus size; CC is the same O(log n)-round fixpoint the
     other families use.
     """
-    from .connected_components import connected_components
+    from .connected_components import connected_components, keep_min_id
 
     pairs = winnow_near_dup_pairs(
         docs, id_col, text_col, k, w, min_shared, max_df
@@ -181,8 +181,4 @@ def winnow_dedup_keep(
     ).select("src", "dst")
     cc = connected_components(edges)
     ids = docs.select(F.col(id_col).alias("id"))
-    return (
-        ids.join(cc, "id", "left")
-        .where(F.coalesce("root", F.col("id")) == F.col("id"))
-        .select("id")
-    )
+    return keep_min_id(ids, cc)

@@ -497,7 +497,8 @@ def q_token_offsets(eod: int = 1) -> str:
     the same layout as one global window cumsum (the Spark side uses the
     two-level scan; results are identical by construction)."""
     return f"""
-WITH tk AS (SELECT doc_id, len({tokens('text')}) AS n FROM documents)
+WITH tk AS (SELECT doc_id, coalesce(len({tokens('text')}), 0) AS n
+            FROM documents)
 SELECT doc_id, n::BIGINT AS n_tokens,
   coalesce(sum(n + {eod}) OVER (ORDER BY doc_id
     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
@@ -508,7 +509,8 @@ FROM tk"""
 def q_pack_blocks(block: int = 128, eod: int = 1) -> str:
     """Twin of functions/chunking.pack_blocks."""
     return f"""
-WITH tk AS (SELECT doc_id, len({tokens('text')}) AS n FROM documents),
+WITH tk AS (SELECT doc_id, coalesce(len({tokens('text')}), 0) AS n
+            FROM documents),
 o AS (
   SELECT doc_id, n,
     coalesce(sum(n + {eod}) OVER (ORDER BY doc_id
@@ -1781,9 +1783,10 @@ def q_semdedup_keep(threshold: float = 0.95, k_cells: int = 8,
     last = f"c{iters}"
     ccos = f"(round({_cos_expr('e.v', 'c.cv')}, {ANN_ROUND}) + 0.0)"
     pcos = f"(round({_cos_expr('x.v', 'y.v')}, {ANN_ROUND}) + 0.0)"
-    body = ",\n".join(_kmeans_ctes(k_cells, iters, dim, table="aug"))
+    body = ",\n".join(_kmeans_ctes(k_cells, iters, dim, table="aug_ok"))
     return f"""
 WITH RECURSIVE {_AUG_EMB},
+aug_ok AS (SELECT * FROM aug WHERE len(embedding) = {dim}),
 {body},
 assign AS MATERIALIZED (
   SELECT id, cid, ccos FROM (
@@ -1807,7 +1810,10 @@ labels AS (SELECT id, min(root) AS root FROM reach GROUP BY id)
 SELECT id AS vec_id FROM (
   SELECT l.id,
     row_number() OVER (PARTITION BY l.root ORDER BY a.ccos ASC, l.id ASC) AS rn
-  FROM labels l JOIN assign a USING (id)) WHERE rn = 1"""
+  FROM labels l JOIN assign a USING (id)) WHERE rn = 1
+UNION ALL
+SELECT vec_id FROM aug
+WHERE vec_id NOT IN (SELECT id FROM assign)"""
 
 
 def _jaccard_ctes(n: int = 3, max_df: int = 10) -> str:

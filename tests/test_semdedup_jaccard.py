@@ -105,3 +105,19 @@ def test_jaccard_unsignable_docs_kept(spark):
     df = docs_frame(spark, ["a b c d", "a b c d", None, ""])
     kept = sorted(r.id for r in ngram_jaccard_dedup_keep(df, "doc_id").collect())
     assert kept == [0, 2, 3]
+
+
+def test_semdedup_malformed_vector_guard(spark):
+    """A wrong-length vector must not poison the cell structure (NULL
+    zip_with cosines sort first in min_by): it is excluded from
+    training/assignment and kept as a singleton; dedup of the
+    well-formed vectors is unchanged."""
+    df = _semdedup_fixture(spark)
+    bad = _emb_frame(spark, [(999, [1.0] * 65)])
+    kept = sorted(
+        r.id for r in semdedup_keep(
+            df.unionByName(bad), 0.95, k_cells=4, iters=2
+        ).collect()
+    )
+    base = sorted(r.id for r in semdedup_keep(df, 0.95, k_cells=4, iters=2).collect())
+    assert kept == sorted(base + [999])
