@@ -87,7 +87,8 @@ HEADLINE = [
     "span_dedup", "url_canonicalize", "url_dedup_keep", "token_budget_mix",
     "quality_classifier_scores", "paragraph_dedup", "bloom_anti_join",
     "url_blocklist", "fineweb_filter", "semdedup_keep",
-    "ngram_jaccard_dedup_keep", "gopher_filter", "ccnet_pipeline",
+    "ngram_jaccard_dedup_keep", "incremental_fuzzy_keep",
+    "incremental_exact_keep", "gopher_filter", "ccnet_pipeline",
     "contamination_report", "dedup_cluster_sizes", "chunk_documents",
     "token_offsets", "pack_blocks", "scrub_cc_luhn", "temperature_mix",
     "image_meta", "image_pixels", "audio_pcm_stats", "video_frames",

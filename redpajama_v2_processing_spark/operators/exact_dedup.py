@@ -153,3 +153,38 @@ def bloom_anti_join_duplicates(
     maybe = probed.where(F.col("_maybe")).drop("_maybe")
     verified = maybe.join(dups, id_col, "left_anti")
     return definite.unionByName(verified)
+
+
+def incremental_exact_keep(
+    new_docs: DataFrame,
+    history: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """DF(id_col): incremental exact dedup of a new crawl against a frozen
+    history corpus — the cross-crawl counterpart of ``exact_keep_ids``.
+
+    A new doc is dropped iff its normalized-text fingerprint appears in
+    history (the reference's published-duplicates semantics,
+    src/filter_exact_duplicates.py:89-133, with the id-set replaced by a
+    fingerprint probe so history text never reships); survivors then keep
+    the min id per fingerprint within the crawl. Null-text docs have a
+    null fingerprint: null keys never match a join, so they skip the
+    history probe and stay grouped among themselves within the crawl —
+    identical grouping to ``exact_keep_ids``.
+
+    Scale shape: the history side is a fingerprints-only frame (one
+    bigint column, distinct — in production a table maintained per
+    accepted crawl); the probe is one shuffle on the fingerprint with
+    AQE/Bloom pruning, the within-crawl keep one partial-aggregated
+    groupBy. Nothing reaches the driver.
+    """
+    fp = fingerprint_int(F.col(text_col))
+    hist_fp = history.select(fp.alias("_fp")).distinct()
+    return (
+        new_docs.select(F.col(id_col), fp.alias("_fp"))
+        .join(hist_fp, "_fp", "left_anti")
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )

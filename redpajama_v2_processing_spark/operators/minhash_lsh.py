@@ -256,3 +256,91 @@ def fuzzy_dedup_keep_ids(
         docs, id_col, text_col, cfg, base, salted, cc_driver_threshold
     )
     return labels.where(F.col("root") == F.col("id")).select("id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-crawl) fuzzy dedup
+# ---------------------------------------------------------------------------
+#
+# The reference's cross-crawl mode (src/minhashlsh.py:237-268 loads every
+# prior crawl's signatures next to the new one and re-clusters the union in
+# one process) re-pays the full history each crawl. The engine-native
+# incremental tier freezes history: the already-deduplicated corpus
+# contributes only its distinct LSH band keys (an index table written once
+# per crawl and reused — 2 integer columns, no text, no signatures), and a
+# new crawl is deduplicated in two steps that never re-cluster history:
+#
+#   1. drop every new doc sharing a band key with history (near-dup of an
+#      already-kept doc; the same banding recall curve as intra-corpus LSH)
+#   2. cluster the survivors among themselves (star edges + CC) and keep
+#      one doc per component — identical machinery to fuzzy_dedup_keep_ids
+#
+# Scale shape: the history index is keys-only and grows with the KEPT
+# corpus, not the crawl stream; both probes are shuffles on (band_idx,
+# band_hash) with partial aggregation; nothing corpus-sized reaches the
+# driver. History-privileged keep order mirrors the reference's min-id
+# rule (old crawls carry smaller ids, so the union-mode min-id winner IS
+# the history doc).
+
+
+def band_key_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    cfg: dict = ORACLE_MINHASH,
+    base: str = "md5",
+) -> DataFrame:
+    """DF(band_idx, band_hash): the distinct LSH band keys of a corpus —
+    the frozen-history index the incremental tier probes against. In
+    production this is written as a table once per accepted crawl and
+    unioned/compacted, never recomputed from text."""
+    return (
+        minhash_bands(docs, id_col, text_col, cfg, base)
+        .select("band_idx", "band_hash")
+        .distinct()
+    )
+
+
+def incremental_fuzzy_keep_ids(
+    new_docs: DataFrame,
+    history: DataFrame | None,
+    id_col: str,
+    text_col: str = "text",
+    cfg: dict = ORACLE_MINHASH,
+    base: str = "md5",
+    history_bands: DataFrame | None = None,
+    salted: bool = False,
+    cc_driver_threshold: int | None = None,
+) -> DataFrame:
+    """DF(id): ids of ``new_docs`` kept after incremental fuzzy dedup
+    against a frozen ``history`` corpus.
+
+    A new doc is dropped iff (a) any of its band keys appears in the
+    history band-key index, or (b) it loses the within-new clustering
+    (same star-edge + connected-components keep rule as
+    ``fuzzy_dedup_keep_ids``, run over the surviving docs' bands only).
+    Unsignable docs (null text) have no bands, collide with nothing, and
+    are kept — the family's null-signature guard.
+
+    Pass ``history_bands`` (from :func:`band_key_index`, possibly read
+    back from its table) to skip re-hashing history text.
+    """
+    if history_bands is None:
+        if history is None:
+            raise ValueError("need history or history_bands")
+        history_bands = band_key_index(history, id_col, text_col, cfg, base)
+    nb = minhash_bands(new_docs, id_col, text_col, cfg, base)
+    hit = (
+        nb.join(history_bands, ["band_idx", "band_hash"], "left_semi")
+        .select("id")
+        .distinct()
+    )
+    surv_bands = nb.join(hit, "id", "left_anti")
+    edges = (
+        salted_bucket_edges(surv_bands) if salted else candidate_edges(surv_bands)
+    )
+    cc = connected_components(edges, driver_threshold=cc_driver_threshold)
+    ids = new_docs.select(F.col(id_col).alias("id")).join(hit, "id", "left_anti")
+    from .connected_components import keep_min_id
+
+    return keep_min_id(ids, cc)

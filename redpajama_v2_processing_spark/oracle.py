@@ -1091,6 +1091,44 @@ reach(id, root) AS (
 SELECT id AS doc_id FROM reach GROUP BY id HAVING min(root) = id"""
 
 
+def q_incremental_fuzzy_keep() -> str:
+    """Twin of operators/minhash_lsh.incremental_fuzzy_keep_ids over the
+    doc_id % 4 history/crawl split: new docs sharing any band key with
+    history drop; survivors cluster among themselves (star edges + CC)."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+hist AS (SELECT doc_id AS id FROM documents WHERE doc_id % 4 = 0),
+newd AS (SELECT doc_id AS id FROM documents WHERE doc_id % 4 <> 0),
+hkeys AS (SELECT DISTINCT b.band_idx, b.band_hash FROM bands b JOIN hist h USING (id)),
+nb AS (SELECT b.* FROM bands b JOIN newd n USING (id)),
+hit AS (SELECT DISTINCT nb.id FROM nb JOIN hkeys USING (band_idx, band_hash)),
+sb AS (SELECT * FROM nb WHERE id NOT IN (SELECT id FROM hit)),
+mn AS (SELECT id, min(id) OVER (PARTITION BY band_idx, band_hash) AS m FROM sb),
+edges AS (SELECT DISTINCT id AS src, m AS dst FROM mn WHERE id <> m),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(id, root) AS (
+  SELECT id, id FROM newd WHERE id NOT IN (SELECT id FROM hit)
+  UNION
+  SELECT s.src, r.root FROM sym s JOIN reach r ON s.dst = r.id
+)
+SELECT id AS doc_id FROM reach GROUP BY id HAVING min(root) = id"""
+
+
+def q_incremental_exact_keep() -> str:
+    """Twin of operators/exact_dedup.incremental_exact_keep over the same
+    split. Null-text fingerprints are NULL: the equality probe never
+    matches them (they skip the history drop) and GROUP BY pools them
+    within the crawl — both identical to the Spark side."""
+    return f"""
+WITH hist AS (SELECT DISTINCT md5({norm('text')}) AS fp
+              FROM documents WHERE doc_id % 4 = 0),
+newd AS (SELECT doc_id, md5({norm('text')}) AS fp
+         FROM documents WHERE doc_id % 4 <> 0),
+surv AS (SELECT n.* FROM newd n
+         WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = n.fp))
+SELECT min(doc_id) AS doc_id FROM surv GROUP BY fp"""
+
+
 def _minhash_ctes_universal(cfg) -> str:
     """Production-scheme twin (minhash_bands portable=False, base='md5'):
     one md5 base hash per shingle, then the universal integer permutation

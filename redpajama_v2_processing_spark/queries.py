@@ -601,6 +601,33 @@ def q_fuzzy_dedup_distributed(spark, sf_dir):
     ).select(F.col("id").alias("doc_id"))
 
 
+def q_incremental_fuzzy_keep(spark, sf_dir):
+    """Cross-crawl incremental fuzzy dedup: docs with doc_id % 4 == 0 play
+    the frozen already-deduplicated history; the rest are the incoming
+    crawl. Returns the crawl's keep-list (band-key collision with history
+    drops the doc; survivors cluster among themselves)."""
+    from .operators.minhash_lsh import incremental_fuzzy_keep_ids
+
+    docs = _docs(spark, sf_dir)
+    history = docs.where(F.col("doc_id") % 4 == 0)
+    new = docs.where(F.col("doc_id") % 4 != 0)
+    return incremental_fuzzy_keep_ids(new, history, "doc_id").select(
+        F.col("id").alias("doc_id")
+    )
+
+
+def q_incremental_exact_keep(spark, sf_dir):
+    """Cross-crawl incremental exact dedup over the same % 4 split: new
+    docs whose normalized-text fingerprint exists in history drop, the
+    rest keep min id per fingerprint within the crawl."""
+    from .operators.exact_dedup import incremental_exact_keep
+
+    docs = _docs(spark, sf_dir)
+    history = docs.where(F.col("doc_id") % 4 == 0)
+    new = docs.where(F.col("doc_id") % 4 != 0)
+    return incremental_exact_keep(new, history, "doc_id")
+
+
 def q_fuzzy_dedup_prod_checked(spark, sf_dir):
     """The full production plan shape (117 perms, 9 bands, universal-hash
     permutations, salted edges) with the md5 base hash so DuckDB can verify
@@ -1368,6 +1395,8 @@ def q_fuzzy_dedup_prod(spark, sf_dir):
 # this round by the full local drive.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round --------------------------------------------------
+    "incremental_fuzzy_keep": q_incremental_fuzzy_keep,
+    "incremental_exact_keep": q_incremental_exact_keep,
     "span_dedup": q_span_dedup,
     "url_canonicalize": q_url_canonicalize,
     "url_dedup_keep": q_url_dedup_keep,
@@ -1405,8 +1434,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_thresholds": q_quality_thresholds,
     "minhash_bands": q_minhash_bands,
     "lsh_buckets": q_lsh_buckets,
-    "fuzzy_dedup_salted": q_fuzzy_dedup_salted,
-    "fuzzy_dedup_distributed": q_fuzzy_dedup_distributed,
     "ngram_jaccard": q_jaccard_vs_query,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_dedup_keep": q_embedding_dedup_keep,
@@ -1422,8 +1449,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_topk": q_dsir_topk,
     # ==================== driver window ends here (50) ====================
     "audio_pcm_stats": q_audio_pcm_stats,
-    # parked to make window room for the three new r5 dedup queries:
-    # multiply certified (r3 + pytest), implementations untouched
+    # parked to make window room (multiply certified — r3/r4 + pytest —
+    # same machinery as in-window siblings, implementations untouched):
+    "fuzzy_dedup_salted": q_fuzzy_dedup_salted,
+    "fuzzy_dedup_distributed": q_fuzzy_dedup_distributed,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "salted_count": q_salted_count,
@@ -1496,6 +1525,8 @@ ORACLES: dict[str, str] = {
     "decontaminate_flags": oracle.q_decontaminate_flags(),
     "dup_ngram_fraction": oracle.q_dup_ngram_fraction(),
     "dedup_lines": oracle.q_dedup_lines(),
+    "incremental_fuzzy_keep": oracle.q_incremental_fuzzy_keep(),
+    "incremental_exact_keep": oracle.q_incremental_exact_keep(),
     "span_dedup": oracle.q_span_dedup(),
     "url_canonicalize": oracle.q_url_canonicalize(),
     "url_dedup_keep": oracle.q_url_dedup_keep(),

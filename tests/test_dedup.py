@@ -217,3 +217,68 @@ def test_bloom_anti_join_exact_and_prefilters(spark):
     # and the prefilter actually prunes: most non-members are definite-no
     non_member_maybe = sum(1 for i, m in flags.items() if i % 7 != 0 and m)
     assert non_member_maybe < 50  # fpp ~ (1 - e^{-kn/m})^k, tiny here
+
+
+def _id_docs(spark, rows):
+    """(doc_id, text) frame with explicit ids."""
+    return spark.createDataFrame(list(rows), "doc_id long, text string")
+
+
+def test_incremental_exact_keep(spark):
+    from redpajama_v2_processing_spark.operators.exact_dedup import (
+        incremental_exact_keep,
+    )
+
+    history = _id_docs(spark, [(0, "aa bb"), (1, "cc dd")])
+    new = _id_docs(
+        spark,
+        [
+            (10, "AA   bb"),   # normalized copy of history 0 -> drops
+            (11, "ee ff"),     # fresh -> kept
+            (12, "ee  FF"),    # within-crawl copy of 11 -> drops (11 wins)
+            (13, None),        # null text: skips the history probe, kept
+            (14, None),        # ...but nulls pool within the crawl: drops
+        ],
+    )
+    kept = sorted(
+        r.doc_id for r in incremental_exact_keep(new, history, "doc_id").collect()
+    )
+    assert kept == [11, 13]
+
+
+def test_incremental_fuzzy_keep_history_frozen(spark):
+    """History near-dups drop new docs; survivors cluster among
+    themselves; docs with no bands (null text) are kept; history ids
+    never appear in the output."""
+    from redpajama_v2_processing_spark.operators.minhash_lsh import (
+        band_key_index, incremental_fuzzy_keep_ids,
+    )
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    other = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+    history = _id_docs(spark, [(0, base)])
+    new = _id_docs(
+        spark,
+        [
+            (10, base + " extra1"),        # near-dup of history -> drops
+            (11, other),                   # fresh cluster seed -> kept
+            (12, other + " extra1"),       # near-dup of 11 -> drops
+            (13, "totally unrelated words here nothing shared"),  # kept
+            (14, None),                    # unsignable -> kept
+        ],
+    )
+    kept = sorted(
+        r.id for r in incremental_fuzzy_keep_ids(new, history, "doc_id").collect()
+    )
+    assert kept == [11, 13, 14]
+
+    # precomputed index path is identical (the production shape: the
+    # history band keys are a table written once per accepted crawl)
+    idx = band_key_index(history, "doc_id")
+    kept2 = sorted(
+        r.id
+        for r in incremental_fuzzy_keep_ids(
+            new, None, "doc_id", history_bands=idx
+        ).collect()
+    )
+    assert kept2 == kept
