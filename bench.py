@@ -88,7 +88,8 @@ HEADLINE = [
     "quality_classifier_scores", "paragraph_dedup", "bloom_anti_join",
     "url_blocklist", "fineweb_filter", "semdedup_keep",
     "ngram_jaccard_dedup_keep", "incremental_fuzzy_keep",
-    "incremental_exact_keep", "gopher_filter", "ccnet_pipeline",
+    "incremental_exact_keep", "vocab_coverage", "oov_rate",
+    "gopher_filter", "ccnet_pipeline",
     "contamination_report", "dedup_cluster_sizes", "chunk_documents",
     "token_offsets", "pack_blocks", "scrub_cc_luhn", "temperature_mix",
     "image_meta", "image_pixels", "audio_pcm_stats", "video_frames",

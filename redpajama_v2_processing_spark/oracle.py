@@ -1091,6 +1091,36 @@ reach(id, root) AS (
 SELECT id AS doc_id FROM reach GROUP BY id HAVING min(root) = id"""
 
 
+def q_vocab_coverage(k: int = 100) -> str:
+    """Twin of operators/vocab.vocab_coverage: top-k corpus tokens
+    (ties broken by token string) with cumulative coverage of all token
+    occurrences. Sums stay exact bigints; one division per output row."""
+    return f"""
+WITH tk AS (SELECT unnest({tokens(norm('text'))}) AS tok FROM documents),
+c AS (SELECT tok, count(*)::BIGINT AS cnt FROM tk GROUP BY tok),
+tot AS (SELECT sum(cnt) AS t FROM c),
+top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT {k})
+SELECT tok, cnt,
+  row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
+  (round((sum(cnt) OVER (ORDER BY cnt DESC, tok
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+    / (SELECT t FROM tot), 6) + 0.0) AS coverage
+FROM top"""
+
+
+def q_oov_rate(vocab_size: int = 100) -> str:
+    """Twin of operators/vocab.oov_rate."""
+    return f"""
+WITH tk AS (SELECT unnest({tokens(norm('text'))}) AS tok FROM documents),
+c AS (SELECT tok, count(*)::BIGINT AS cnt FROM tk GROUP BY tok),
+top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT {vocab_size})
+SELECT {vocab_size}::BIGINT AS vocab_size,
+  (SELECT sum(cnt) FROM c)::BIGINT AS total_tokens,
+  ((SELECT sum(cnt) FROM c) - (SELECT sum(cnt) FROM top))::BIGINT AS oov_tokens,
+  (round(((SELECT sum(cnt) FROM c) - (SELECT sum(cnt) FROM top))::DOUBLE
+    / (SELECT sum(cnt) FROM c), 6) + 0.0) AS oov_rate"""
+
+
 def q_incremental_fuzzy_keep() -> str:
     """Twin of operators/minhash_lsh.incremental_fuzzy_keep_ids over the
     doc_id % 4 history/crawl split: new docs sharing any band key with

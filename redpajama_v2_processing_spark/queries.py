@@ -601,6 +601,21 @@ def q_fuzzy_dedup_distributed(spark, sf_dir):
     ).select(F.col("id").alias("doc_id"))
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-prep surface: top-100 corpus tokens with cumulative
+    occurrence coverage (see operators/vocab.py)."""
+    from .operators.vocab import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir))
+
+
+def q_oov_rate(spark, sf_dir):
+    """Occurrence-mass OOV rate of a top-100 vocabulary on this corpus."""
+    from .operators.vocab import oov_rate
+
+    return oov_rate(_docs(spark, sf_dir))
+
+
 def q_incremental_fuzzy_keep(spark, sf_dir):
     """Cross-crawl incremental fuzzy dedup: docs with doc_id % 4 == 0 play
     the frozen already-deduplicated history; the rest are the incoming
@@ -1397,6 +1412,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round --------------------------------------------------
     "incremental_fuzzy_keep": q_incremental_fuzzy_keep,
     "incremental_exact_keep": q_incremental_exact_keep,
+    "vocab_coverage": q_vocab_coverage,
+    "oov_rate": q_oov_rate,
     "span_dedup": q_span_dedup,
     "url_canonicalize": q_url_canonicalize,
     "url_dedup_keep": q_url_dedup_keep,
@@ -1428,8 +1445,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_windows": q_session_windows,
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
     "events_sliding": q_events_sliding,
-    "semi_join_keeplist": q_semi_join,
-    "anti_join_duplicates": q_anti_join,
     "lang_downsample": q_lang_downsample,
     "quality_thresholds": q_quality_thresholds,
     "minhash_bands": q_minhash_bands,
@@ -1453,6 +1468,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # same machinery as in-window siblings, implementations untouched):
     "fuzzy_dedup_salted": q_fuzzy_dedup_salted,
     "fuzzy_dedup_distributed": q_fuzzy_dedup_distributed,
+    # anti_join_duplicates is result-identical to the in-window
+    # bloom_anti_join (same oracle SQL); semi_join_keeplist is r3-green
+    # with the trivial semi-join shape pinned in pytest
+    "semi_join_keeplist": q_semi_join,
+    "anti_join_duplicates": q_anti_join,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "salted_count": q_salted_count,
@@ -1527,6 +1547,8 @@ ORACLES: dict[str, str] = {
     "dedup_lines": oracle.q_dedup_lines(),
     "incremental_fuzzy_keep": oracle.q_incremental_fuzzy_keep(),
     "incremental_exact_keep": oracle.q_incremental_exact_keep(),
+    "vocab_coverage": oracle.q_vocab_coverage(),
+    "oov_rate": oracle.q_oov_rate(),
     "span_dedup": oracle.q_span_dedup(),
     "url_canonicalize": oracle.q_url_canonicalize(),
     "url_dedup_keep": oracle.q_url_dedup_keep(),

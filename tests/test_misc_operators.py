@@ -412,3 +412,23 @@ def test_url_blocklist_filter(spark):
     kept = sorted(r.doc_id for r in url_blocklist_filter(urls, pats).collect())
     assert kept == [3, 4]
     assert url_blocklist_filter(urls, ()).count() == 5
+
+
+def test_vocab_coverage_and_oov(spark):
+    """Known Zipf toy corpus: 'a'x6, 'b'x3, 'c'x1 (10 occurrences);
+    null/empty docs contribute nothing; ties broken by token string."""
+    from redpajama_v2_processing_spark.operators.vocab import (
+        oov_rate, vocab_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "a  A b"), (2, "a b c"), (3, None), (4, "  ")],
+        "doc_id long, text string",
+    )
+    rows = {r.rank: r for r in vocab_coverage(docs, k=2).collect()}
+    assert rows[1].tok == "a" and rows[1].cnt == 6 and rows[1].coverage == 0.6
+    assert rows[2].tok == "b" and rows[2].cnt == 3 and rows[2].coverage == 0.9
+    assert len(rows) == 2  # k cuts 'c'
+
+    r = oov_rate(docs, vocab_size=2).collect()[0]
+    assert (r.total_tokens, r.oov_tokens, r.oov_rate) == (10, 1, 0.1)
