@@ -201,3 +201,55 @@ def stream_url_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_incremental_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    history_keys: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "24 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming incremental dedup against a FROZEN history corpus — the
+    ingest-time tier of the batch cross-crawl operators
+    (operators/exact_dedup.incremental_exact_keep).
+
+    ``history_keys`` is a static one-column DF(fingerprint) of the
+    accepted corpus's content fingerprints (in production the index
+    table maintained per accepted crawl). Two stages per micro-batch:
+
+    * stream-static ``left_anti`` join — pages whose fingerprint exists
+      in history never leave the batch. Stateless: the static side is
+      planned once per micro-batch (broadcast or shuffled by AQE), no
+      streaming state accrues for it.
+    * within-stream ``dropDuplicatesWithinWatermark`` on the
+      fingerprint — first sighting wins, key state evicted past the
+      event-time horizon (same bounded-state contract as
+      ``stream_exact_dedup``).
+
+    The same shape works at the signature tier (simhash values or LSH
+    band keys as ``history_keys``) for streaming NEAR-dup probes; the
+    batch star-edge + CC pass remains the periodic compaction, as
+    documented on ``stream_simhash_dedup``.
+    """
+    from ..functions.text import fingerprint_hex
+
+    hist = history_keys.toDF("fingerprint").distinct()
+    pages = read_pages_stream(spark, input_dir)
+    deduped = (
+        pages.withColumn("fingerprint", fingerprint_hex(F.col("text")))
+        .join(hist, "fingerprint", "left_anti")
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -662,3 +662,43 @@ def test_streaming_url_dedup_collapses_recrawl_variants(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == n_canon < messy.count()
     assert got.select(canonicalize_url(F2.col("url")).alias("c")).distinct().count() == n_canon
+
+
+def test_stream_incremental_dedup_against_history(spark, tmp_path):
+    """Stream-static probe: pages whose content fingerprint is in the
+    frozen history never reach the sink; within-stream copies collapse to
+    their first sighting. Result equals the batch incremental keep over
+    the same split."""
+    import datetime
+
+    from redpajama_v2_processing_spark.functions.text import fingerprint_hex
+    from redpajama_v2_processing_spark.streaming.ingest import (
+        stream_incremental_dedup,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+
+    def page(url, text):
+        return (url, ts, bytearray(b"<html></html>"), text, "en")
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    history = spark.createDataFrame(
+        [page("https://old/a", "history doc alpha"),
+         page("https://old/b", "history doc beta")], schema)
+    src_dir = str(tmp_path / "pages_inc")
+    spark.createDataFrame(
+        [page("https://new/1", "history  DOC alpha"),   # normalized hit -> drop
+         page("https://new/2", "fresh content one"),    # kept
+         page("https://new/3", "fresh CONTENT one"),    # within-stream dup -> drop
+         page("https://new/4", "fresh content two")],   # kept
+        schema).write.parquet(src_dir)
+
+    hist_keys = history.select(fingerprint_hex(F.col("text")))
+    out_dir = str(tmp_path / "inc_out")
+    q = stream_incremental_dedup(
+        spark, src_dir, hist_keys, out_dir, str(tmp_path / "ckpt_inc")
+    )
+    q.awaitTermination(120)
+
+    kept = sorted(r.url for r in spark.read.parquet(out_dir).collect())
+    assert kept == ["https://new/2", "https://new/4"]
