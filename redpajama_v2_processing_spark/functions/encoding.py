@@ -1,0 +1,70 @@
+"""Encoding-noise (mojibake) signals — the webtext corruption filter.
+
+Web crawls carry systematic encoding damage: UTF-8 bytes decoded as
+Latin-1/cp1252 ("Ã©" for "é", "â€™" for a right quote, "Â " before
+NBSP), U+FFFD replacement characters from lossy transcodes, and stray
+C0 control bytes. An ftfy-style *repair* needs per-codepoint logic; the
+*filter* tier — count the artifacts, drop documents past a noise budget
+— is pure native regexp arithmetic and belongs in the signal pass.
+
+All three counters are single regexp scans (codegen, no Python); the
+ratio divides once by the code-point length, so the rounded signal is
+engine- and partition-order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NOISE_ROUND = 6
+
+# classic UTF-8-as-Latin-1 digraphs (no regex metachars — the literal
+# alternation is portable across Java regex and RE2)
+MOJIBAKE_MARKS: tuple[str, ...] = (
+    "Ã©", "Ã¨", "Ã¡", "Ã¤", "Ã¶", "Ã¼", "Ã±", "Ã³",
+    "â€™", "â€œ", "â€“", "â€”", "Â«", "Â»",
+)
+MOJIBAKE_RE = "|".join(MOJIBAKE_MARKS)
+REPLACEMENT_RE = "�"
+# C0 controls except \t \n \r
+CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+
+# deterministic corruption probe the oracle query appends to doc_id % 7
+# rows (the synthetic corpus is clean, so the twins would otherwise
+# compare all-zero counters): 1 replacement char, 1 C0 control, 4
+# mojibake digraphs
+NOISE_PROBE = " perÃ©metro â€œokâ€“ Â«x \x01�"
+
+
+def _count(col: Column, pattern: str) -> Column:
+    return F.coalesce(F.regexp_count(col, F.lit(pattern)), F.lit(0)).cast("long")
+
+
+def with_encoding_noise(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append n_replacement, n_ctrl, n_mojibake and noise_ratio (artifact
+    count over code-point length, rounded to 6 decimals). Null text
+    yields zero counts and ratio 0."""
+    c = F.col(text_col)
+    out = (
+        docs.withColumn("n_replacement", _count(c, REPLACEMENT_RE))
+        .withColumn("n_ctrl", _count(c, CTRL_RE))
+        .withColumn("n_mojibake", _count(c, MOJIBAKE_RE))
+    )
+    denom = F.greatest(F.coalesce(F.length(c), F.lit(0)), F.lit(1))
+    total = F.col("n_replacement") + F.col("n_ctrl") + F.col("n_mojibake")
+    return out.withColumn(
+        "noise_ratio", F.round(total / denom, NOISE_ROUND) + 0.0
+    )
+
+
+def encoding_noise_filter(
+    docs: DataFrame, text_col: str = "text", max_ratio: float = 0.002
+) -> DataFrame:
+    """Drop documents whose encoding-noise ratio exceeds ``max_ratio``
+    (and any document containing a replacement character — U+FFFD means
+    bytes were already destroyed upstream; no repair can recover them)."""
+    sig = with_encoding_noise(docs, text_col)
+    return sig.where(
+        (F.col("n_replacement") == 0) & (F.col("noise_ratio") <= max_ratio)
+    )

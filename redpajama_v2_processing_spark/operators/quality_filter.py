@@ -40,3 +40,31 @@ def with_quality_label(df_with_signals: DataFrame) -> DataFrame:
 def quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """signals + labels + filter, in one narrow pipeline (no shuffle)."""
     return with_quality_label(with_signals(docs, text_col)).where(F.col("keep"))
+
+
+def source_quality_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """DF(source, n_docs, n_keep, keep_rate, mean_words): the per-source
+    quality monitoring surface — which feeds are sending junk and at what
+    rate the conjunctive rule profile drops them.
+
+    One narrow signals+label pass (codegen, no Python) into one grouped
+    aggregation with map-side partial sums; counts and word sums stay
+    exact bigints with a single division per group, so the rounded rates
+    are partition-order-independent. The report is sources-sized (tiny at
+    any corpus scale)."""
+    lab = with_quality_label(with_signals(docs, text_col))
+    return (
+        lab.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("long").alias("n_keep"),
+            F.sum("number_of_words").cast("long").alias("_nw"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_keep",
+            (F.round(F.col("n_keep") / F.col("n_docs"), 6) + 0.0).alias("keep_rate"),
+            (F.round(F.col("_nw") / F.col("n_docs"), 4) + 0.0).alias("mean_words"),
+        )
+    )

@@ -114,12 +114,14 @@ _SIGNALS: dict[str, str] = {
 }
 
 
-def _signals_cte(table: str = "documents", id_col: str = "doc_id") -> str:
+def _signals_cte(table: str = "documents", id_col: str = "doc_id",
+                 extra_cols: tuple[str, ...] = ()) -> str:
     cols = ",\n      ".join(f"{expr} AS {name}" for name, expr in _SIGNALS.items())
+    ex = "".join(f", {c}" for c in extra_cols)
     return f"""
-  tk AS (SELECT {id_col}, lang, text, {tokens('text')} AS t FROM {table}),
+  tk AS (SELECT {id_col}, lang{ex}, text, {tokens('text')} AS t FROM {table}),
   sig AS (
-    SELECT {id_col}, lang,
+    SELECT {id_col}, lang{ex},
       {cols}
     FROM tk
   )"""
@@ -967,6 +969,55 @@ WITH {_signals_cte()}
 SELECT doc_id, ({keep}) AS keep,
   CASE {reason} ELSE '' END AS drop_reason
 FROM sig"""
+
+
+def q_source_quality_report() -> str:
+    """Twin of operators/quality_filter.source_quality_report: per-source
+    doc counts, quality keep rate and mean word count (exact bigint sums,
+    one division per group — order-independent)."""
+    keep = " AND ".join(_rule_sql(s, op, t) for s, op, t, _ in QUALITY_RULES)
+    return f"""
+WITH {_signals_cte(extra_cols=("source",))}
+SELECT source,
+  count(*)::BIGINT AS n_docs,
+  sum(CASE WHEN {keep} THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+  (round(sum(CASE WHEN {keep} THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) + 0.0)
+    AS keep_rate,
+  (round(sum(number_of_words)::DOUBLE / count(*), 4) + 0.0) AS mean_words
+FROM sig GROUP BY source"""
+
+
+def q_encoding_noise() -> str:
+    """Twin of functions/encoding.with_encoding_noise over documents with
+    the deterministic NOISE_PROBE appended to doc_id % 7 rows (the
+    synthetic corpus is clean; the probe makes the counters non-trivial
+    in BOTH engines identically)."""
+    from .functions.encoding import (
+        CTRL_RE, MOJIBAKE_RE, NOISE_PROBE, REPLACEMENT_RE,
+    )
+
+    cnt = {
+        "n_replacement": REPLACEMENT_RE,
+        "n_ctrl": CTRL_RE,
+        "n_mojibake": MOJIBAKE_RE,
+    }
+    cols = ",\n  ".join(
+        f"coalesce(len(regexp_extract_all(text, '{p}')), 0)::BIGINT AS {n}"
+        for n, p in cnt.items()
+    )
+    total = " + ".join(
+        f"coalesce(len(regexp_extract_all(text, '{p}')), 0)" for p in cnt.values()
+    )
+    return f"""
+WITH noisy AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN text || '{NOISE_PROBE}' ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+  {cols},
+  (round(({total})::DOUBLE / greatest(coalesce(length(text), 0), 1), 6) + 0.0)
+    AS noise_ratio
+FROM noisy"""
 
 
 def q_quality_thresholds(cols=("number_of_words", "mean_word_length", "stop_word_fraction"),

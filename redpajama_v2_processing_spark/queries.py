@@ -601,6 +601,32 @@ def q_fuzzy_dedup_distributed(spark, sf_dir):
     ).select(F.col("id").alias("doc_id"))
 
 
+def q_source_quality_report(spark, sf_dir):
+    """Per-source quality monitoring: doc counts, keep rate and mean word
+    count under the conjunctive rule profile."""
+    from .operators.quality_filter import source_quality_report
+
+    return source_quality_report(_docs(spark, sf_dir))
+
+
+def q_encoding_noise(spark, sf_dir):
+    """Mojibake/corruption signals with the deterministic noise probe
+    appended to doc_id % 7 rows (the synthetic corpus is clean — see
+    functions/encoding.NOISE_PROBE)."""
+    from .functions.encoding import NOISE_PROBE, with_encoding_noise
+
+    docs = _docs(spark, sf_dir)
+    noisy = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(NOISE_PROBE))
+        ).otherwise(F.col("text")),
+    )
+    return with_encoding_noise(noisy).select(
+        "doc_id", "n_replacement", "n_ctrl", "n_mojibake", "noise_ratio"
+    )
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Tokenizer-prep surface: top-100 corpus tokens with cumulative
     occurrence coverage (see operators/vocab.py)."""
@@ -1414,6 +1440,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_exact_keep": q_incremental_exact_keep,
     "vocab_coverage": q_vocab_coverage,
     "oov_rate": q_oov_rate,
+    "source_quality_report": q_source_quality_report,
+    "encoding_noise": q_encoding_noise,
     "span_dedup": q_span_dedup,
     "url_canonicalize": q_url_canonicalize,
     "url_dedup_keep": q_url_dedup_keep,
@@ -1445,14 +1473,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_windows": q_session_windows,
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
     "events_sliding": q_events_sliding,
-    "lang_downsample": q_lang_downsample,
     "quality_thresholds": q_quality_thresholds,
     "minhash_bands": q_minhash_bands,
     "lsh_buckets": q_lsh_buckets,
     "ngram_jaccard": q_jaccard_vs_query,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_dedup_keep": q_embedding_dedup_keep,
-    "hash_sample": q_hash_sample,
     # --- implementation changed in r5: re-certify ------------------------
     "perplexity": q_perplexity,
     "perplexity_ngram": q_perplexity_ngram,
@@ -1473,6 +1499,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # with the trivial semi-join shape pinned in pytest
     "semi_join_keeplist": q_semi_join,
     "anti_join_duplicates": q_anti_join,
+    # r3-green deterministic-hash samplers, implementations untouched;
+    # the sampling family keeps lang_downsample's pytest properties
+    "hash_sample": q_hash_sample,
+    "lang_downsample": q_lang_downsample,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "salted_count": q_salted_count,
@@ -1549,6 +1579,8 @@ ORACLES: dict[str, str] = {
     "incremental_exact_keep": oracle.q_incremental_exact_keep(),
     "vocab_coverage": oracle.q_vocab_coverage(),
     "oov_rate": oracle.q_oov_rate(),
+    "source_quality_report": oracle.q_source_quality_report(),
+    "encoding_noise": oracle.q_encoding_noise(),
     "span_dedup": oracle.q_span_dedup(),
     "url_canonicalize": oracle.q_url_canonicalize(),
     "url_dedup_keep": oracle.q_url_dedup_keep(),

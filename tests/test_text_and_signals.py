@@ -363,3 +363,55 @@ def test_token_offsets_and_pack_blocks(spark):
         s = expected[i][1]
         want = list(range(s // 8, (s + cnt + 1 - 1) // 8 + 1))
         assert sorted(spans[i]) == want, (i, spans[i], want)
+
+
+def test_encoding_noise_signals_and_filter(spark):
+    from redpajama_v2_processing_spark.functions.encoding import (
+        encoding_noise_filter, with_encoding_noise,
+    )
+
+    moji = "cafÃ© quote â€œ here"  # 2 mojibake marks
+    docs = spark.createDataFrame(
+        [
+            (0, "clean text with nothing wrong " * 20),
+            (1, "broken " + moji),
+            (2, "lost bytes �� here"),   # 2 replacement chars
+            (3, "ctrl\x01\x02 chars"),             # 2 C0 controls
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    sig = {r.doc_id: r for r in with_encoding_noise(docs).collect()}
+    assert (sig[0].n_replacement, sig[0].n_ctrl, sig[0].n_mojibake) == (0, 0, 0)
+    assert sig[0].noise_ratio == 0.0
+    assert sig[1].n_mojibake == 2 and sig[1].n_replacement == 0
+    assert sig[2].n_replacement == 2
+    assert sig[3].n_ctrl == 2
+    assert (sig[4].n_replacement, sig[4].n_ctrl, sig[4].n_mojibake) == (0, 0, 0)
+    assert sig[4].noise_ratio == 0.0
+
+    kept = sorted(r.doc_id for r in encoding_noise_filter(docs).collect())
+    # 1 and 3 fail the ratio budget on short text; 2 has replacement chars
+    assert kept == [0, 4]
+
+
+def test_source_quality_report_rates(spark):
+    """Rates are exact fractions of the per-doc keep labels."""
+    from pyspark.sql import functions as F
+
+    from redpajama_v2_processing_spark.functions.signals import with_signals
+    from redpajama_v2_processing_spark.operators.quality_filter import (
+        source_quality_report, with_quality_label,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = {r.source: r for r in source_quality_report(docs).collect()}
+    lab = (
+        with_quality_label(with_signals(docs))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum(F.col("keep").cast("int")).alias("k"))
+    )
+    for r in lab.collect():
+        assert rep[r.source].n_docs == r.n
+        assert rep[r.source].n_keep == r.k
+        assert rep[r.source].keep_rate == round(r.k / r.n, 6)
