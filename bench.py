@@ -84,7 +84,8 @@ HEADLINE = [
     "ann_multiprobe_topk", "pq_codebooks", "ann_pq_topk",
     "decontaminate_flags", "dup_ngram_fraction", "dsir_weights", "domain_cap",
     "winnow_near_dup_pairs", "winnow_dedup_keep",
-    "span_dedup", "url_canonicalize", "url_dedup_keep", "token_budget_mix",
+    "span_dedup", "substring_dedup",
+    "url_canonicalize", "url_dedup_keep", "token_budget_mix",
     "quality_classifier_scores", "paragraph_dedup", "bloom_anti_join",
     "url_blocklist", "fineweb_filter", "semdedup_keep",
     "ngram_jaccard_dedup_keep", "incremental_fuzzy_keep",

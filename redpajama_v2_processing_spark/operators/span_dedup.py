@@ -95,6 +95,57 @@ def duplicated_spans(spans: DataFrame) -> DataFrame:
     return fp
 
 
+def _remove_and_rebuild(
+    df: DataFrame,
+    id_col: str,
+    units,
+    spans: DataFrame,
+    n: int,
+    joiner: str,
+    removed_name: str,
+) -> DataFrame:
+    """Shared back half of the span/substring dedups: mark every unit
+    position covered by a non-first occurrence of a duplicated span,
+    anti-join it away, and rejoin survivors in original order.
+    ``units`` is the array<string> unit expression (lines or tokens);
+    ``spans`` must come from the matching frame builder."""
+    dup = duplicated_spans(spans)
+    # non-first occurrences -> the n unit positions they cover
+    removed = (
+        spans.join(dup, "h")
+        .where((F.col("id") != F.col("fid")) | (F.col("p") != F.col("fp")))
+        .select("id", F.explode(F.sequence(F.col("p"), F.col("p") + n - 1)).alias("pos"))
+        .distinct()
+    )
+    un = df.select(
+        F.col(id_col).alias("id"), F.posexplode(units).alias("pos", "_l")
+    )
+    kept = un.join(removed, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_l"))),
+                lambda s: s["_l"],
+            ),
+            joiner,
+        ).alias("clean_text"),
+        F.count("*").alias("_kept"),
+    )
+    n_units = un.groupBy("id").agg(F.count("*").alias("_all"))
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(rebuilt, "id", "left")
+        .join(n_units, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (
+                F.coalesce("_all", F.lit(0)) - F.coalesce("_kept", F.lit(0))
+            ).cast("long").alias(removed_name),
+        )
+    )
+
+
 def span_dedup(
     df: DataFrame, id_col: str, text_col: str = "text", n: int = SPAN_N
 ) -> DataFrame:
@@ -104,39 +155,62 @@ def span_dedup(
     The span frame feeds the duplicate detection AND the removal join, so
     it is checkpointed once (Catalyst does not share subplans)."""
     spans = span_frame(df, id_col, text_col, n).localCheckpoint(eager=True)
-    dup = duplicated_spans(spans)
-    # non-first occurrences -> the n line positions they cover
-    removed = (
-        spans.join(dup, "h")
-        .where((F.col("id") != F.col("fid")) | (F.col("p") != F.col("fp")))
-        .select("id", F.explode(F.sequence(F.col("p"), F.col("p") + n - 1)).alias("pos"))
-        .distinct()
+    return _remove_and_rebuild(
+        df, id_col, lines(F.col(text_col)), spans, n, "\n", "n_removed_lines"
     )
-    ln = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(lines(F.col(text_col))).alias("pos", "_l"),
-    )
-    kept = ln.join(removed, ["id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "_l"))),
-                lambda s: s["_l"],
-            ),
-            "\n",
-        ).alias("clean_text"),
-        F.count("*").alias("_kept"),
-    )
-    n_lines = ln.groupBy("id").agg(F.count("*").alias("_all"))
-    ids = df.select(F.col(id_col).alias("id"))
-    return (
-        ids.join(rebuilt, "id", "left")
-        .join(n_lines, "id", "left")
-        .select(
-            "id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            (
-                F.coalesce("_all", F.lit(0)) - F.coalesce("_kept", F.lit(0))
-            ).cast("long").alias("n_removed_lines"),
+
+
+SUBSTR_N = 25  # token-window length (Lee et al. 2022 use 50 BPE tokens;
+#                25 whitespace tokens spans comparable text mass)
+
+
+def substring_frame(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = SUBSTR_N
+) -> DataFrame:
+    """DF(id, p, h): one row per n-TOKEN window — the ExactSubstr unit
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"). Docs shorter than n tokens emit nothing."""
+    from ..functions.text import tokens
+
+    tk = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_ls")
+    ).where(F.size("_ls") >= n)
+    cur = F.col("_ls")
+    for k in range(1, n):
+        cur = F.zip_with(
+            cur,
+            F.slice("_ls", k + 1, F.size("_ls")),
+            lambda a, b: F.concat(a, F.lit(_SEP), b),
         )
+    spans = tk.select(
+        "id", F.posexplode(F.array_compact(cur)).alias("p", "_s")
+    )
+    return spans.select("id", "p", md5int(F.col("_s")).alias("h"))
+
+
+def substring_dedup(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = SUBSTR_N
+) -> DataFrame:
+    """DF(id, clean_text, n_removed_tokens): exact-substring dedup at
+    token granularity — every token covered by a non-first occurrence of
+    a corpus-duplicated n-token window is removed and the survivors are
+    rejoined with single spaces (token-normalized text, same normal form
+    the dedup hashed).
+
+    The suffix-array formulation of Lee et al. finds duplicated
+    substrings of ANY length >= n; the window formulation marks the same
+    token mass for maximal duplicates (a duplicated run of m >= n tokens
+    is covered by its m - n + 1 duplicated windows) without a
+    corpus-wide suffix sort — each window is one row in an aggregation,
+    the same asymptotics as exact dedup. Same scale shape as
+    ``span_dedup``; the span frame is checkpointed once.
+
+    Caveat stated, not hidden: a duplicated run shorter than n inside
+    otherwise-unique context is below the detection floor (true of the
+    suffix-array method at its length threshold too)."""
+    from ..functions.text import tokens
+
+    spans = substring_frame(df, id_col, text_col, n).localCheckpoint(eager=True)
+    return _remove_and_rebuild(
+        df, id_col, tokens(F.col(text_col)), spans, n, " ", "n_removed_tokens"
     )

@@ -834,6 +834,43 @@ SELECT s.doc_id, coalesce(r.clean_text, '') AS clean_text,
 FROM shaped s LEFT JOIN r USING (doc_id) LEFT JOIN tot USING (doc_id)"""
 
 
+def q_substring_dedup(n: int = 25) -> str:
+    """Twin of operators/span_dedup.substring_dedup (ExactSubstr at token
+    granularity, Lee et al. 2022) directly over documents: duplicate
+    detection groups on the raw window string (Spark groups on its md5int
+    — identical partition of the window set)."""
+    return f"""
+WITH tk AS (SELECT doc_id, {tokens('text')} AS t FROM documents),
+sp AS (
+  SELECT doc_id, i.i - 1 AS p,
+         array_to_string(t[i.i::INT:(i.i + {n - 1})::INT], chr(1)) AS s
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t) - {n - 2})) AS i) i),
+dup AS (SELECT s, min(doc_id) AS fid FROM sp GROUP BY 1 HAVING count(*) >= 2),
+fp AS (
+  SELECT d.s, d.fid, min(sp.p) AS fp
+  FROM dup d JOIN sp ON sp.s = d.s AND sp.doc_id = d.fid
+  GROUP BY 1, 2),
+rem AS (
+  SELECT DISTINCT sp.doc_id, sp.p + o.o AS pos
+  FROM sp JOIN fp ON sp.s = fp.s,
+       LATERAL (SELECT unnest(range(0, {n})) AS o) o
+  WHERE NOT (sp.doc_id = fp.fid AND sp.p = fp.fp)),
+l AS (
+  SELECT doc_id, i.i - 1 AS pos, t[i.i::INT] AS u
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) i),
+kept AS (
+  SELECT l.doc_id, l.pos, l.u
+  FROM l LEFT JOIN rem ON rem.doc_id = l.doc_id AND rem.pos = l.pos
+  WHERE rem.doc_id IS NULL),
+r AS (SELECT doc_id, string_agg(u, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS _kept
+      FROM kept GROUP BY 1),
+tot AS (SELECT doc_id, count(*) AS _all FROM l GROUP BY 1)
+SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       (coalesce(tot._all, 0) - coalesce(r._kept, 0))::BIGINT AS n_removed_tokens
+FROM documents d LEFT JOIN r USING (doc_id) LEFT JOIN tot USING (doc_id)"""
+
+
 def q_paragraph_dedup() -> str:
     """Twin of queries.q_paragraph_dedup: span_dedup at n=1 — corpus-wide
     exact duplicated-line removal, global first occurrence (min doc id,

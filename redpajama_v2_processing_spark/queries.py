@@ -601,6 +601,17 @@ def q_fuzzy_dedup_distributed(spark, sf_dir):
     ).select(F.col("id").alias("doc_id"))
 
 
+def q_substring_dedup(spark, sf_dir):
+    """ExactSubstr dedup at token granularity (Lee et al. 2022) over the
+    documents table: tokens covered by non-first occurrences of
+    corpus-duplicated 25-token windows removed, text rebuilt."""
+    from .operators.span_dedup import substring_dedup
+
+    return substring_dedup(_docs(spark, sf_dir), "doc_id").select(
+        F.col("id").alias("doc_id"), "clean_text", "n_removed_tokens"
+    )
+
+
 def q_source_quality_report(spark, sf_dir):
     """Per-source quality monitoring: doc counts, keep rate and mean word
     count under the conjunctive rule profile."""
@@ -1442,6 +1453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "oov_rate": q_oov_rate,
     "source_quality_report": q_source_quality_report,
     "encoding_noise": q_encoding_noise,
+    "substring_dedup": q_substring_dedup,
     "span_dedup": q_span_dedup,
     "url_canonicalize": q_url_canonicalize,
     "url_dedup_keep": q_url_dedup_keep,
@@ -1476,7 +1488,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_thresholds": q_quality_thresholds,
     "minhash_bands": q_minhash_bands,
     "lsh_buckets": q_lsh_buckets,
-    "ngram_jaccard": q_jaccard_vs_query,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_dedup_keep": q_embedding_dedup_keep,
     # --- implementation changed in r5: re-certify ------------------------
@@ -1503,6 +1514,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the sampling family keeps lang_downsample's pytest properties
     "hash_sample": q_hash_sample,
     "lang_downsample": q_lang_downsample,
+    # r3-green single-doc similarity lookup, implementation untouched
+    "ngram_jaccard": q_jaccard_vs_query,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "salted_count": q_salted_count,
@@ -1581,6 +1594,7 @@ ORACLES: dict[str, str] = {
     "oov_rate": oracle.q_oov_rate(),
     "source_quality_report": oracle.q_source_quality_report(),
     "encoding_noise": oracle.q_encoding_noise(),
+    "substring_dedup": oracle.q_substring_dedup(),
     "span_dedup": oracle.q_span_dedup(),
     "url_canonicalize": oracle.q_url_canonicalize(),
     "url_dedup_keep": oracle.q_url_dedup_keep(),

@@ -227,7 +227,10 @@ def stream_incremental_dedup(
     * within-stream ``dropDuplicatesWithinWatermark`` on the
       fingerprint — first sighting wins, key state evicted past the
       event-time horizon (same bounded-state contract as
-      ``stream_exact_dedup``).
+      ``stream_exact_dedup``). "First" is PROCESSING order: for copies
+      landing in the same micro-batch the survivor is
+      task-schedule-dependent (the batch twin
+      ``incremental_exact_keep`` is the deterministic min-id rule).
 
     The same shape works at the signature tier (simhash values or LSH
     band keys as ``history_keys``) for streaming NEAR-dup probes; the

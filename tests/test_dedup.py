@@ -282,3 +282,46 @@ def test_incremental_fuzzy_keep_history_frozen(spark):
         ).collect()
     )
     assert kept2 == kept
+
+
+def test_substring_dedup_token_windows(spark):
+    """Tokens covered by non-first occurrences of duplicated n-token
+    windows are removed; the global first occurrence and unique context
+    survive; short docs and null text pass through token-normalized."""
+    from redpajama_v2_processing_spark.operators.span_dedup import substring_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(6))         # 6-token boilerplate
+    docs = _id_docs(
+        spark,
+        [
+            (0, f"u1 u2 {boiler} u3"),     # first occurrence -> intact
+            (1, f"v1 {boiler} v2 v3"),     # repeat -> boilerplate stripped
+            (2, f"{boiler}"),              # repeat, nothing else -> emptied
+            (3, "w1  w2   w3"),            # unique, short -> ws-normalized
+            (4, None),                     # null -> empty
+        ],
+    )
+    out = {r.id: r for r in substring_dedup(docs, "doc_id", n=6).collect()}
+    assert out[0].clean_text == f"u1 u2 {boiler} u3"
+    assert out[0].n_removed_tokens == 0
+    assert out[1].clean_text == "v1 v2 v3"
+    assert out[1].n_removed_tokens == 6
+    assert out[2].clean_text == "" and out[2].n_removed_tokens == 6
+    assert out[3].clean_text == "w1 w2 w3" and out[3].n_removed_tokens == 0
+    assert out[4].clean_text == "" and out[4].n_removed_tokens == 0
+
+
+def test_substring_dedup_long_run_coverage(spark):
+    """A duplicated run longer than n is fully covered by its overlapping
+    duplicated windows (the maximal-duplicate property of the window
+    formulation)."""
+    from redpajama_v2_processing_spark.operators.span_dedup import substring_dedup
+
+    run = " ".join(f"r{i}" for i in range(10))  # 10-token duplicated run
+    docs = _id_docs(
+        spark, [(0, f"a1 {run} a2"), (1, f"z1 z2 {run} z3")]
+    )
+    out = {r.id: r for r in substring_dedup(docs, "doc_id", n=4).collect()}
+    assert out[0].clean_text == f"a1 {run} a2"
+    assert out[1].clean_text == "z1 z2 z3"
+    assert out[1].n_removed_tokens == 10

@@ -701,4 +701,9 @@ def test_stream_incremental_dedup_against_history(spark, tmp_path):
     q.awaitTermination(120)
 
     kept = sorted(r.url for r in spark.read.parquet(out_dir).collect())
-    assert kept == ["https://new/2", "https://new/4"]
+    # the history hit (new/1) never appears; exactly ONE of the
+    # within-stream copies survives — WHICH one is processing-order
+    # dependent (dropDuplicatesWithinWatermark keeps the first row seen,
+    # not the min id; the batch twin is the deterministic min-id rule)
+    assert len(kept) == 2 and kept[1] == "https://new/4"
+    assert kept[0] in ("https://new/2", "https://new/3")

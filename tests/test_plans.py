@@ -234,7 +234,8 @@ def test_round5_queries_stay_jvm_side(spark):
                  "token_offsets", "pack_blocks", "temperature_mix",
                  "scrub_cc_luhn", "incremental_fuzzy_keep",
                  "incremental_exact_keep", "vocab_coverage", "oov_rate",
-                 "source_quality_report", "encoding_noise"]:
+                 "source_quality_report", "encoding_noise",
+                 "substring_dedup"]:
         plan = _physical(Q.QUERIES[name](spark, sf))
         assert "EvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
