@@ -90,7 +90,7 @@ HEADLINE = [
     "url_blocklist", "fineweb_filter", "semdedup_keep",
     "ngram_jaccard_dedup_keep", "incremental_fuzzy_keep",
     "incremental_exact_keep", "vocab_coverage", "oov_rate",
-    "source_quality_report", "encoding_noise",
+    "source_quality_report", "encoding_noise", "script_ratios",
     "gopher_filter", "ccnet_pipeline",
     "contamination_report", "dedup_cluster_sizes", "chunk_documents",
     "token_offsets", "pack_blocks", "scrub_cc_luhn", "temperature_mix",

@@ -68,3 +68,43 @@ def encoding_noise_filter(
     return sig.where(
         (F.col("n_replacement") == 0) & (F.col("noise_ratio") <= max_ratio)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode script composition
+# ---------------------------------------------------------------------------
+#
+# Script ratios are the standard cheap language-ID input feature (CLD3's
+# first stage) and a webtext sanity filter (a "German" page that is 40%
+# CJK is mislabeled or spam). Ranges are explicit code-point classes —
+# portable between Java regex and RE2, unlike named script properties
+# (\p{IsHan} vs \p{Han}).
+
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": r"[A-Za-zÀ-ɏ]",
+    "cyrillic": r"[Ѐ-ӿ]",
+    "greek": r"[Ͱ-Ͽ]",
+    "arabic": r"[؀-ۿ]",
+    "devanagari": r"[ऀ-ॿ]",
+    "cjk": r"[぀-ヿ一-鿿가-힯]",  # kana+han+hangul
+}
+
+
+def with_script_ratios(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``<script>_ratio`` per SCRIPT_RANGES plus ``letter_ratio``
+    (any of the classes) — each a single regexp count over the text
+    divided once by code-point length and rounded to 6 decimals. Null
+    text yields 0 ratios. All counters sit in one codegen projection."""
+    c = F.col(text_col)
+    denom = F.greatest(F.coalesce(F.length(c), F.lit(0)), F.lit(1))
+    out = docs
+    total = F.lit(0).cast("long")
+    for name, pat in SCRIPT_RANGES.items():
+        cnt = _count(c, pat)
+        total = total + cnt
+        out = out.withColumn(
+            f"{name}_ratio", F.round(cnt / denom, NOISE_ROUND) + 0.0
+        )
+    return out.withColumn(
+        "letter_ratio", F.round(total / denom, NOISE_ROUND) + 0.0
+    )

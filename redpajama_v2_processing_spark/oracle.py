@@ -1057,6 +1057,27 @@ SELECT doc_id,
 FROM noisy"""
 
 
+def q_script_ratios() -> str:
+    """Twin of functions/encoding.with_script_ratios."""
+    from .functions.encoding import SCRIPT_RANGES
+
+    cols = ",\n  ".join(
+        f"(round(coalesce(len(regexp_extract_all(text, '{p}')), 0)::DOUBLE"
+        f" / greatest(coalesce(length(text), 0), 1), 6) + 0.0) AS {n}_ratio"
+        for n, p in SCRIPT_RANGES.items()
+    )
+    total = " + ".join(
+        f"coalesce(len(regexp_extract_all(text, '{p}')), 0)"
+        for p in SCRIPT_RANGES.values()
+    )
+    return f"""
+SELECT doc_id,
+  {cols},
+  (round(({total})::DOUBLE / greatest(coalesce(length(text), 0), 1), 6) + 0.0)
+    AS letter_ratio
+FROM documents"""
+
+
 def q_quality_thresholds(cols=("number_of_words", "mean_word_length", "stop_word_fraction"),
                          p_low: float = 0.10, p_high: float = 0.90) -> str:
     aggs = ", ".join(

@@ -601,6 +601,15 @@ def q_fuzzy_dedup_distributed(spark, sf_dir):
     ).select(F.col("id").alias("doc_id"))
 
 
+def q_script_ratios(spark, sf_dir):
+    """Unicode script composition per doc (CLD3-style langid features +
+    webtext sanity signal)."""
+    from .functions.encoding import SCRIPT_RANGES, with_script_ratios
+
+    cols = [f"{n}_ratio" for n in SCRIPT_RANGES] + ["letter_ratio"]
+    return with_script_ratios(_docs(spark, sf_dir)).select("doc_id", *cols)
+
+
 def q_substring_dedup(spark, sf_dir):
     """ExactSubstr dedup at token granularity (Lee et al. 2022) over the
     documents table: tokens covered by non-first occurrences of
@@ -1454,6 +1463,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_quality_report": q_source_quality_report,
     "encoding_noise": q_encoding_noise,
     "substring_dedup": q_substring_dedup,
+    "script_ratios": q_script_ratios,
     "span_dedup": q_span_dedup,
     "url_canonicalize": q_url_canonicalize,
     "url_dedup_keep": q_url_dedup_keep,
@@ -1485,7 +1495,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_windows": q_session_windows,
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
     "events_sliding": q_events_sliding,
-    "quality_thresholds": q_quality_thresholds,
     "minhash_bands": q_minhash_bands,
     "lsh_buckets": q_lsh_buckets,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
@@ -1513,6 +1522,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r3-green deterministic-hash samplers, implementations untouched;
     # the sampling family keeps lang_downsample's pytest properties
     "hash_sample": q_hash_sample,
+    # r3-green; machinery shared with in-window profiled_quantile_filter
+    "quality_thresholds": q_quality_thresholds,
     "lang_downsample": q_lang_downsample,
     # r3-green single-doc similarity lookup, implementation untouched
     "ngram_jaccard": q_jaccard_vs_query,
@@ -1595,6 +1606,7 @@ ORACLES: dict[str, str] = {
     "source_quality_report": oracle.q_source_quality_report(),
     "encoding_noise": oracle.q_encoding_noise(),
     "substring_dedup": oracle.q_substring_dedup(),
+    "script_ratios": oracle.q_script_ratios(),
     "span_dedup": oracle.q_span_dedup(),
     "url_canonicalize": oracle.q_url_canonicalize(),
     "url_dedup_keep": oracle.q_url_dedup_keep(),

@@ -415,3 +415,25 @@ def test_source_quality_report_rates(spark):
         assert rep[r.source].n_docs == r.n
         assert rep[r.source].n_keep == r.k
         assert rep[r.source].keep_rate == round(r.k / r.n, 6)
+
+
+def test_script_ratios_multilingual(spark):
+    from redpajama_v2_processing_spark.functions.encoding import with_script_ratios
+
+    docs = spark.createDataFrame(
+        [
+            (0, "abcde"),            # 5/5 latin
+            (1, "приве́т!!"),          # cyrillic + marks/punct
+            (2, "日本語 text"),        # cjk + latin mix
+            (3, "1234 ..."),          # no letters
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    sig = {r.doc_id: r for r in with_script_ratios(docs).collect()}
+    assert sig[0].latin_ratio == 1.0 and sig[0].letter_ratio == 1.0
+    assert sig[1].cyrillic_ratio > 0.5 and sig[1].latin_ratio == 0.0
+    assert sig[2].cjk_ratio == round(3 / 8, 6)
+    assert sig[2].latin_ratio == round(4 / 8, 6)
+    assert sig[3].letter_ratio == 0.0
+    assert sig[4].letter_ratio == 0.0
