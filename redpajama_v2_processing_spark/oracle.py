@@ -1230,6 +1230,17 @@ SELECT {vocab_size}::BIGINT AS vocab_size,
     / (SELECT sum(cnt) FROM c), 6) + 0.0) AS oov_rate"""
 
 
+def q_block_doc_histogram(block: int = 128, eod: int = 1) -> str:
+    """Twin of queries.q_block_doc_histogram: distribution of document
+    boundaries per training block under the concat-with-EOD layout."""
+    return f"""
+WITH per AS (
+  SELECT block_idx, count(*) AS docs_in_block
+  FROM ({q_pack_blocks(block, eod)}) GROUP BY 1)
+SELECT docs_in_block::BIGINT AS docs_in_block, count(*)::BIGINT AS n_blocks
+FROM per GROUP BY 1"""
+
+
 def q_incremental_fuzzy_keep() -> str:
     """Twin of operators/minhash_lsh.incremental_fuzzy_keep_ids over the
     doc_id % 4 history/crawl split: new docs sharing any band key with

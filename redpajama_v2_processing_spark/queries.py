@@ -601,6 +601,20 @@ def q_fuzzy_dedup_distributed(spark, sf_dir):
     ).select(F.col("id").alias("doc_id"))
 
 
+def q_block_doc_histogram(spark, sf_dir):
+    """Training-prep monitoring: how many document boundaries land in
+    each 128-token block under the concat-with-EOD layout (the
+    cross-document-attention exposure of a packed batch). Two grouped
+    counts over the pack_blocks frame; the histogram is tiny."""
+    from .functions.chunking import pack_blocks
+
+    pb = pack_blocks(_docs(spark, sf_dir), "doc_id")
+    per = pb.groupBy("block_idx").agg(F.count("*").alias("docs_in_block"))
+    return per.groupBy("docs_in_block").agg(
+        F.count("*").cast("long").alias("n_blocks")
+    )
+
+
 def q_script_ratios(spark, sf_dir):
     """Unicode script composition per doc (CLD3-style langid features +
     webtext sanity signal)."""
@@ -1464,6 +1478,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encoding_noise": q_encoding_noise,
     "substring_dedup": q_substring_dedup,
     "script_ratios": q_script_ratios,
+    "block_doc_histogram": q_block_doc_histogram,
     "span_dedup": q_span_dedup,
     "url_canonicalize": q_url_canonicalize,
     "url_dedup_keep": q_url_dedup_keep,
@@ -1496,7 +1511,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
     "events_sliding": q_events_sliding,
     "minhash_bands": q_minhash_bands,
-    "lsh_buckets": q_lsh_buckets,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_dedup_keep": q_embedding_dedup_keep,
     # --- implementation changed in r5: re-certify ------------------------
@@ -1524,6 +1538,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_sample": q_hash_sample,
     # r3-green; machinery shared with in-window profiled_quantile_filter
     "quality_thresholds": q_quality_thresholds,
+    # r3-green; the band-bucket grouping is inside every in-window fuzzy query
+    "lsh_buckets": q_lsh_buckets,
     "lang_downsample": q_lang_downsample,
     # r3-green single-doc similarity lookup, implementation untouched
     "ngram_jaccard": q_jaccard_vs_query,
@@ -1607,6 +1623,7 @@ ORACLES: dict[str, str] = {
     "encoding_noise": oracle.q_encoding_noise(),
     "substring_dedup": oracle.q_substring_dedup(),
     "script_ratios": oracle.q_script_ratios(),
+    "block_doc_histogram": oracle.q_block_doc_histogram(),
     "span_dedup": oracle.q_span_dedup(),
     "url_canonicalize": oracle.q_url_canonicalize(),
     "url_dedup_keep": oracle.q_url_dedup_keep(),

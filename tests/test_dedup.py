@@ -325,3 +325,33 @@ def test_substring_dedup_long_run_coverage(spark):
     assert out[0].clean_text == f"a1 {run} a2"
     assert out[1].clean_text == "z1 z2 z3"
     assert out[1].n_removed_tokens == 10
+
+
+def test_incremental_fuzzy_empty_history_equals_batch(spark):
+    """With an empty history the incremental tier degenerates to the
+    standard within-corpus fuzzy dedup keep-list."""
+    from redpajama_v2_processing_spark.operators.minhash_lsh import (
+        incremental_fuzzy_keep_ids,
+    )
+
+    docs = _chain_docs(spark)
+    empty = docs.where(F.lit(False))
+    inc = sorted(
+        r.id for r in incremental_fuzzy_keep_ids(docs, empty, "doc_id").collect()
+    )
+    batch = sorted(r.id for r in fuzzy_dedup_keep_ids(docs, "doc_id").collect())
+    assert inc == batch
+
+
+def test_incremental_fuzzy_self_history_drops_signable(spark):
+    """History == the crawl itself: every signable doc collides with its
+    own band keys and drops; only unsignable (null-text) docs survive."""
+    from redpajama_v2_processing_spark.operators.minhash_lsh import (
+        incremental_fuzzy_keep_ids,
+    )
+
+    docs = _id_docs(spark, [(0, "w1 w2 w3 w4 w5"), (1, "x1 x2 x3 x4"), (2, None)])
+    kept = sorted(
+        r.id for r in incremental_fuzzy_keep_ids(docs, docs, "doc_id").collect()
+    )
+    assert kept == [2]
