@@ -80,6 +80,7 @@ HEADLINE = [
     "ann_ivf_topk", "embedding_near_dup_pairs", "embedding_dedup_keep",
     "embedding_near_dup_prod_pairs", "embedding_dedup_star_keep",
     "embedding_dedup_prod_keep",
+    "doc_embeddings",
     "label_centroids", "kmeans_cells", "ann_ivf_trained_topk",
     "ann_multiprobe_topk", "pq_codebooks", "ann_pq_topk",
     "decontaminate_flags", "dup_ngram_fraction", "dsir_weights", "domain_cap",

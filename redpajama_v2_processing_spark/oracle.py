@@ -1230,6 +1230,38 @@ SELECT {vocab_size}::BIGINT AS vocab_size,
     / (SELECT sum(cnt) FROM c), 6) + 0.0) AS oov_rate"""
 
 
+def q_doc_embeddings(dim: int = 16) -> str:
+    """Twin of operators/embeddings.doc_embeddings: hashed TF-IDF with
+    signed feature hashing, exact-integer cells, HUGEINT sum of squares
+    (Spark: DECIMAL(38,0)) so normalization is order-independent."""
+    seeded = md5int("'1:' || t.tok")
+    sign = f"(CASE WHEN {seeded} % 2 = 0 THEN 1 ELSE -1 END)"
+    return f"""
+WITH tk AS (SELECT doc_id, unnest({tokens(norm('text'))}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM documents),
+idf AS (SELECT tok,
+          (CAST(round(ln((nn.n + 1)::DOUBLE / (df + 1)) * 1e6) AS BIGINT)
+           + 1000000) AS idf_u
+        FROM dfreq, nn),
+contrib AS (
+  SELECT t.doc_id, ({md5int('t.tok')} % {dim}) AS idx,
+         sum({sign} * t.tf * i.idf_u)::BIGINT AS s
+  FROM tf t JOIN idf i USING (tok) GROUP BY 1, 2),
+nrm AS (SELECT doc_id, sum(s::HUGEINT * s)::DOUBLE AS ss FROM contrib GROUP BY 1),
+grid AS (SELECT d.doc_id, i.i AS idx
+         FROM documents d, (SELECT unnest(range(0, {dim})) AS i) i),
+cells AS (
+  SELECT g.doc_id, g.idx,
+    CASE WHEN coalesce(n.ss, 0) > 0
+         THEN round(coalesce(c.s, 0)::DOUBLE / sqrt(n.ss), 6) + 0.0
+         ELSE 0.0 END AS v
+  FROM grid g LEFT JOIN contrib c ON c.doc_id = g.doc_id AND c.idx = g.idx
+  LEFT JOIN nrm n ON n.doc_id = g.doc_id)
+SELECT doc_id, list(v ORDER BY idx) AS embedding FROM cells GROUP BY doc_id"""
+
+
 def q_block_doc_histogram(block: int = 128, eod: int = 1) -> str:
     """Twin of queries.q_block_doc_histogram: distribution of document
     boundaries per training block under the concat-with-EOD layout."""

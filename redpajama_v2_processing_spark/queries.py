@@ -601,6 +601,16 @@ def q_fuzzy_dedup_distributed(spark, sf_dir):
     ).select(F.col("id").alias("doc_id"))
 
 
+def q_doc_embeddings(spark, sf_dir):
+    """In-engine document embeddings: hashed TF-IDF (signed feature
+    hashing, 16 dims for the oracle profile), L2-normalized."""
+    from .operators.embeddings import doc_embeddings
+
+    return doc_embeddings(_docs(spark, sf_dir), "doc_id", dim=16).select(
+        F.col("id").alias("doc_id"), "embedding"
+    )
+
+
 def q_block_doc_histogram(spark, sf_dir):
     """Training-prep monitoring: how many document boundaries land in
     each 128-token block under the concat-with-EOD layout (the
@@ -1479,6 +1489,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dedup": q_substring_dedup,
     "script_ratios": q_script_ratios,
     "block_doc_histogram": q_block_doc_histogram,
+    "doc_embeddings": q_doc_embeddings,
     "span_dedup": q_span_dedup,
     "url_canonicalize": q_url_canonicalize,
     "url_dedup_keep": q_url_dedup_keep,
@@ -1510,7 +1521,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_windows": q_session_windows,
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
     "events_sliding": q_events_sliding,
-    "minhash_bands": q_minhash_bands,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_dedup_keep": q_embedding_dedup_keep,
     # --- implementation changed in r5: re-certify ------------------------
@@ -1540,6 +1550,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_thresholds": q_quality_thresholds,
     # r3-green; the band-bucket grouping is inside every in-window fuzzy query
     "lsh_buckets": q_lsh_buckets,
+    # r3-green; the banding arithmetic is inside every in-window fuzzy keep
+    "minhash_bands": q_minhash_bands,
     "lang_downsample": q_lang_downsample,
     # r3-green single-doc similarity lookup, implementation untouched
     "ngram_jaccard": q_jaccard_vs_query,
@@ -1624,6 +1636,7 @@ ORACLES: dict[str, str] = {
     "substring_dedup": oracle.q_substring_dedup(),
     "script_ratios": oracle.q_script_ratios(),
     "block_doc_histogram": oracle.q_block_doc_histogram(),
+    "doc_embeddings": oracle.q_doc_embeddings(),
     "span_dedup": oracle.q_span_dedup(),
     "url_canonicalize": oracle.q_url_canonicalize(),
     "url_dedup_keep": oracle.q_url_dedup_keep(),

@@ -432,3 +432,32 @@ def test_vocab_coverage_and_oov(spark):
 
     r = oov_rate(docs, vocab_size=2).collect()[0]
     assert (r.total_tokens, r.oov_tokens, r.oov_rate) == (10, 1, 0.1)
+
+
+def test_doc_embeddings_contract(spark):
+    """Unit L2 norm for docs with tokens, zero vector otherwise; equal
+    texts embed identically; partition-count invariant."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from redpajama_v2_processing_spark.operators.embeddings import doc_embeddings
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha  BETA gamma delta"),
+         (2, "totally different words entirely"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    emb = {r.id: list(r.embedding) for r in doc_embeddings(docs, "doc_id", dim=16).collect()}
+    assert all(len(v) == 16 for v in emb.values())
+    for i in (0, 1, 2):
+        assert abs(math.sqrt(sum(x * x for x in emb[i])) - 1.0) < 1e-4
+    assert emb[3] == [0.0] * 16 and emb[4] == [0.0] * 16
+    assert emb[0] == emb[1]  # normalization-equal texts
+    assert emb[0] != emb[2]
+
+    emb2 = {
+        r.id: list(r.embedding)
+        for r in doc_embeddings(docs.repartition(7), "doc_id", dim=16).collect()
+    }
+    assert emb == emb2
