@@ -94,7 +94,7 @@ HEADLINE = [
     "source_quality_report", "encoding_noise", "script_ratios",
     "gopher_filter", "ccnet_pipeline",
     "contamination_report", "dedup_cluster_sizes", "chunk_documents",
-    "token_offsets", "pack_blocks", "block_doc_histogram",
+    "token_offsets", "pack_blocks", "block_doc_histogram", "shard_manifest",
     "scrub_cc_luhn", "temperature_mix",
     "image_meta", "image_pixels", "audio_pcm_stats", "video_frames",
     "quantile_filter", "session_windows",

@@ -154,3 +154,54 @@ def pack_blocks(
             ),
         )
     )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_tokens: int = 128,
+    eod_tokens: int = 1,
+    blocks_per_shard: int = 64,
+) -> DataFrame:
+    """DF(shard_idx, n_blocks, n_docs, first_block, last_block): the
+    training-shard accounting table (WebDataset/Megatron-style manifest)
+    over the concat-with-EOD block layout — shard = ``blocks_per_shard``
+    consecutive training blocks.
+
+    One grouped aggregation over the pack_blocks frame (map-side
+    combinable); the manifest is shards-sized. ``n_docs`` counts
+    documents with at least one token in the shard (doc spans crossing a
+    shard boundary count in every shard they touch — the consumer-side
+    dedup key is (shard, doc))."""
+    pb = pack_blocks(docs, id_col, text_col, block_tokens, eod_tokens)
+    sh = pb.withColumn("shard_idx", F.expr(f"block_idx div {blocks_per_shard}"))
+    return sh.groupBy("shard_idx").agg(
+        F.count_distinct("block_idx").cast("long").alias("n_blocks"),
+        F.count_distinct("id").cast("long").alias("n_docs"),
+        F.min("block_idx").cast("long").alias("first_block"),
+        F.max("block_idx").cast("long").alias("last_block"),
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    id_col: str,
+    dest: str,
+    text_col: str = "text",
+    block_tokens: int = 128,
+    eod_tokens: int = 1,
+    blocks_per_shard: int = 64,
+) -> None:
+    """Write the (doc, block) span table partitioned by shard_idx plus a
+    ``_manifest`` parquet of per-shard stats — the handoff layout a
+    training loader consumes (read one shard directory = one contiguous
+    token range). Partitioned write keeps each shard's rows co-located;
+    the manifest is tiny and written last so its presence marks a
+    complete layout."""
+    pb = pack_blocks(docs, id_col, text_col, block_tokens, eod_tokens)
+    sh = pb.withColumn("shard_idx", F.expr(f"block_idx div {blocks_per_shard}"))
+    sh.write.mode("overwrite").partitionBy("shard_idx").parquet(f"{dest}/blocks")
+    shard_manifest(
+        docs, id_col, text_col, block_tokens, eod_tokens, blocks_per_shard
+    ).write.mode("overwrite").parquet(f"{dest}/_manifest")

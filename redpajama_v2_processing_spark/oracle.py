@@ -1230,6 +1230,18 @@ SELECT {vocab_size}::BIGINT AS vocab_size,
     / (SELECT sum(cnt) FROM c), 6) + 0.0) AS oov_rate"""
 
 
+def q_shard_manifest(block: int = 128, eod: int = 1, per_shard: int = 64) -> str:
+    """Twin of functions/chunking.shard_manifest."""
+    return f"""
+WITH pb AS ({q_pack_blocks(block, eod)})
+SELECT (block_idx // {per_shard})::BIGINT AS shard_idx,
+  count(DISTINCT block_idx)::BIGINT AS n_blocks,
+  count(DISTINCT doc_id)::BIGINT AS n_docs,
+  min(block_idx)::BIGINT AS first_block,
+  max(block_idx)::BIGINT AS last_block
+FROM pb GROUP BY 1"""
+
+
 def q_doc_embeddings(dim: int = 16) -> str:
     """Twin of operators/embeddings.doc_embeddings: hashed TF-IDF with
     signed feature hashing, exact-integer cells, HUGEINT sum of squares

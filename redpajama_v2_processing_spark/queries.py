@@ -601,6 +601,14 @@ def q_fuzzy_dedup_distributed(spark, sf_dir):
     ).select(F.col("id").alias("doc_id"))
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Training-shard manifest over the packed-block layout (64 blocks
+    per shard)."""
+    from .functions.chunking import shard_manifest
+
+    return shard_manifest(_docs(spark, sf_dir), "doc_id")
+
+
 def q_doc_embeddings(spark, sf_dir):
     """In-engine document embeddings: hashed TF-IDF (signed feature
     hashing, 16 dims for the oracle profile), L2-normalized."""
@@ -1490,6 +1498,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "script_ratios": q_script_ratios,
     "block_doc_histogram": q_block_doc_histogram,
     "doc_embeddings": q_doc_embeddings,
+    "shard_manifest": q_shard_manifest,
     "span_dedup": q_span_dedup,
     "url_canonicalize": q_url_canonicalize,
     "url_dedup_keep": q_url_dedup_keep,
@@ -1521,7 +1530,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_windows": q_session_windows,
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
     "events_sliding": q_events_sliding,
-    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_dedup_keep": q_embedding_dedup_keep,
     # --- implementation changed in r5: re-certify ------------------------
     "perplexity": q_perplexity,
@@ -1552,6 +1560,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_buckets": q_lsh_buckets,
     # r3-green; the banding arithmetic is inside every in-window fuzzy keep
     "minhash_bands": q_minhash_bands,
+    # r3-green diagnostics-only pairs API; the in-window embedding_dedup_keep
+    # exercises the same banding + CC path end-to-end
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "lang_downsample": q_lang_downsample,
     # r3-green single-doc similarity lookup, implementation untouched
     "ngram_jaccard": q_jaccard_vs_query,
@@ -1637,6 +1648,7 @@ ORACLES: dict[str, str] = {
     "script_ratios": oracle.q_script_ratios(),
     "block_doc_histogram": oracle.q_block_doc_histogram(),
     "doc_embeddings": oracle.q_doc_embeddings(),
+    "shard_manifest": oracle.q_shard_manifest(),
     "span_dedup": oracle.q_span_dedup(),
     "url_canonicalize": oracle.q_url_canonicalize(),
     "url_dedup_keep": oracle.q_url_dedup_keep(),

@@ -136,3 +136,33 @@ def test_lang_ratio_downsample_deterministic_and_ratioed(spark):
     a = sorted(r.doc_id for r in out.collect())
     b = sorted(r.doc_id for r in lang_ratio_downsample(df, ratios={"en": 0.25}, default_ratio=1.0).collect())
     assert a == b
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    """Partitioned shard layout + manifest agree with the relational
+    manifest query; blocks inside a shard stay within its block range."""
+    from pyspark.sql import functions as F
+
+    from redpajama_v2_processing_spark.functions.chunking import (
+        shard_manifest, write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dest = str(tmp_path / "shards")
+    write_training_shards(docs, "doc_id", dest, blocks_per_shard=64)
+
+    blocks = spark.read.parquet(f"{dest}/blocks")
+    manifest = {r.shard_idx: r for r in spark.read.parquet(f"{dest}/_manifest").collect()}
+    rel = {r.shard_idx: r for r in shard_manifest(docs, "doc_id").collect()}
+    assert set(manifest) == set(rel)
+    for k, r in rel.items():
+        assert manifest[k].n_blocks == r.n_blocks
+        assert manifest[k].n_docs == r.n_docs
+    got = blocks.groupBy("shard_idx").agg(
+        F.count_distinct("block_idx").alias("nb"),
+        F.min("block_idx").alias("fb"), F.max("block_idx").alias("lb"),
+    )
+    for r in got.collect():
+        m = manifest[r.shard_idx]
+        assert (r.nb, r.fb, r.lb) == (m.n_blocks, m.first_block, m.last_block)
+        assert r.fb >= r.shard_idx * 64 and r.lb < (r.shard_idx + 1) * 64
