@@ -202,6 +202,14 @@ def write_training_shards(
     pb = pack_blocks(docs, id_col, text_col, block_tokens, eod_tokens)
     sh = pb.withColumn("shard_idx", F.expr(f"block_idx div {blocks_per_shard}"))
     sh.write.mode("overwrite").partitionBy("shard_idx").parquet(f"{dest}/blocks")
-    shard_manifest(
-        docs, id_col, text_col, block_tokens, eod_tokens, blocks_per_shard
+    # the manifest MUST describe the rows actually written (re-deriving it
+    # from ``docs`` would both recompute the whole prefix-scan chain and
+    # certify blocks that may not match if the source moved between the
+    # two actions) — aggregate the read-back of the committed layout
+    written = docs.sparkSession.read.parquet(f"{dest}/blocks")
+    written.groupBy("shard_idx").agg(
+        F.count_distinct("block_idx").cast("long").alias("n_blocks"),
+        F.count_distinct("id").cast("long").alias("n_docs"),
+        F.min("block_idx").cast("long").alias("first_block"),
+        F.max("block_idx").cast("long").alias("last_block"),
     ).write.mode("overwrite").parquet(f"{dest}/_manifest")

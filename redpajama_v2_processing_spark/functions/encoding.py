@@ -81,7 +81,9 @@ def encoding_noise_filter(
 # (\p{IsHan} vs \p{Han}).
 
 SCRIPT_RANGES: dict[str, str] = {
-    "latin": r"[A-Za-zÀ-ɏ]",
+    # U+00D7 × and U+00F7 ÷ sit inside Latin-1's letter block but are
+    # math signs, not letters — the range splits around them
+    "latin": r"[A-Za-zÀ-ÖØ-öø-ɏ]",
     "cyrillic": r"[Ѐ-ӿ]",
     "greek": r"[Ͱ-Ͽ]",
     "arabic": r"[؀-ۿ]",

@@ -53,7 +53,14 @@ def doc_embeddings(
         F.col(id_col).alias("id"),
         F.explode(tokens(normalize(F.col(text_col)))).alias("tok"),
     )
-    tf = tk.groupBy("id", "tok").agg(F.count("*").alias("tf"))
+    # tf feeds both the df/idf branch and the contribution join; checkpoint
+    # the (doc, token)-sized table so the corpus explode runs once
+    # (Catalyst does not share subplans — same convention as vocab.py)
+    tf = (
+        tk.groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n = ids.agg(F.count("*").alias("_n"))
     idf = dfreq.crossJoin(F.broadcast(n)).select(

@@ -329,11 +329,17 @@ def incremental_fuzzy_keep_ids(
         if history is None:
             raise ValueError("need history or history_bands")
         history_bands = band_key_index(history, id_col, text_col, cfg, base)
-    nb = minhash_bands(new_docs, id_col, text_col, cfg, base)
+    # nb feeds the hit probe AND the survivor frame; hit feeds the
+    # survivor frame AND the keep ids. Catalyst does not share subplans,
+    # so checkpoint both (nb's shingle+banding chain is the dominant cost)
+    nb = minhash_bands(new_docs, id_col, text_col, cfg, base).localCheckpoint(
+        eager=True
+    )
     hit = (
         nb.join(history_bands, ["band_idx", "band_hash"], "left_semi")
         .select("id")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     surv_bands = nb.join(hit, "id", "left_anti")
     edges = (

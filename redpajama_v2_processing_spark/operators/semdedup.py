@@ -48,17 +48,36 @@ from .ann import kmeans_centroids
 from .connected_components import connected_components
 
 
+def _modal_dim(embeddings: DataFrame, vec_col: str) -> int:
+    """Most common vector length (ties to the smaller), or -1 if every
+    vector is null. One tiny grouped count + a single-row driver fetch —
+    the same driver-scalar budget as the CC round counter."""
+    row = (
+        embeddings.where(F.col(vec_col).isNotNull())
+        .groupBy(F.size(F.col(vec_col)).alias("_d"))
+        .count()
+        .orderBy(F.col("count").desc(), F.col("_d").asc())
+        .first()
+    )
+    return -1 if row is None else row["_d"]
+
+
 def semdedup_assign(
     embeddings: DataFrame,
     k_cells: int = 8,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """DF(id, cid, ccos): each well-formed vector's trained k-means cell
     plus its rounded cosine to that cell's centroid (the keep-rule
     statistic).
+
+    ``dim`` defaults to the MODAL vector length in the data (inferred by
+    one tiny grouped count — pass it explicitly to skip the extra job):
+    a fixed default would silently classify EVERY vector malformed on a
+    corpus of a different width and disable dedup entirely.
 
     Malformed vectors (null or wrong length) are EXCLUDED before
     training and assignment — same contract as banded_keys_frame
@@ -74,6 +93,8 @@ def semdedup_assign(
     ``min_by`` over (-cos, cid) = max cosine, ties to the smallest cid,
     the same assignment the Lloyd iterations themselves use).
     """
+    if dim is None:
+        dim = _modal_dim(embeddings, vec_col)
     ok = embeddings.where(F.size(F.col(vec_col)) == dim)
     emb = ok.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
@@ -101,12 +122,13 @@ def semdedup_keep(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """DF(id): the SemDeDup keep-list — one representative per semantic
     duplicate group (the member with the lowest centroid cosine, ties to
-    the smaller id), singletons kept. Malformed vectors (null / wrong
-    length) never enter the cell structure and are kept as singletons
+    the smaller id), singletons kept. ``dim`` defaults to the modal
+    vector length (see ``semdedup_assign``). Malformed vectors (null /
+    wrong length) never enter the cell structure and are kept as singletons
     (see semdedup_assign's guard).
 
     The assignment frame feeds three consumers (both self-join sides and

@@ -61,21 +61,16 @@ def span_frame(
     """DF(id, p, h): one row per n-line span — start position ``p`` (0-based
     line index) and span hash ``h``. Docs with fewer than ``n`` lines emit
     nothing."""
+    from ..functions.text import _zip_ngrams
+
     ln = df.select(
         F.col(id_col).alias("id"),
         lines(F.col(text_col)).alias("_ls"),
     ).where(F.size("_ls") >= n)
-    # n-line spans via the zip_with n-gram formulation (linear under
-    # Catalyst; see functions/text.py:45)
-    cur = F.col("_ls")
-    for k in range(1, n):
-        cur = F.zip_with(
-            cur,
-            F.slice("_ls", k + 1, F.size("_ls")),
-            lambda a, b: F.concat(a, F.lit(_SEP), b),
-        )
+    # n-line spans via the shared zip_with n-gram helper (linear under
+    # Catalyst; see functions/text._zip_ngrams for why)
     spans = ln.select(
-        "id", F.posexplode(F.array_compact(cur)).alias("p", "_s")
+        "id", F.posexplode(_zip_ngrams(F.col("_ls"), n, _SEP)).alias("p", "_s")
     )
     return spans.select("id", "p", md5int(F.col("_s")).alias("h"))
 
@@ -170,20 +165,13 @@ def substring_frame(
     """DF(id, p, h): one row per n-TOKEN window — the ExactSubstr unit
     (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     Better"). Docs shorter than n tokens emit nothing."""
-    from ..functions.text import tokens
+    from ..functions.text import _zip_ngrams, tokens
 
     tk = df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_ls")
     ).where(F.size("_ls") >= n)
-    cur = F.col("_ls")
-    for k in range(1, n):
-        cur = F.zip_with(
-            cur,
-            F.slice("_ls", k + 1, F.size("_ls")),
-            lambda a, b: F.concat(a, F.lit(_SEP), b),
-        )
     spans = tk.select(
-        "id", F.posexplode(F.array_compact(cur)).alias("p", "_s")
+        "id", F.posexplode(_zip_ngrams(F.col("_ls"), n, _SEP)).alias("p", "_s")
     )
     return spans.select("id", "p", md5int(F.col("_s")).alias("h"))
 

@@ -936,7 +936,7 @@ def q_semdedup_keep(spark, sf_dir):
 
     return semdedup_keep(
         _augmented_embeddings(spark, sf_dir), EMB_NEAR_DUP_THRESHOLD,
-        k_cells=8, iters=3,
+        k_cells=8, iters=3, dim=64,
     ).select(F.col("id").alias("vec_id"))
 
 

@@ -217,8 +217,11 @@ def stream_incremental_dedup(
     (operators/exact_dedup.incremental_exact_keep).
 
     ``history_keys`` is a static one-column DF(fingerprint) of the
-    accepted corpus's content fingerprints (in production the index
-    table maintained per accepted crawl). Two stages per micro-batch:
+    accepted corpus's content fingerprints — the SAME bigint
+    ``fingerprint_int`` the batch tier indexes, so one history table
+    serves both (a type mismatch would null-cast and silently disable
+    every history drop; keeping the key type shared prevents it). Two
+    stages per micro-batch:
 
     * stream-static ``left_anti`` join — pages whose fingerprint exists
       in history never leave the batch. Stateless: the static side is
@@ -237,12 +240,18 @@ def stream_incremental_dedup(
     batch star-edge + CC pass remains the periodic compaction, as
     documented on ``stream_simhash_dedup``.
     """
-    from ..functions.text import fingerprint_hex
+    from ..functions.text import fingerprint_int
 
     hist = history_keys.toDF("fingerprint").distinct()
+    if dict(hist.dtypes)["fingerprint"] != "bigint":
+        raise TypeError(
+            "history_keys must carry bigint fingerprint_int values "
+            f"(got {dict(hist.dtypes)['fingerprint']}) — a mismatched type "
+            "would null-cast in the join and silently drop nothing"
+        )
     pages = read_pages_stream(spark, input_dir)
     deduped = (
-        pages.withColumn("fingerprint", fingerprint_hex(F.col("text")))
+        pages.withColumn("fingerprint", fingerprint_int(F.col("text")))
         .join(hist, "fingerprint", "left_anti")
         .withWatermark("warc_ts", watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])

@@ -671,7 +671,7 @@ def test_stream_incremental_dedup_against_history(spark, tmp_path):
     the same split."""
     import datetime
 
-    from redpajama_v2_processing_spark.functions.text import fingerprint_hex
+    from redpajama_v2_processing_spark.functions.text import fingerprint_int
     from redpajama_v2_processing_spark.streaming.ingest import (
         stream_incremental_dedup,
     )
@@ -693,7 +693,7 @@ def test_stream_incremental_dedup_against_history(spark, tmp_path):
          page("https://new/4", "fresh content two")],   # kept
         schema).write.parquet(src_dir)
 
-    hist_keys = history.select(fingerprint_hex(F.col("text")))
+    hist_keys = history.select(fingerprint_int(F.col("text")))
     out_dir = str(tmp_path / "inc_out")
     q = stream_incremental_dedup(
         spark, src_dir, hist_keys, out_dir, str(tmp_path / "ckpt_inc")

@@ -121,3 +121,27 @@ def test_semdedup_malformed_vector_guard(spark):
     )
     base = sorted(r.id for r in semdedup_keep(df, 0.95, k_cells=4, iters=2).collect())
     assert kept == sorted(base + [999])
+
+
+def test_text_to_semdedup_chain_in_engine(spark):
+    """The closed loop: text -> doc_embeddings -> semdedup_keep with no
+    external model. Normalization-equal texts embed identically, so one
+    of each identical pair is dropped; distinct texts survive."""
+    from redpajama_v2_processing_spark.operators.embeddings import doc_embeddings
+    from redpajama_v2_processing_spark.operators.semdedup import semdedup_keep
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon"),
+         (1, "ALPHA beta   gamma delta epsilon"),   # dup of 0
+         (2, "totally different words entirely here"),
+         (3, "yet another unique document body text")],
+        "doc_id long, text string",
+    )
+    emb = doc_embeddings(docs, "doc_id", dim=16).select(
+        F.col("id").alias("vec_id"), F.col("embedding")
+    )
+    kept = sorted(
+        r.id for r in semdedup_keep(emb, 0.99, k_cells=2, iters=2, dim=16).collect()
+    )
+    assert 2 in kept and 3 in kept
+    assert len([i for i in kept if i in (0, 1)]) == 1
