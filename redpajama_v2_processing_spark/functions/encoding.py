@@ -110,3 +110,47 @@ def with_script_ratios(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn(
         "letter_ratio", F.round(total / denom, NOISE_ROUND) + 0.0
     )
+
+
+# declared-language -> expected script class (the CCNet-style sanity
+# gate: a page labeled zh with no CJK characters is mislabeled or spam)
+LANG_SCRIPT: dict[str, str] = {
+    "en": "latin", "es": "latin", "de": "latin", "fr": "latin",
+    "it": "latin", "pt": "latin", "nl": "latin", "sv": "latin",
+    "ru": "cyrillic", "uk": "cyrillic", "bg": "cyrillic",
+    "el": "greek",
+    "ar": "arabic", "fa": "arabic", "ur": "arabic",
+    "hi": "devanagari", "mr": "devanagari", "ne": "devanagari",
+    "zh": "cjk", "ja": "cjk", "ko": "cjk",
+}
+
+MISMATCH_MIN_RATIO = 0.3
+
+
+def with_lang_script_check(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    min_ratio: float = MISMATCH_MIN_RATIO,
+) -> DataFrame:
+    """Append expected_script, expected_ratio and script_mismatch: does
+    the declared language's script actually carry >= ``min_ratio`` of
+    the text's code points? Languages outside LANG_SCRIPT (or null) get
+    expected_script 'unknown' and are never flagged — the gate only
+    judges what it has a mapping for. Pure codegen on top of
+    ``with_script_ratios``."""
+    sig = with_script_ratios(docs, text_col)
+    lang = F.col(lang_col)
+    exp = F.lit("unknown")
+    for code, script in LANG_SCRIPT.items():
+        exp = F.when(lang == code, F.lit(script)).otherwise(exp)
+    out = sig.withColumn("expected_script", exp)
+    ratio = F.lit(None).cast("double")
+    for script in sorted(set(LANG_SCRIPT.values())):
+        ratio = F.when(
+            F.col("expected_script") == script, F.col(f"{script}_ratio")
+        ).otherwise(ratio)
+    return out.withColumn("expected_ratio", ratio).withColumn(
+        "script_mismatch",
+        F.coalesce(F.col("expected_ratio") < F.lit(min_ratio), F.lit(False)),
+    )

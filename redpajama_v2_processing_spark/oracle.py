@@ -1078,6 +1078,36 @@ SELECT doc_id,
 FROM documents"""
 
 
+def q_lang_script_mismatch() -> str:
+    """Twin of functions/encoding.with_lang_script_check."""
+    from .functions.encoding import (
+        LANG_SCRIPT, MISMATCH_MIN_RATIO, SCRIPT_RANGES,
+    )
+
+    ratio = {
+        name: f"(round(coalesce(len(regexp_extract_all(text, '{p}')), 0)::DOUBLE"
+              f" / greatest(coalesce(length(text), 0), 1), 6) + 0.0)"
+        for name, p in SCRIPT_RANGES.items()
+    }
+    exp_cases = " ".join(
+        f"WHEN lang = '{c}' THEN '{s}'" for c, s in LANG_SCRIPT.items()
+    )
+    ratio_cases = " ".join(
+        f"WHEN expected_script = '{s}' THEN {ratio[s]}"
+        for s in sorted(set(LANG_SCRIPT.values()))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+    CASE {exp_cases} ELSE 'unknown' END AS expected_script
+  FROM documents)
+SELECT doc_id, lang, expected_script,
+  (CASE {ratio_cases} ELSE NULL END) AS expected_ratio,
+  coalesce((CASE {ratio_cases} ELSE NULL END) < {MISMATCH_MIN_RATIO}, FALSE)
+    AS script_mismatch
+FROM base"""
+
+
 def q_quality_thresholds(cols=("number_of_words", "mean_word_length", "stop_word_fraction"),
                          p_low: float = 0.10, p_high: float = 0.90) -> str:
     aggs = ", ".join(

@@ -437,3 +437,26 @@ def test_script_ratios_multilingual(spark):
     assert sig[2].latin_ratio == round(4 / 8, 6)
     assert sig[3].letter_ratio == 0.0
     assert sig[4].letter_ratio == 0.0
+
+
+def test_lang_script_mismatch_gate(spark):
+    from redpajama_v2_processing_spark.functions.encoding import (
+        with_lang_script_check,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "plain english words here", "en"),      # consistent
+            (1, "plain english words here", "zh"),      # declared zh, no CJK
+            (2, "日本語のテキストです", "ja"),             # consistent CJK
+            (3, "plain text", "xx"),                    # unmapped lang
+            (4, None, "en"),                            # null text -> ratio 0
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in with_lang_script_check(docs).collect()}
+    assert out[0].script_mismatch is False and out[0].expected_script == "latin"
+    assert out[1].script_mismatch is True and out[1].expected_script == "cjk"
+    assert out[2].script_mismatch is False
+    assert out[3].expected_script == "unknown" and out[3].script_mismatch is False
+    assert out[4].script_mismatch is True  # a null 'en' doc carries no latin
