@@ -166,3 +166,38 @@ def test_write_training_shards_layout(spark, tmp_path):
         m = manifest[r.shard_idx]
         assert (r.nb, r.fb, r.lb) == (m.n_blocks, m.first_block, m.last_block)
         assert r.fb >= r.shard_idx * 64 and r.lb < (r.shard_idx + 1) * 64
+
+
+def test_wet_roundtrip_plain_gzip_and_torn(spark, tmp_path):
+    """synth_wet_bytes -> read_wet recovers every conversion record
+    (warcinfo skipped) from plain AND gzip'd files; a torn trailing
+    record is skipped, not fatal."""
+    from redpajama_v2_processing_spark.sources.warc import (
+        parse_warc_records, read_wet, synth_wet_bytes,
+    )
+
+    recs = [
+        ("https://a.example/1", "2024-01-01T00:00:00Z", "hello world one"),
+        ("https://b.example/2", "2024-01-02T12:30:00Z", "unicode ü text"),
+        ("https://c.example/3", "2024-01-03T23:59:59Z", "third body"),
+    ]
+    raw = synth_wet_bytes(recs)
+    (tmp_path / "wet").mkdir()
+    (tmp_path / "wet" / "a.warc.wet").write_bytes(raw)
+    (tmp_path / "wet" / "b.warc.wet.gz").write_bytes(
+        synth_wet_bytes(recs[:1], compress=True)
+    )
+
+    df = read_wet(spark, str(tmp_path / "wet"))
+    rows = sorted(
+        ((r.url, str(r.warc_ts), r.text) for r in df.collect())
+    )
+    assert len(rows) == 4  # 3 plain + 1 gz; warcinfo records skipped
+    assert rows[0] == ("https://a.example/1", "2024-01-01 00:00:00", "hello world one")
+    assert rows[1] == ("https://a.example/1", "2024-01-01 00:00:00", "hello world one")
+    assert rows[2][2] == "unicode ü text"
+
+    # torn trailing payload: earlier records survive, the cut one drops
+    torn = raw[:-20]
+    got = parse_warc_records(torn, want_types=("conversion",))
+    assert [g[0] for g in got] == ["https://a.example/1", "https://b.example/2"]
