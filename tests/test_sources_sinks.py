@@ -201,3 +201,29 @@ def test_wet_roundtrip_plain_gzip_and_torn(spark, tmp_path):
     torn = raw[:-20]
     got = parse_warc_records(torn, want_types=("conversion",))
     assert [g[0] for g in got] == ["https://a.example/1", "https://b.example/2"]
+
+
+def test_wet_to_pipeline_seam(spark, tmp_path):
+    """From-crawl path: WET bytes -> read_wet -> label_documents ->
+    exact dedup — the full ingest seam with no intermediate format."""
+    from redpajama_v2_processing_spark.operators.exact_dedup import exact_keep_ids
+    from redpajama_v2_processing_spark.plans.pipeline import label_documents
+    from redpajama_v2_processing_spark.sources.warc import (
+        read_wet, synth_wet_bytes,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog " * 8
+    recs = [
+        ("https://x.example/a", "2024-02-01T00:00:00Z", body),
+        ("https://x.example/b", "2024-02-01T01:00:00Z", body),  # exact dup
+        ("https://x.example/c", "2024-02-01T02:00:00Z", "短い"),
+    ]
+    (tmp_path / "crawl").mkdir()
+    (tmp_path / "crawl" / "f.warc.wet").write_bytes(synth_wet_bytes(recs))
+
+    pages = read_wet(spark, str(tmp_path / "crawl"))
+    labeled = label_documents(pages, id_col="url")
+    rows = {r.url: r for r in labeled.collect()}
+    assert len(rows) == 3 and all(r.drop_reason is not None for r in rows.values())
+    kept = sorted(r.url for r in exact_keep_ids(pages, "url").collect())
+    assert kept == ["https://x.example/a", "https://x.example/c"]
