@@ -118,3 +118,49 @@ def filter_fuzzy_duplicates(
     semi-join that preserves every docs column."""
     keep_ids = keep.select(F.col("id").alias(doc_id_col))
     return docs.join(keep_ids, doc_id_col, "left_semi")
+
+
+def export_rpv2_signatures(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    cfg=None,
+    base: str = "md5",
+    sim_level: str = "0.8",
+    shard_id: str = "shard-0",
+) -> DataFrame:
+    """The WRITE side of the interop: our minhash banding packed into the
+    reference's pre-banded parquet layout ``(shard_id, id, id_int,
+    signature_sim{level}: list<binary>)`` (src/minhashlsh_partial.py:148)
+    — element b of the list is band b's digest, band identity positional.
+    A corpus exported here and read back through ``read_rpv2_signatures``
+    -> ``rpv2_keep_ids`` yields the exact keep-set of running
+    ``fuzzy_dedup_keep_ids`` directly (tested), so signatures can be
+    computed once on this engine and deduplicated by either side.
+
+    Digests are the band hash as 8 fixed bytes (big-endian via
+    lpad(hex)); unsignable docs (null text) export a NULL signature —
+    the reference's null-signature convention. One grouped sort-collect
+    per doc; nothing leaves the executors.
+    """
+    from ..config import ORACLE_MINHASH
+    from ..operators.minhash_lsh import minhash_bands
+
+    if cfg is None:
+        cfg = ORACLE_MINHASH
+    bands = minhash_bands(docs, id_col, text_col, cfg, base)
+    packed = bands.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("band_idx", "band_hash"))),
+            lambda s: F.to_binary(
+                F.lpad(F.hex(s["band_hash"]), 16, "0"), F.lit("hex")
+            ),
+        ).alias("signature")
+    )
+    ids = docs.select(F.col(id_col).alias("id"))
+    return ids.join(packed, "id", "left").select(
+        F.lit(shard_id).alias("shard_id"),
+        F.col("id").cast("string").alias("id"),
+        F.col("id").cast("long").alias("id_int"),
+        F.col("signature").alias(f"signature_sim{sim_level}"),
+    )

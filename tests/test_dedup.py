@@ -355,3 +355,28 @@ def test_incremental_fuzzy_self_history_drops_signable(spark):
         r.id for r in incremental_fuzzy_keep_ids(docs, docs, "doc_id").collect()
     )
     assert kept == [2]
+
+
+def test_rpv2_signature_export_roundtrip(spark, tmp_path):
+    """Signatures exported in the reference's pre-banded layout and read
+    back through the interop reader reproduce the EXACT keep-set of
+    running the fuzzy dedup directly on text."""
+    from redpajama_v2_processing_spark.sources.rpv2 import (
+        export_rpv2_signatures, read_rpv2_signatures, rpv2_keep_ids,
+    )
+
+    docs = _chain_docs(spark).unionByName(
+        _id_docs(spark, [(9, None)])  # unsignable -> null signature
+    )
+    out = str(tmp_path / "sigs")
+    exported = export_rpv2_signatures(docs, "doc_id")
+    assert exported.columns == ["shard_id", "id", "id_int", "signature_sim0.8"]
+    exported.write.parquet(out)
+
+    sigs = read_rpv2_signatures(spark, out, "0.8")
+    kept = sorted(r.id for r in rpv2_keep_ids(sigs).collect())
+    direct = sorted(
+        str(r.id) for r in fuzzy_dedup_keep_ids(docs, "doc_id").collect()
+    )
+    assert kept == direct
+    assert "9" in kept  # null-signature doc survives both paths
