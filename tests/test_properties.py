@@ -267,3 +267,81 @@ def test_ngram_jaccard_matches_python_model(spark, texts):
         ).collect()
     }
     assert got == expected
+
+
+def test_substring_dedup_conservation_properties(spark):
+    """Output never gains tokens; removal count + kept count == input
+    token count per doc (conservation over the sf0.001 corpus)."""
+    from redpajama_v2_processing_spark.functions.text import normalize, tokens
+    from redpajama_v2_processing_spark.operators.span_dedup import substring_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = substring_dedup(docs, "doc_id")
+    joined = out.join(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.size(F.coalesce(tokens(normalize(F.col("text"))),
+                              F.array().cast("array<string>"))).alias("n_in"),
+        ),
+        "id",
+    )
+    bad = joined.where(
+        F.size(F.coalesce(tokens(F.col("clean_text")),
+                          F.array().cast("array<string>")))
+        + F.col("n_removed_tokens") != F.col("n_in")
+    ).count()
+    assert bad == 0
+
+
+def test_vocab_coverage_monotonicity(spark):
+    """Coverage is non-decreasing in rank and bounded by 1; counts are
+    non-increasing in rank."""
+    from redpajama_v2_processing_spark.operators.vocab import vocab_coverage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sorted(vocab_coverage(docs).collect(), key=lambda r: r.rank)
+    assert all(rows[i].coverage <= rows[i + 1].coverage + 1e-9
+               for i in range(len(rows) - 1))
+    assert all(rows[i].cnt >= rows[i + 1].cnt for i in range(len(rows) - 1))
+    assert rows[-1].coverage <= 1.0
+
+
+def test_script_ratios_bounded_and_additive(spark):
+    """Every ratio lies in [0, 1] and the disjoint script ratios sum to
+    letter_ratio within per-column rounding error."""
+    from redpajama_v2_processing_spark.functions.encoding import (
+        SCRIPT_RANGES, with_script_ratios,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = with_script_ratios(docs)
+    cols = [f"{n}_ratio" for n in SCRIPT_RANGES] + ["letter_ratio"]
+    for c in cols:
+        assert sig.where((F.col(c) < 0) | (F.col(c) > 1)).count() == 0
+    tol = 5e-7 * (len(SCRIPT_RANGES) + 1)
+    drift = sig.where(
+        F.abs(sum(F.col(f"{n}_ratio") for n in SCRIPT_RANGES)
+              - F.col("letter_ratio")) > tol
+    ).count()
+    assert drift == 0
+
+
+def test_incremental_exact_keep_disjoint_from_history(spark):
+    """No kept crawl doc shares a fingerprint with history (the defining
+    invariant of the incremental tier), checked on the real corpus."""
+    from redpajama_v2_processing_spark.functions.text import fingerprint_int
+    from redpajama_v2_processing_spark.operators.exact_dedup import (
+        incremental_exact_keep,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    history = docs.where(F.col("doc_id") % 4 == 0)
+    new = docs.where(F.col("doc_id") % 4 != 0)
+    kept = incremental_exact_keep(new, history, "doc_id")
+    overlap = (
+        new.join(kept, "doc_id", "left_semi")
+        .select(fingerprint_int(F.col("text")).alias("fp"))
+        .join(history.select(fingerprint_int(F.col("text")).alias("fp")), "fp")
+        .count()
+    )
+    assert overlap == 0
