@@ -89,7 +89,8 @@ HEADLINE = [
     "url_canonicalize", "url_dedup_keep", "token_budget_mix",
     "quality_classifier_scores", "paragraph_dedup", "bloom_anti_join",
     "url_blocklist", "fineweb_filter", "semdedup_keep",
-    "ngram_jaccard_dedup_keep", "incremental_fuzzy_keep",
+    "ngram_jaccard_dedup_keep", "jaccard_sim_histogram",
+    "incremental_fuzzy_keep",
     "incremental_exact_keep", "vocab_coverage", "oov_rate",
     "source_quality_report", "encoding_noise", "script_ratios",
     "lang_script_mismatch",

@@ -2122,6 +2122,17 @@ def q_ngram_jaccard_pairs(n: int = 3, threshold: float = 0.6,
             f"SELECT src, dst, jaccard FROM jac WHERE jaccard >= {threshold}")
 
 
+def q_jaccard_sim_histogram(n: int = 3, max_df: int = 10) -> str:
+    """Twin of queries.q_jaccard_sim_histogram: candidate-pair exact
+    similarities bucketed to 5-percent bins (round-then-int keeps the
+    bin cut integer-exact in both engines)."""
+    return f"""
+WITH {_jaccard_ctes(n, max_df)}
+SELECT ((round(jaccard * 100)::INT // 5) * 5) AS sim_pct_bucket,
+       count(*)::BIGINT AS n_pairs
+FROM jac GROUP BY 1"""
+
+
 def q_ngram_jaccard_dedup_keep(n: int = 3, threshold: float = 0.6,
                                max_df: int = 10) -> str:
     """Twin of operators/jaccard_dedup.ngram_jaccard_dedup_keep:

@@ -642,6 +642,21 @@ def q_script_ratios(spark, sf_dir):
     return with_script_ratios(_docs(spark, sf_dir)).select("doc_id", *cols)
 
 
+def q_jaccard_sim_histogram(spark, sf_dir):
+    """Dedup threshold-tuning surface: exact Jaccard of every rare-gram
+    candidate pair, bucketed to 5-percent bins — where does the
+    near-dup similarity mass sit relative to the 0.6/0.8 cuts."""
+    from .operators.jaccard_dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.0)
+    bucket = (
+        F.expr("cast(round(jaccard * 100) as int) div 5") * 5
+    ).alias("sim_pct_bucket")
+    return pairs.select(bucket).groupBy("sim_pct_bucket").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+
+
 def q_lang_script_mismatch(spark, sf_dir):
     """CCNet-style declared-lang vs script sanity gate: flag docs whose
     declared language's script carries < 30% of the text (the synthetic
@@ -1555,6 +1570,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5-new but window-excess (all 50 slots hold first-time r5 rows or
     # judge-requested rotations); certified locally at sf0.001/0.01/50k
     "lang_script_mismatch": q_lang_script_mismatch,
+    "jaccard_sim_histogram": q_jaccard_sim_histogram,
     "audio_pcm_stats": q_audio_pcm_stats,
     # parked to make window room (multiply certified — r3/r4 + pytest —
     # same machinery as in-window siblings, implementations untouched):
@@ -1664,6 +1680,7 @@ ORACLES: dict[str, str] = {
     "doc_embeddings": oracle.q_doc_embeddings(),
     "shard_manifest": oracle.q_shard_manifest(),
     "lang_script_mismatch": oracle.q_lang_script_mismatch(),
+    "jaccard_sim_histogram": oracle.q_jaccard_sim_histogram(),
     "span_dedup": oracle.q_span_dedup(),
     "url_canonicalize": oracle.q_url_canonicalize(),
     "url_dedup_keep": oracle.q_url_dedup_keep(),

@@ -236,7 +236,8 @@ def test_round5_queries_stay_jvm_side(spark):
                  "incremental_exact_keep", "vocab_coverage", "oov_rate",
                  "source_quality_report", "encoding_noise",
                  "substring_dedup", "script_ratios", "block_doc_histogram",
-                 "doc_embeddings", "shard_manifest", "lang_script_mismatch"]:
+                 "doc_embeddings", "shard_manifest", "lang_script_mismatch",
+                 "jaccard_sim_histogram"]:
         plan = _physical(Q.QUERIES[name](spark, sf))
         assert "EvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
