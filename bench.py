@@ -92,8 +92,8 @@ HEADLINE = [
     "ngram_jaccard_dedup_keep", "jaccard_sim_histogram",
     "incremental_fuzzy_keep",
     "incremental_exact_keep", "vocab_coverage", "oov_rate",
-    "source_quality_report", "encoding_noise", "script_ratios",
-    "lang_script_mismatch",
+    "source_quality_report", "source_overlap",
+    "encoding_noise", "script_ratios", "lang_script_mismatch",
     "gopher_filter", "ccnet_pipeline",
     "contamination_report", "dedup_cluster_sizes", "chunk_documents",
     "token_offsets", "pack_blocks", "block_doc_histogram", "shard_manifest",

@@ -2122,6 +2122,16 @@ def q_ngram_jaccard_pairs(n: int = 3, threshold: float = 0.6,
             f"SELECT src, dst, jaccard FROM jac WHERE jaccard >= {threshold}")
 
 
+def q_source_overlap() -> str:
+    """Twin of queries.q_source_overlap (distinct fingerprint x source,
+    self-join on the fingerprint; null fingerprints never join)."""
+    return f"""
+WITH d AS (SELECT DISTINCT md5({norm('text')}) AS f, source FROM documents)
+SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS shared_docs
+FROM d a JOIN d b ON a.f = b.f AND a.source < b.source
+GROUP BY 1, 2"""
+
+
 def q_jaccard_sim_histogram(n: int = 3, max_df: int = 10) -> str:
     """Twin of queries.q_jaccard_sim_histogram: candidate-pair exact
     similarities bucketed to 5-percent bins (round-then-int keeps the

@@ -642,6 +642,28 @@ def q_script_ratios(spark, sf_dir):
     return with_script_ratios(_docs(spark, sf_dir)).select("doc_id", *cols)
 
 
+def q_source_overlap(spark, sf_dir):
+    """Inter-source duplication matrix: for each source pair, how many
+    distinct normalized-content fingerprints both feeds carry (which
+    feeds syndicate each other — the monitoring input for per-source
+    dedup budgets). Distinct (fingerprint, source) frame self-joined on
+    the fingerprint: fan-out per fingerprint is bounded by the source
+    count, so the join stays linear in the corpus."""
+    d = (
+        _docs(spark, sf_dir)
+        .select(fingerprint_int(F.col("text")).alias("f"), "source")
+        .distinct()
+    )
+    a = d.select(F.col("f"), F.col("source").alias("src_a"))
+    b = d.select(F.col("f"), F.col("source").alias("src_b"))
+    return (
+        a.join(b, "f")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("shared_docs"))
+    )
+
+
 def q_jaccard_sim_histogram(spark, sf_dir):
     """Dedup threshold-tuning surface: exact Jaccard of every rare-gram
     candidate pair, bucketed to 5-percent bins — where does the
@@ -1571,6 +1593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # judge-requested rotations); certified locally at sf0.001/0.01/50k
     "lang_script_mismatch": q_lang_script_mismatch,
     "jaccard_sim_histogram": q_jaccard_sim_histogram,
+    "source_overlap": q_source_overlap,
     "audio_pcm_stats": q_audio_pcm_stats,
     # parked to make window room (multiply certified — r3/r4 + pytest —
     # same machinery as in-window siblings, implementations untouched):
@@ -1681,6 +1704,7 @@ ORACLES: dict[str, str] = {
     "shard_manifest": oracle.q_shard_manifest(),
     "lang_script_mismatch": oracle.q_lang_script_mismatch(),
     "jaccard_sim_histogram": oracle.q_jaccard_sim_histogram(),
+    "source_overlap": oracle.q_source_overlap(),
     "span_dedup": oracle.q_span_dedup(),
     "url_canonicalize": oracle.q_url_canonicalize(),
     "url_dedup_keep": oracle.q_url_dedup_keep(),

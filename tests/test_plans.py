@@ -237,7 +237,7 @@ def test_round5_queries_stay_jvm_side(spark):
                  "source_quality_report", "encoding_noise",
                  "substring_dedup", "script_ratios", "block_doc_histogram",
                  "doc_embeddings", "shard_manifest", "lang_script_mismatch",
-                 "jaccard_sim_histogram"]:
+                 "jaccard_sim_histogram", "source_overlap"]:
         plan = _physical(Q.QUERIES[name](spark, sf))
         assert "EvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
