@@ -1100,12 +1100,14 @@ def q_lang_script_mismatch() -> str:
 WITH base AS (
   SELECT doc_id, lang, text,
     CASE {exp_cases} ELSE 'unknown' END AS expected_script
-  FROM documents)
-SELECT doc_id, lang, expected_script,
-  (CASE {ratio_cases} ELSE NULL END) AS expected_ratio,
-  coalesce((CASE {ratio_cases} ELSE NULL END) < {MISMATCH_MIN_RATIO}, FALSE)
-    AS script_mismatch
-FROM base"""
+  FROM documents),
+rated AS (
+  SELECT doc_id, lang, expected_script,
+    (CASE {ratio_cases} ELSE NULL END) AS expected_ratio
+  FROM base)
+SELECT doc_id, lang, expected_script, expected_ratio,
+  coalesce(expected_ratio < {MISMATCH_MIN_RATIO}, FALSE) AS script_mismatch
+FROM rated"""
 
 
 def q_quality_thresholds(cols=("number_of_words", "mean_word_length", "stop_word_fraction"),

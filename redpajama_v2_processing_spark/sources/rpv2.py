@@ -158,9 +158,21 @@ def export_rpv2_signatures(
         ).alias("signature")
     )
     ids = docs.select(F.col(id_col).alias("id"))
+    # id_int: numeric companion of the string id (the reference ships
+    # both). Integral ids cast directly; string ids (e.g. url-keyed
+    # frames from read_wet) get a deterministic xxhash64 surrogate — a
+    # NULL cast here would make every _cc_key NULL downstream and the
+    # round-tripped keep-list silently EMPTY. Surrogate collisions
+    # (~n^2/2^64) would merge two unrelated docs; at that risk level the
+    # reference's own 64-bit ids carry the same exposure.
+    dt = dict(ids.dtypes)["id"]
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        id_int = F.col("id").cast("long")
+    else:
+        id_int = F.xxhash64(F.col("id").cast("string"))
     return ids.join(packed, "id", "left").select(
         F.lit(shard_id).alias("shard_id"),
         F.col("id").cast("string").alias("id"),
-        F.col("id").cast("long").alias("id_int"),
+        id_int.alias("id_int"),
         F.col("signature").alias(f"signature_sim{sim_level}"),
     )

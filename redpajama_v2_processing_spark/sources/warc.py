@@ -67,6 +67,11 @@ def parse_warc_records(
         except ValueError:
             pos = hdr_end + 4
             continue
+        if length < 0:
+            # corrupt header: a negative length would step the scan
+            # position BACKWARD past this record and loop forever
+            pos = hdr_end + 4
+            continue
         body_start = hdr_end + 4
         if body_start + length > n:
             break  # torn payload: the record was cut mid-download
@@ -100,9 +105,12 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
                         (uri, date, payload.decode("utf-8", "replace"))
                     )
             out = pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
-            out["warc_ts"] = (
-                pd.to_datetime(out["warc_ts"], errors="coerce", utc=True)
-                .dt.tz_localize(None)
+            # WARC-Date is an instant (...Z); keep it tz-aware UTC so the
+            # Arrow transfer stores the correct instant under ANY session
+            # timezone (the engine pins UTC in session.py, but a naive
+            # value would silently shift on a non-UTC deployment)
+            out["warc_ts"] = pd.to_datetime(
+                out["warc_ts"], errors="coerce", utc=True
             )
             yield out
 

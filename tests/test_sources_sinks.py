@@ -227,3 +227,45 @@ def test_wet_to_pipeline_seam(spark, tmp_path):
     assert len(rows) == 3 and all(r.drop_reason is not None for r in rows.values())
     kept = sorted(r.url for r in exact_keep_ids(pages, "url").collect())
     assert kept == ["https://x.example/a", "https://x.example/c"]
+
+
+def test_warc_negative_length_terminates():
+    """A corrupt negative Content-Length must be skipped, never loop the
+    scan position backward (the infinite-parse guard)."""
+    from redpajama_v2_processing_spark.sources.warc import (
+        parse_warc_records, synth_wet_bytes,
+    )
+
+    good = synth_wet_bytes([("https://ok/1", "2024-01-01T00:00:00Z", "fine")])
+    corrupt = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI: https://bad/x\r\nContent-Length: -200\r\n\r\n"
+    )
+    got = parse_warc_records(corrupt + good, want_types=("conversion",))
+    assert [g[0] for g in got] == ["https://ok/1"]
+
+
+def test_rpv2_export_string_ids_surrogate(spark, tmp_path):
+    """String-keyed corpora (e.g. url ids from read_wet) export a
+    deterministic xxhash64 id_int surrogate instead of a NULL cast that
+    would round-trip to an EMPTY keep-list; the keep-set keeps exactly
+    one member per duplicate component."""
+    from redpajama_v2_processing_spark.sources.rpv2 import (
+        export_rpv2_signatures, read_rpv2_signatures, rpv2_keep_ids,
+    )
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    docs = spark.createDataFrame(
+        [("https://u/a", base), ("https://u/b", base + " extra1"),
+         ("https://u/c", "totally different page body here")],
+        "url string, text string",
+    )
+    out = str(tmp_path / "sigs_str")
+    export_rpv2_signatures(docs, "url").write.parquet(out)
+    kept = sorted(
+        r.id for r in rpv2_keep_ids(read_rpv2_signatures(spark, out)).collect()
+    )
+    # a~b form one near-dup component (one survivor), c is a singleton
+    assert len(kept) == 2
+    assert "https://u/c" in kept
+    assert len([k for k in kept if k in ("https://u/a", "https://u/b")]) == 1
