@@ -1303,7 +1303,7 @@ cells AS (
          ELSE 0.0 END AS v
   FROM grid g LEFT JOIN contrib c ON c.doc_id = g.doc_id AND c.idx = g.idx
   LEFT JOIN nrm n ON n.doc_id = g.doc_id)
-SELECT doc_id, list(v ORDER BY idx) AS embedding FROM cells GROUP BY doc_id"""
+SELECT doc_id, idx::INT AS dim_idx, v AS value FROM cells"""
 
 
 def q_block_doc_histogram(block: int = 128, eod: int = 1) -> str:
@@ -1436,6 +1436,23 @@ reach(id, root) AS (
   SELECT s.src, r.root FROM sym s JOIN reach r ON s.dst = r.id
 )
 SELECT id AS doc_id, id::VARCHAR AS id FROM reach GROUP BY id HAVING min(root) = id"""
+
+
+def q_rpv2_exact_keep() -> str:
+    """Twin of queries.q_rpv2_exact_keep: reference-format composite ids,
+    malformed published-duplicates ids repaired by the fix_id rewrite
+    ('.json/' -> '.json.gz/'), anti-join keep."""
+    return """
+WITH ids AS (
+  SELECT doc_id,
+    '2014-15/' || (doc_id % 10) || '/en_head.json.gz/' || doc_id AS id
+  FROM documents),
+dups AS (
+  SELECT '2014-15/' || (doc_id % 10) || '/en_head.json/' || doc_id AS doc_id
+  FROM documents WHERE doc_id % 7 = 0),
+fixed AS (SELECT replace(doc_id, '.json/', '.json.gz/') AS id FROM dups)
+SELECT i.doc_id, i.id FROM ids i
+WHERE NOT EXISTS (SELECT 1 FROM fixed f WHERE f.id = i.id)"""
 
 
 def q_jaccard_vs_query(query_doc_id: int = 0, min_sim: float = 0.0) -> str:

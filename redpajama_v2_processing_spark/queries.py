@@ -611,11 +611,20 @@ def q_shard_manifest(spark, sf_dir):
 
 def q_doc_embeddings(spark, sf_dir):
     """In-engine document embeddings: hashed TF-IDF (signed feature
-    hashing, 16 dims for the oracle profile), L2-normalized."""
+    hashing, 16 dims for the oracle profile), L2-normalized. Emitted in
+    driver-canonical exploded form (doc_id, dim_idx, value) — the
+    harness canonicalizer cannot sort/hash array columns; internal
+    consumers (SemDeDup, embedding LSH, ANN) use the array-returning
+    operator directly."""
     from .operators.embeddings import doc_embeddings
 
-    return doc_embeddings(_docs(spark, sf_dir), "doc_id", dim=16).select(
-        F.col("id").alias("doc_id"), "embedding"
+    emb = doc_embeddings(_docs(spark, sf_dir), "doc_id", dim=16)
+    return emb.select(
+        F.col("id").alias("doc_id"), F.posexplode("embedding")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("dim_idx"),
+        F.col("col").alias("value"),
     )
 
 
@@ -823,6 +832,36 @@ def q_rpv2_pre_banded_keep(spark, sf_dir):
     return rpv2_keep_ids(sigs, salted=True).select(
         F.col("id_int").cast("long").alias("doc_id"), "id"
     )
+
+
+def q_rpv2_exact_keep(spark, sf_dir):
+    """P8 interop: filter documents against the reference's PUBLISHED
+    exact-duplicates table, whose ids are malformed ('….json/N' where the
+    document ids say '….json.gz/N' — reference fix_id,
+    src/filter_exact_duplicates.py:69-79). Fixture: every doc gets a
+    reference-format composite id (synthesize_rpv2_ids,
+    src/add_document_ids.py:64) and every doc_id%7==0 doc appears in a
+    duplicates frame under the MALFORMED spelling. fix_duplicate_ids
+    repairs the spelling; the anti-join then drops exactly those docs —
+    without the shim nothing would match and the 'keep' set would be the
+    whole corpus (the silent-interop failure this guards against)."""
+    from .sources.rpv2 import fix_duplicate_ids, synthesize_rpv2_ids
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    src = F.concat(
+        (F.col("doc_id") % 10).cast("string"), F.lit("/en_head.json.gz")
+    )
+    ids = synthesize_rpv2_ids(docs, "2014-15", src, "doc_id")
+    dups = docs.where(F.col("doc_id") % 7 == 0).select(
+        F.concat(
+            F.lit("2014-15/"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("/en_head.json/"),
+            F.col("doc_id").cast("string"),
+        ).alias("doc_id")
+    )
+    fixed = fix_duplicate_ids(dups).select(F.col("doc_id").alias("id"))
+    return ids.join(fixed, "id", "left_anti").select("doc_id", "id")
 
 
 def q_simhash(spark, sf_dir):
@@ -1536,6 +1575,7 @@ def q_fuzzy_dedup_prod(spark, sf_dir):
 # this round by the full local drive.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round --------------------------------------------------
+    "rpv2_exact_keep": q_rpv2_exact_keep,
     "incremental_fuzzy_keep": q_incremental_fuzzy_keep,
     "incremental_exact_keep": q_incremental_exact_keep,
     "vocab_coverage": q_vocab_coverage,
@@ -1800,6 +1840,7 @@ ORACLES: dict[str, str] = {
     "hash_sample": oracle.q_hash_sample(),
     "lang_downsample": oracle.q_lang_downsample(),
     "rpv2_pre_banded_keep": oracle.q_rpv2_pre_banded_keep(),
+    "rpv2_exact_keep": oracle.q_rpv2_exact_keep(),
     "salted_count": oracle.q_salted_count(),
     "top_sources": oracle.q_top_sources(),
     "pricing_summary": oracle.q_pricing_summary(),

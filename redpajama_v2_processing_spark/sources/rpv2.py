@@ -108,6 +108,54 @@ def rpv2_keep_ids(signatures: DataFrame, salted: bool = False) -> DataFrame:
     )
 
 
+def fix_duplicate_ids(dups: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """P8 interop shim: the reference's PUBLISHED duplicates tables carry
+    malformed document ids — ``2014-15/1839/de_head.json/0`` where the
+    document tables say ``…de_head.json.gz/0`` (its ``fix_id``,
+    /root/reference/src/filter_exact_duplicates.py:69-79, patches the
+    string at a hardcoded byte offset per middle/head bucket). Without the
+    repair, every id join against the published tables silently matches
+    nothing.
+
+    One native ``regexp_replace`` at the scan: ``'.json/'`` becomes
+    ``'.json.gz/'``. Well-formed ids are fixpoints (the pattern requires
+    ``/`` immediately after ``.json``, which ``.json.gz/`` ids don't
+    have), so the shim is idempotent and safe to apply unconditionally —
+    unlike the reference's offset splice, which would corrupt an
+    already-correct id.
+    """
+    return dups.withColumn(
+        id_col, F.regexp_replace(F.col(id_col), r"\.json/", ".json.gz/")
+    )
+
+
+def synthesize_rpv2_ids(
+    docs: DataFrame,
+    crawl: str,
+    source_file,
+    idx_col: str,
+    id_col: str = "id",
+) -> DataFrame:
+    """Reference-format composite string ids
+    ``{crawl}/{source_file}/{row_idx}``
+    (/root/reference/src/add_document_ids.py:64) for documents ingested
+    OUTSIDE RPv2 parquet — the write-side twin of the read path, so
+    keep-lists emitted by this engine can be consumed by the reference's
+    downstream ``filter_fuzzy_duplicates`` by string id.
+
+    ``source_file`` may be a literal string (the reference's model: one
+    call per source file) or a Column for multi-source frames. ``idx_col``
+    is the caller's stable per-source row index (the reference uses the
+    HF dataset enumeration index; any deterministic integral key works —
+    the id only has to be unique and reproducible).
+    """
+    src = F.lit(source_file) if isinstance(source_file, str) else source_file
+    return docs.withColumn(
+        id_col,
+        F.concat_ws("/", F.lit(crawl), src, F.col(idx_col).cast("string")),
+    )
+
+
 def filter_fuzzy_duplicates(
     docs: DataFrame, keep: DataFrame, doc_id_col: str = "id"
 ) -> DataFrame:

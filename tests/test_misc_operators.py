@@ -461,3 +461,38 @@ def test_doc_embeddings_contract(spark):
         for r in doc_embeddings(docs.repartition(7), "doc_id", dim=16).collect()
     }
     assert emb == emb2
+
+
+def test_doc_embeddings_query_exploded_shape(spark):
+    """The registry query emits the driver-canonical EXPLODED form
+    (doc_id, dim_idx, value) — the harness canonicalizer cannot sort/hash
+    an array column (r5 red row). The exploded rows must reassemble into
+    exactly the operator's array output."""
+    import os
+
+    import pytest as _pytest
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        _pytest.skip("driver testdata absent")
+
+    from redpajama_v2_processing_spark.operators.embeddings import doc_embeddings
+    from redpajama_v2_processing_spark.queries import q_doc_embeddings
+
+    out = q_doc_embeddings(spark, sf_dir)
+    assert out.columns == ["doc_id", "dim_idx", "value"]
+    assert dict(out.dtypes) == {
+        "doc_id": "bigint", "dim_idx": "int", "value": "double",
+    }
+    rows = out.collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    assert len(rows) == n_docs * 16  # one row per (doc, dim)
+    rebuilt: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.dim_idx)):
+        rebuilt.setdefault(r.doc_id, []).append(r.value)
+    arr = {
+        r.id: list(r.embedding)
+        for r in doc_embeddings(docs, "doc_id", dim=16).collect()
+    }
+    assert rebuilt == arr

@@ -82,6 +82,57 @@ def test_rpv2_signature_interop_roundtrip(spark, tmp_path):
     assert surv.columns == ["id", "text"]
 
 
+def test_fix_duplicate_ids_rewrites_malformed_published_ids(spark):
+    """P8 shim (reference fix_id, src/filter_exact_duplicates.py:69-79):
+    the published duplicates tables say '….json/N' where documents say
+    '….json.gz/N'. The rewrite must repair head AND middle buckets and be
+    a fixpoint on already-correct ids (unlike the reference's hardcoded
+    byte-offset splice)."""
+    from redpajama_v2_processing_spark.sources.rpv2 import fix_duplicate_ids
+
+    dups = spark.createDataFrame(
+        [
+            ("2014-15/1839/de_head.json/0",),
+            ("2014-15/1839/de_middle.json/32322",),
+            ("2014-15/1839/en_head.json.gz/7",),  # already well-formed
+        ],
+        "doc_id string",
+    )
+    fixed = [r.doc_id for r in fix_duplicate_ids(dups).collect()]
+    assert fixed == [
+        "2014-15/1839/de_head.json.gz/0",
+        "2014-15/1839/de_middle.json.gz/32322",
+        "2014-15/1839/en_head.json.gz/7",
+    ]
+    # idempotent: a second application changes nothing
+    twice = [r.doc_id for r in fix_duplicate_ids(fix_duplicate_ids(dups)).collect()]
+    assert twice == fixed
+
+
+def test_synthesize_rpv2_ids_composite_format(spark):
+    """Write-side id synthesis ('{crawl}/{source_file}/{row_idx}',
+    src/add_document_ids.py:64): literal and per-row source_file forms."""
+    from pyspark.sql import functions as F
+
+    from redpajama_v2_processing_spark.sources.rpv2 import synthesize_rpv2_ids
+
+    docs = spark.createDataFrame([(0, "a"), (1, "b")], "idx long, text string")
+    lit = synthesize_rpv2_ids(docs, "2023-06", "0001/en_head.json.gz", "idx")
+    assert sorted(r.id for r in lit.collect()) == [
+        "2023-06/0001/en_head.json.gz/0",
+        "2023-06/0001/en_head.json.gz/1",
+    ]
+    col = synthesize_rpv2_ids(
+        docs, "2023-06",
+        F.concat(F.col("idx").cast("string"), F.lit("/en_head.json.gz")),
+        "idx",
+    )
+    assert sorted(r.id for r in col.collect()) == [
+        "2023-06/0/en_head.json.gz/0",
+        "2023-06/1/en_head.json.gz/1",
+    ]
+
+
 def test_rpv2_uint64_id_int_interop(spark, tmp_path):
     """The reference writes id_int as parquet uint64
     (src/minhashlsh_partial.py:148); Spark surfaces that as decimal(20,0).
