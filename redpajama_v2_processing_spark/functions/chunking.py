@@ -68,18 +68,26 @@ def with_token_offsets(
     with an end-of-document token, then split into fixed blocks;
     ``pack_blocks`` derives the block spans).
 
-    Scale shape — a distributed two-level prefix scan, NO global-order
-    window (a single ``Window.orderBy(id)`` funnels the whole corpus
-    through one reducer):
+    Scale shape — a distributed THREE-level prefix scan, NO unbounded
+    window anywhere (a single ``Window.orderBy(id)`` would funnel the
+    whole corpus through one reducer):
 
     1. bucket docs by ``id div bucket_size`` (range buckets — numeric
-       ids assumed, the engine's ``with_ids``/``fix_id`` contract);
-    2. per-bucket token sums: a TINY table (corpus/bucket_size rows);
-       its running total is a window over that tiny table only;
-    3. bucket offsets broadcast-join back; the intra-bucket running
-       total is a window PARTITIONED by bucket — every window partition
-       is bounded at ``bucket_size`` rows by construction, so no reducer
-       ever sees more than that regardless of corpus size.
+       ids assumed, the engine's ``with_ids``/``fix_id`` contract), and
+       buckets by ``_b div bucket_size`` into super-buckets;
+    2. the ONLY global-order window runs over the per-SUPER-bucket sums:
+       corpus / bucket_size^2 rows (~10^5 at 10^11 docs, ~10^6 at 10^12
+       — raise ``bucket_size`` if even that binds), never the
+       corpus / bucket_size per-bucket table the two-level scan pushed
+       through one reducer;
+    3. bucket offsets = super offset + intra-super running total
+       (window PARTITIONED by super-bucket: <= bucket_size rows each);
+       doc offsets = bucket offset + intra-bucket running total (window
+       PARTITIONED by bucket: <= bucket_size rows each). The join of
+       offsets back to docs is left to AQE — the offset frame is
+       corpus/bucket_size rows, auto-broadcast while small and a plain
+       key shuffle once it isn't (forcing broadcast would ship an
+       unbounded frame to every executor at 100 TB).
 
     Deterministic, resumable (same ids -> same offsets), and
     oracle-checked against DuckDB's global window cumsum.
@@ -94,20 +102,34 @@ def with_token_offsets(
         F.col(id_col).alias("id"), n_tok.cast("long").alias("n_tokens")
     ).withColumn("_w", F.col("n_tokens") + eod_tokens)
     b = base.withColumn("_b", F.expr(f"id div {bucket_size}"))
-    per_bucket = b.groupBy("_b").agg(F.sum("_w").alias("_bw"))
-    w_buckets = (
-        Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    per_bucket = b.groupBy("_b").agg(F.sum("_w").alias("_bw")).withColumn(
+        "_sb", F.expr(f"_b div {bucket_size}")
     )
-    offsets = per_bucket.withColumn(
-        "_off", F.coalesce(F.sum("_bw").over(w_buckets), F.lit(0))
-    ).select("_b", "_off")
+    per_super = per_bucket.groupBy("_sb").agg(F.sum("_bw").alias("_sw"))
+    w_super = Window.orderBy("_sb").rowsBetween(Window.unboundedPreceding, -1)
+    super_off = per_super.withColumn(
+        "_soff", F.coalesce(F.sum("_sw").over(w_super), F.lit(0))
+    ).select("_sb", "_soff")
+    w_bucket = (
+        Window.partitionBy("_sb")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        per_bucket.join(F.broadcast(super_off), "_sb")
+        .withColumn(
+            "_off",
+            F.col("_soff") + F.coalesce(F.sum("_bw").over(w_bucket), F.lit(0)),
+        )
+        .select("_b", "_off")
+    )
     w_intra = (
         Window.partitionBy("_b")
         .orderBy("id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        b.join(F.broadcast(offsets), "_b")
+        b.join(offsets, "_b")  # AQE: broadcast while small, key shuffle at scale
         .withColumn(
             "start_offset",
             (F.col("_off") + F.coalesce(F.sum("_w").over(w_intra), F.lit(0))

@@ -65,8 +65,23 @@ def scrub_cc_luhn(col: Column | str) -> Column:
     candidates — all native expressions, no Python, no join.
     """
     c = F.col(col) if isinstance(col, str) else col
-    valid = F.filter(
-        F.array_distinct(F.regexp_extract_all(c, F.lit(CC_CANDIDATE), 0)),
-        luhn_valid,
+    # the candidate regex (?:\d[ \-]?){13,16} can consume a TRAILING
+    # separator ("4242… 4242 " before "or") — trim it so the <CC> mask
+    # never eats the character after the number
+    cands = F.transform(
+        F.regexp_extract_all(c, F.lit(CC_CANDIDATE), 0),
+        lambda s: F.regexp_replace(s, r"[ \-]+$", ""),
     )
-    return F.aggregate(valid, c, lambda acc, cand: F.replace(acc, cand, F.lit("<CC>")))
+    valid = F.filter(F.array_distinct(cands), luhn_valid)
+    # boundary-anchored replacement: a plain string replace would also
+    # mask an equal digit substring INSIDE a longer non-validated run
+    # elsewhere in the doc. Candidates are [0-9 -] only (guaranteed by
+    # the extraction pattern), so concatenating them into a pattern is
+    # regex-injection-safe.
+    return F.aggregate(
+        valid,
+        c,
+        lambda acc, cand: F.regexp_replace(
+            acc, F.concat(F.lit(r"\b"), cand, F.lit(r"\b")), F.lit("<CC>")
+        ),
+    )

@@ -173,6 +173,18 @@ def incremental_exact_keep(
     history probe and stay grouped among themselves within the crawl —
     identical grouping to ``exact_keep_ids``.
 
+    Null-doc convention — INTENTIONAL divergence from the fuzzy tier:
+    the exact family pools all null-text docs under the single NULL
+    fingerprint and keeps one (here and in ``exact_keep_ids``, pinned by
+    tests and both DuckDB oracles), because exact dedup keys on content
+    EQUALITY and "no text" is one well-defined equality class — two
+    empty documents are exact duplicates of each other. The fuzzy /
+    SimHash / SemDeDup tiers instead keep EVERY unsignable doc (the
+    reference's null-signature guard, src/minhashlsh.py:112), because
+    there a null signature means "similarity unknowable", not "equal".
+    Callers wanting the keep-all rule for nulls should route
+    ``text IS NULL`` rows around the exact stage.
+
     Scale shape: the history side is a fingerprints-only frame (one
     bigint column, distinct — in production a table maintained per
     accepted crawl); the probe is one shuffle on the fingerprint with

@@ -180,10 +180,17 @@ def token_budget_mix(
     bcases = F.lit(None).cast("long")
     for s, b in sorted(budgets.items()):
         bcases = F.when(F.col("source") == s, F.lit(int(b))).otherwise(bcases)
-    rates = totals.select(
+    # micro-unit rate; NULL budget (unlisted source) -> NULL rate.
+    # EXACT integer arithmetic: budget*denom is widened to decimal(38,0)
+    # before the `div`, so (a) the rate matches DuckDB's integer `//`
+    # bit-for-bit at any magnitude (bigint `/` would round through a
+    # double — inexact above 2^53), and (b) budgets beyond ~9.2e12 tokens
+    # cannot overflow the long product.
+    rates = totals.select("source", "_t", bcases.alias("_b")).select(
         "source",
-        # micro-unit rate; NULL budget (unlisted source) -> NULL rate
-        F.floor(bcases * denom / F.greatest(F.col("_t"), F.lit(1))).alias("_r"),
+        F.expr(f"(cast(_b as decimal(38,0)) * {denom}) div greatest(_t, 1L)")
+        .cast("long")
+        .alias("_r"),
     )
     return _mix_from_rates(base, rates, salt, denom, default_keep)
 

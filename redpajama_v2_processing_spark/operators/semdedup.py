@@ -62,17 +62,36 @@ def _modal_dim(embeddings: DataFrame, vec_col: str) -> int:
     return -1 if row is None else row["_d"]
 
 
+def derive_k_cells(n: int, target_cell_width: int = 10_000) -> int:
+    """Paper-recipe default for the cell count: ``ceil(n / width)`` with
+    a floor of 8. The candidate volume is sum_c C(n_c, 2) ~ n * width/2
+    at uniform occupancy, so holding WIDTH (not k) constant is what keeps
+    the pair budget linear in the corpus — the paper scales k with the
+    corpus for exactly this reason (~10^4-wide cells; 50k clusters for
+    LAION-440M ≈ 8.8k/cell). A fixed k default would silently degrade
+    toward all-pairs at 100x scale (the r5 verdict's footgun)."""
+    if n <= 0:
+        return 8
+    return max(8, -(-n // target_cell_width))
+
+
 def semdedup_assign(
     embeddings: DataFrame,
-    k_cells: int = 8,
+    k_cells: int | None = None,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    target_cell_width: int = 10_000,
 ) -> DataFrame:
     """DF(id, cid, ccos): each well-formed vector's trained k-means cell
     plus its rounded cosine to that cell's centroid (the keep-rule
     statistic).
+
+    ``k_cells=None`` (the default) derives k from the corpus size via
+    :func:`derive_k_cells` — one extra count job over the well-formed
+    vectors; pass k explicitly to skip it (and to make the plan
+    reproducible independent of the input's row count).
 
     ``dim`` defaults to the MODAL vector length in the data (inferred by
     one tiny grouped count — pass it explicitly to skip the extra job):
@@ -96,6 +115,8 @@ def semdedup_assign(
     if dim is None:
         dim = _modal_dim(embeddings, vec_col)
     ok = embeddings.where(F.size(F.col(vec_col)) == dim)
+    if k_cells is None:
+        k_cells = derive_k_cells(ok.count(), target_cell_width)
     emb = ok.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -118,25 +139,29 @@ def semdedup_assign(
 def semdedup_keep(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    k_cells: int = 8,
+    k_cells: int | None = None,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    target_cell_width: int = 10_000,
 ) -> DataFrame:
     """DF(id): the SemDeDup keep-list — one representative per semantic
     duplicate group (the member with the lowest centroid cosine, ties to
     the smaller id), singletons kept. ``dim`` defaults to the modal
-    vector length (see ``semdedup_assign``). Malformed vectors (null /
-    wrong length) never enter the cell structure and are kept as singletons
-    (see semdedup_assign's guard).
+    vector length (see ``semdedup_assign``); ``k_cells`` defaults to the
+    corpus-derived cell count (see ``derive_k_cells`` — the pair budget
+    stays linear in the corpus with no fixture-sized constant on the
+    scale knob). Malformed vectors (null / wrong length) never enter the
+    cell structure and are kept as singletons (see semdedup_assign's
+    guard).
 
     The assignment frame feeds three consumers (both self-join sides and
     the keep rule), so it is checkpointed once; Catalyst does not share
     subplans and the k-means chain is the dominant cost.
     """
     assign = semdedup_assign(
-        embeddings, k_cells, iters, id_col, vec_col, dim
+        embeddings, k_cells, iters, id_col, vec_col, dim, target_cell_width
     ).localCheckpoint(eager=True)
 
     # ids-only within-cell candidate pairs (vectors stay out of the cid

@@ -485,12 +485,16 @@ WITH shaped AS (
   FROM documents),
 c AS (
   SELECT doc_id, text,
-    list_filter(list_distinct(regexp_extract_all(text, '{CC_CANDIDATE}')),
-                s -> {luhn}) AS vs
+    list_filter(
+      list_distinct(list_transform(
+        regexp_extract_all(text, '{CC_CANDIDATE}'),
+        s -> regexp_replace(s, '[ \\-]+$', ''))),
+      s -> {luhn}) AS vs
   FROM shaped)
 SELECT doc_id,
   list_reduce(list_prepend(text, vs),
-              (acc, cc) -> replace(acc, cc, '<CC>')) AS scrubbed
+              (acc, cc) -> regexp_replace(acc, '\\b' || cc || '\\b', '<CC>', 'g'))
+    AS scrubbed
 FROM c"""
 
 
@@ -1436,6 +1440,18 @@ reach(id, root) AS (
   SELECT s.src, r.root FROM sym s JOIN reach r ON s.dst = r.id
 )
 SELECT id AS doc_id, id::VARCHAR AS id FROM reach GROUP BY id HAVING min(root) = id"""
+
+
+def q_wet_ingest() -> str:
+    """Twin of queries.q_wet_ingest: the WET roundtrip must reproduce the
+    source rows byte-for-byte — url from doc_id, the synthesized
+    WARC-Date instant (epoch 1.6e9 + doc_id), md5 of the text bytes."""
+    return """
+SELECT 'https://example.org/doc/' || doc_id AS url,
+       (1600000000 + doc_id)::BIGINT AS ts_unix,
+       md5(text) AS text_md5,
+       length(text)::BIGINT AS n_chars
+FROM documents WHERE text IS NOT NULL"""
 
 
 def q_rpv2_exact_keep() -> str:

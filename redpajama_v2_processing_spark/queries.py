@@ -834,6 +834,54 @@ def q_rpv2_pre_banded_keep(spark, sf_dir):
     )
 
 
+def q_wet_ingest(spark, sf_dir):
+    """Rawest ingest tier, end-to-end: the documents table is serialized
+    into REAL gzip'd WARC/1.0 WET framing (synth_wet_bytes — warcinfo
+    header + one Content-Length-delimited conversion record per doc),
+    then ingested back through the production path (binaryFile source ->
+    Arrow mapInPandas parse, sources/warc.read_wet). Output proves
+    byte-identity per url (BASELINE.json's per-row invariant): md5 over
+    the roundtripped text must equal the oracle's md5 over the source
+    rows, and the WARC-Date instant must survive the tz-aware transfer.
+
+    The driver-side fixture WRITE is test scaffolding only (labeled —
+    production reads a crawl's ~90k WET files off the manifest, one file
+    per task); the measured surface is the distributed parse."""
+    import hashlib
+    import os
+
+    from .sources.warc import read_wet, synth_wet_bytes
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    rows = sorted(
+        ((r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()),
+    )
+    recs = []
+    for did, text in rows:
+        ts = 1_600_000_000 + did
+        import datetime as _dt
+
+        iso = _dt.datetime.fromtimestamp(ts, _dt.timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+        recs.append((f"https://example.org/doc/{did}", iso, text))
+    payload = synth_wet_bytes(recs, compress=True)
+    fix_dir = os.path.join(
+        "/tmp", f"wet_fixture_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    )
+    os.makedirs(fix_dir, exist_ok=True)
+    with open(os.path.join(fix_dir, "part-0.warc.wet.gz"), "wb") as f:
+        f.write(payload)
+
+    wet = read_wet(spark, fix_dir)
+    return wet.select(
+        "url",
+        F.col("warc_ts").cast("long").alias("ts_unix"),
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
 def q_rpv2_exact_keep(spark, sf_dir):
     """P8 interop: filter documents against the reference's PUBLISHED
     exact-duplicates table, whose ids are malformed ('….json/N' where the
@@ -1562,102 +1610,48 @@ def q_fuzzy_dedup_prod(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # Ordering contract: the driver certifies the FIRST 50 entries per round.
-# Round-5 rotation (VERDICT r4 item 1): the ~24 brand-new round-5 queries
-# lead the head, then the stalest queries that sat OUTSIDE the r4 window
-# (including ann_ivf_pq_residual_topk, which had never had a driver row),
-# then every query whose implementation changed this round (perplexity
-# micro-unit sums + vocab-floor seam, domain_cap skew plan,
-# decontaminate/dsir word_ngrams reuse, token_budget_mix shared tail).
-# Queries certified green in r4 (or multiply certified in r3 + 50k) with
-# untouched implementations park at the tail to keep the window at
-# exactly 50 — all remain runnable and locally checkable via
-# tools/check_queries.py, and every parked query was re-driven green
-# this round by the full local drive.
+# Round-6 rotation (VERDICT r5 item 5): head = the five entries that have
+# never had a driver row (incl. the two brand-new r6 queries), then every
+# query whose implementation or output changed this round, then the
+# stalest survivors (whole r3 cohort), then r4-certified siblings of the
+# changed modules to fill to exactly 50. Everything else parks at the
+# tail — all remain runnable and locally checkable via
+# tools/check_queries.py (the full local drive re-verifies the registry
+# every round; see BENCH.md).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- new this round --------------------------------------------------
+    # --- never driver-certified (r6 window priority 1) -------------------
     "rpv2_exact_keep": q_rpv2_exact_keep,
-    "incremental_fuzzy_keep": q_incremental_fuzzy_keep,
-    "incremental_exact_keep": q_incremental_exact_keep,
-    "vocab_coverage": q_vocab_coverage,
-    "oov_rate": q_oov_rate,
-    "source_quality_report": q_source_quality_report,
-    "encoding_noise": q_encoding_noise,
-    "substring_dedup": q_substring_dedup,
-    "script_ratios": q_script_ratios,
-    "block_doc_histogram": q_block_doc_histogram,
-    "doc_embeddings": q_doc_embeddings,
-    "shard_manifest": q_shard_manifest,
-    "span_dedup": q_span_dedup,
-    "url_canonicalize": q_url_canonicalize,
-    "url_dedup_keep": q_url_dedup_keep,
-    "token_budget_mix": q_token_budget_mix,
-    "quality_classifier_weights": q_quality_classifier_weights,
-    "quality_classifier_scores": q_quality_classifier_scores,
-    "paragraph_dedup": q_paragraph_dedup,
-    "bloom_anti_join": q_bloom_anti_join,
-    "url_blocklist": q_url_blocklist,
-    "fineweb_filter": q_fineweb_filter,
-    "semdedup_keep": q_semdedup_keep,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "ngram_jaccard_dedup_keep": q_ngram_jaccard_dedup_keep,
-    "gopher_filter": q_gopher_filter,
-    "ccnet_pipeline": q_ccnet_pipeline,
-    "contamination_report": q_contamination_report,
-    "dedup_cluster_sizes": q_dedup_cluster_sizes,
-    "chunk_documents": q_chunk_documents,
-    "token_offsets": q_token_offsets,
-    "pack_blocks": q_pack_blocks,
-    "scrub_cc_luhn": q_scrub_cc_luhn,
-    "temperature_mix": q_temperature_mix,
-    # --- outside the r4 window (stale or never driver-certified) --------
-    "ann_ivf_pq_residual_topk": q_ann_ivf_pq_residual_topk,
-    "embedding_dedup_star_keep": q_embedding_dedup_star_keep,
-    "langid_confusion": q_langid_confusion,
-    "token_counts": q_token_counts,
-    "duplicate_line_signals": q_duplicate_line_signals,
-    "session_windows": q_session_windows,
-    "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
-    "events_sliding": q_events_sliding,
-    "embedding_dedup_keep": q_embedding_dedup_keep,
-    # --- implementation changed in r5: re-certify ------------------------
-    "perplexity": q_perplexity,
-    "perplexity_ngram": q_perplexity_ngram,
-    "perplexity_buckets": q_perplexity_buckets,
-    "domain_cap": q_domain_cap,
-    "decontaminate_flags": q_decontaminate_flags,
-    "dup_ngram_fraction": q_dup_ngram_fraction,
-    "dsir_weights": q_dsir_weights,
-    "dsir_topk": q_dsir_topk,
-    # ==================== driver window ends here (50) ====================
-    # r5-new but window-excess (all 50 slots hold first-time r5 rows or
-    # judge-requested rotations); certified locally at sf0.001/0.01/50k
+    "wet_ingest": q_wet_ingest,
     "lang_script_mismatch": q_lang_script_mismatch,
     "jaccard_sim_histogram": q_jaccard_sim_histogram,
     "source_overlap": q_source_overlap,
-    "audio_pcm_stats": q_audio_pcm_stats,
-    # parked to make window room (multiply certified — r3/r4 + pytest —
-    # same machinery as in-window siblings, implementations untouched):
+    # --- implementation/output changed in round 6: re-certify ------------
+    # (doc_embeddings exploded reshape; scrub_cc_luhn boundary replace;
+    # token_budget_mix exact integer rate; chunking three-level scan feeds
+    # token_offsets/pack_blocks/block_doc_histogram/shard_manifest;
+    # semdedup derived-k default; chunk_documents/temperature_mix share
+    # the touched modules)
+    "doc_embeddings": q_doc_embeddings,
+    "scrub_cc_luhn": q_scrub_cc_luhn,
+    "token_budget_mix": q_token_budget_mix,
+    "token_offsets": q_token_offsets,
+    "pack_blocks": q_pack_blocks,
+    "block_doc_histogram": q_block_doc_histogram,
+    "shard_manifest": q_shard_manifest,
+    "semdedup_keep": q_semdedup_keep,
+    "chunk_documents": q_chunk_documents,
+    "temperature_mix": q_temperature_mix,
+    # --- stalest driver rows (last certified r3) --------------------------
     "fuzzy_dedup_salted": q_fuzzy_dedup_salted,
     "fuzzy_dedup_distributed": q_fuzzy_dedup_distributed,
-    # anti_join_duplicates is result-identical to the in-window
-    # bloom_anti_join (same oracle SQL); semi_join_keeplist is r3-green
-    # with the trivial semi-join shape pinned in pytest
     "semi_join_keeplist": q_semi_join,
     "anti_join_duplicates": q_anti_join,
-    # r3-green deterministic-hash samplers, implementations untouched;
-    # the sampling family keeps lang_downsample's pytest properties
     "hash_sample": q_hash_sample,
-    # r3-green; machinery shared with in-window profiled_quantile_filter
     "quality_thresholds": q_quality_thresholds,
-    # r3-green; the band-bucket grouping is inside every in-window fuzzy query
     "lsh_buckets": q_lsh_buckets,
-    # r3-green; the banding arithmetic is inside every in-window fuzzy keep
     "minhash_bands": q_minhash_bands,
-    # r3-green diagnostics-only pairs API; the in-window embedding_dedup_keep
-    # exercises the same banding + CC path end-to-end
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "lang_downsample": q_lang_downsample,
-    # r3-green single-doc similarity lookup, implementation untouched
     "ngram_jaccard": q_jaccard_vs_query,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
@@ -1671,10 +1665,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "label_centroids": q_label_centroids,
     "ann_cosine_topk": q_ann_cosine_topk,
-    # --- r4-green, implementation untouched this round -------------------
-    # (quality_filter/scrub/exact + the dedup keeps + the PQ trio parked:
-    # r4-green AND 50k- or tri-scale-certified; the round-5 additions
-    # lead the head)
+    # --- r4-certified rotation fill (scrub/dedup/ANN siblings of changed
+    # modules first) -------------------------------------------------------
+    "audio_pcm_stats": q_audio_pcm_stats,
     "quality_filter": q_quality_filter,
     "scrub_pii": q_scrub,
     "exact_dedup_keep": q_exact_dedup_keep,
@@ -1686,6 +1679,49 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
     "quality_signals": q_quality_signals,
     "langid": q_langid,
+    # ==================== driver window ends here (50) ====================
+    # parked: r4/r5-certified, implementations untouched this round; all
+    # remain runnable and locally checkable via tools/check_queries.py
+    "incremental_fuzzy_keep": q_incremental_fuzzy_keep,
+    "incremental_exact_keep": q_incremental_exact_keep,
+    "vocab_coverage": q_vocab_coverage,
+    "oov_rate": q_oov_rate,
+    "source_quality_report": q_source_quality_report,
+    "encoding_noise": q_encoding_noise,
+    "substring_dedup": q_substring_dedup,
+    "script_ratios": q_script_ratios,
+    "span_dedup": q_span_dedup,
+    "url_canonicalize": q_url_canonicalize,
+    "url_dedup_keep": q_url_dedup_keep,
+    "quality_classifier_weights": q_quality_classifier_weights,
+    "quality_classifier_scores": q_quality_classifier_scores,
+    "paragraph_dedup": q_paragraph_dedup,
+    "bloom_anti_join": q_bloom_anti_join,
+    "url_blocklist": q_url_blocklist,
+    "fineweb_filter": q_fineweb_filter,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ngram_jaccard_dedup_keep": q_ngram_jaccard_dedup_keep,
+    "gopher_filter": q_gopher_filter,
+    "ccnet_pipeline": q_ccnet_pipeline,
+    "contamination_report": q_contamination_report,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "ann_ivf_pq_residual_topk": q_ann_ivf_pq_residual_topk,
+    "embedding_dedup_star_keep": q_embedding_dedup_star_keep,
+    "langid_confusion": q_langid_confusion,
+    "token_counts": q_token_counts,
+    "duplicate_line_signals": q_duplicate_line_signals,
+    "session_windows": q_session_windows,
+    "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
+    "events_sliding": q_events_sliding,
+    "embedding_dedup_keep": q_embedding_dedup_keep,
+    "perplexity": q_perplexity,
+    "perplexity_ngram": q_perplexity_ngram,
+    "perplexity_buckets": q_perplexity_buckets,
+    "domain_cap": q_domain_cap,
+    "decontaminate_flags": q_decontaminate_flags,
+    "dup_ngram_fraction": q_dup_ngram_fraction,
+    "dsir_weights": q_dsir_weights,
+    "dsir_topk": q_dsir_topk,
     "gopher_signals": q_gopher_signals,
     "c4_filter": q_c4_filter,
     "dedup_lines": q_dedup_lines,
@@ -1697,7 +1733,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_capped_near_pairs": q_simhash_capped_near_pairs,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup_prod_pairs": q_embedding_near_dup_prod_pairs,
-    # identical formulation/params to embedding_dedup_star_keep (head)
     "embedding_dedup_prod_keep": q_embedding_dedup_prod_keep,
     "kmeans_cells": q_kmeans_cells,
     "rpv2_pre_banded_keep": q_rpv2_pre_banded_keep,
@@ -1716,9 +1751,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_counts": q_rollup_counts,
     "cube_counts": q_cube_counts,
     "top_docs_per_lang": q_top_docs_per_lang,
-    # rows-only: xxhash64 base hash has no DuckDB twin; the identical plan
-    # shape is oracle-checked as fuzzy_dedup_prod_checked, and pytest
-    # property-checks this profile (exact-dup clustering, idempotence)
     "fuzzy_dedup_prod": q_fuzzy_dedup_prod,
 }
 
@@ -1841,6 +1873,7 @@ ORACLES: dict[str, str] = {
     "lang_downsample": oracle.q_lang_downsample(),
     "rpv2_pre_banded_keep": oracle.q_rpv2_pre_banded_keep(),
     "rpv2_exact_keep": oracle.q_rpv2_exact_keep(),
+    "wet_ingest": oracle.q_wet_ingest(),
     "salted_count": oracle.q_salted_count(),
     "top_sources": oracle.q_top_sources(),
     "pricing_summary": oracle.q_pricing_summary(),

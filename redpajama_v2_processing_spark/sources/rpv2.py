@@ -108,6 +108,25 @@ def rpv2_keep_ids(signatures: DataFrame, salted: bool = False) -> DataFrame:
     )
 
 
+def export_keep_list_jsonl(
+    keep: DataFrame, path: str, id_col: str = "id", compress: bool = True
+) -> None:
+    """Write a keep-list in the reference's fuzzy-dedup output format —
+    JSONL, one ``{"id": "<string id>"}`` object per line
+    (/root/reference/src/minhashlsh.py:176-188 dumps exactly that after
+    ``select_columns(['id'])``) — so a reference-stack user can feed this
+    engine's dedup straight into their existing
+    ``filter_fuzzy_duplicates`` consumer.
+
+    Distributed JSONL sink (one file per partition, gzip by default like
+    the reference's published tables); nothing reaches the driver."""
+    frame = keep.select(F.col(id_col).cast("string").alias("id"))
+    writer = frame.write.mode("overwrite")
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.json(path)
+
+
 def fix_duplicate_ids(dups: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """P8 interop shim: the reference's PUBLISHED duplicates tables carry
     malformed document ids — ``2014-15/1839/de_head.json/0`` where the

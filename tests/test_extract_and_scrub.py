@@ -103,6 +103,15 @@ def test_luhn_scrub_validates_checksum(spark):
         [(0, "pay 4242424242424242 or order 1234567890123456 done")],
         "i long, t string")
     out = txt.select(scrub_cc_luhn("t").alias("s")).first().s
-    # the candidate pattern (shared with the PII <CC> rule) consumes a
-    # trailing separator, so the mask absorbs the following space
-    assert out == "pay <CC>or order 1234567890123456 done"
+    # trailing-separator trim: the mask must NOT absorb the space after
+    # the number (the candidate regex alone would consume it)
+    assert out == "pay <CC> or order 1234567890123456 done"
+
+    # boundary-anchored replace: a valid candidate appearing as a
+    # SUBSTRING of a longer (non-validating, hence unextractable) digit
+    # run elsewhere must not be masked inside that run
+    txt2 = spark.createDataFrame(
+        [(0, "card 4242424242424242 ref 94242424242424242605")],
+        "i long, t string")
+    out2 = txt2.select(scrub_cc_luhn("t").alias("s")).first().s
+    assert out2 == "card <CC> ref 94242424242424242605"

@@ -82,6 +82,46 @@ def test_rpv2_signature_interop_roundtrip(spark, tmp_path):
     assert surv.columns == ["id", "text"]
 
 
+def test_export_keep_list_jsonl_reference_format(spark, tmp_path):
+    """The exported keep-list must be consumable by the reference's
+    downstream stack: gzip JSONL, each line exactly {"id": "<string>"}
+    (src/minhashlsh.py:176-188), and joining documents against the
+    read-back list (the filter_fuzzy_duplicates consumer semantics)
+    reproduces the keep-set exactly."""
+    import glob
+    import gzip
+    import json
+
+    from redpajama_v2_processing_spark.sources.rpv2 import (
+        export_keep_list_jsonl, filter_fuzzy_duplicates,
+    )
+
+    keep = spark.createDataFrame(
+        [("2023-06/0001/en_head.json.gz/0",), ("2023-06/0001/en_head.json.gz/7",)],
+        "id string",
+    )
+    out = str(tmp_path / "fuzzy_dedup_ids")
+    export_keep_list_jsonl(keep, out)
+
+    lines = []
+    for part in sorted(glob.glob(f"{out}/part-*.json.gz")):
+        with gzip.open(part, "rt") as f:
+            lines += [ln for ln in f.read().splitlines() if ln]
+    objs = [json.loads(ln) for ln in lines]
+    assert all(set(o) == {"id"} for o in objs)  # exactly the reference shape
+    assert sorted(o["id"] for o in objs) == sorted(r.id for r in keep.collect())
+
+    docs = spark.createDataFrame(
+        [("2023-06/0001/en_head.json.gz/0", "a"),
+         ("2023-06/0001/en_head.json.gz/1", "b"),
+         ("2023-06/0001/en_head.json.gz/7", "c")],
+        "id string, text string",
+    )
+    readback = spark.read.json(out)
+    surv = filter_fuzzy_duplicates(docs, readback)
+    assert sorted(r.text for r in surv.collect()) == ["a", "c"]
+
+
 def test_fix_duplicate_ids_rewrites_malformed_published_ids(spark):
     """P8 shim (reference fix_id, src/filter_exact_duplicates.py:69-79):
     the published duplicates tables say '….json/N' where documents say

@@ -355,6 +355,15 @@ def test_token_offsets_and_pack_blocks(spark):
         expected[i] = (cnt, off)
         off += cnt + 1
     assert got == expected
+    # bucket_size=2 forces MANY buckets AND many super-buckets (ids up
+    # to 9000 -> ~4.5k buckets, ~2.2k super-buckets), exercising all
+    # three scan levels; the layout must be bucket-size invariant
+    got_small = {
+        r.id: (r.n_tokens, r.start_offset)
+        for r in with_token_offsets(df, "doc_id", bucket_size=2).collect()
+    }
+    assert got_small == expected
+
     blocks = pack_blocks(df, "doc_id", block_tokens=8, bucket_size=1024).collect()
     spans = {}
     for r in blocks:
