@@ -97,7 +97,7 @@ HEADLINE = [
     "gopher_filter", "ccnet_pipeline",
     "contamination_report", "dedup_cluster_sizes", "chunk_documents",
     "token_offsets", "pack_blocks", "block_doc_histogram", "shard_manifest",
-    "scrub_cc_luhn", "temperature_mix",
+    "scrub_cc_luhn", "temperature_mix", "rpv2_exact_keep", "wet_ingest",
     "image_meta", "image_pixels", "audio_pcm_stats", "video_frames",
     "quantile_filter", "session_windows",
     "events_hourly", "events_sessions", "pricing_summary", "segment_revenue",

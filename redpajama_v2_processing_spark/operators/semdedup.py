@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import ANN_ROUND
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot
 from .ann import kmeans_centroids
 from .connected_components import connected_components
 
@@ -165,17 +165,46 @@ def semdedup_keep(
     ).localCheckpoint(eager=True)
 
     # ids-only within-cell candidate pairs (vectors stay out of the cid
-    # shuffle), then exact verify on the re-joined vectors
+    # shuffle), then exact verify on the re-joined vectors.
+    #
+    # Verify-cost shape: the pair cosine is a higher-order-function fold,
+    # which Catalyst evaluates INTERPRETED (~10 us per 64-dim fold) — at
+    # hundreds of thousands of within-cell pairs that is the dominant
+    # cost, so (a) the two NORMS are precomputed per VECTOR (linear work,
+    # identical IEEE arithmetic — norm(a)*norm(b) is the same float
+    # product either way), leaving only the dot fold per PAIR, and (b)
+    # the candidate frame is explicitly repartitioned so the interpreted
+    # filter runs corpus-wide in parallel — without this, AQE coalesces
+    # the byte-tiny ids-only pair shuffle into ONE partition and the
+    # whole verify serializes onto a single core (observed 20x wall
+    # blowup at the 50k certification fixture).
     a = assign.select(F.col("id").alias("src"), "cid")
     b = assign.select(F.col("id").alias("dst"), "cid")
-    cand = a.join(b, "cid").where(F.col("src") < F.col("dst")).select("src", "dst")
+    n_part = embeddings.sparkSession.sparkContext.defaultParallelism * 4
+    cand = (
+        a.join(b, "cid")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .repartition(n_part, "src", "dst")
+    )
+    from ..functions.vectors import norm as _vnorm
+
     va = embeddings.select(
         F.col(id_col).alias("src"), F.col(vec_col).cast("array<double>").alias("_va")
-    )
+    ).withColumn("_na", _vnorm(F.col("_va")))
     vb = embeddings.select(
         F.col(id_col).alias("dst"), F.col(vec_col).cast("array<double>").alias("_vb")
+    ).withColumn("_nb", _vnorm(F.col("_vb")))
+    den = F.col("_na") * F.col("_nb")
+    cos = (
+        F.round(
+            F.when(den == 0, F.lit(0.0)).otherwise(
+                dot(F.col("_va"), F.col("_vb")) / den
+            ),
+            ANN_ROUND,
+        )
+        + 0.0
     )
-    cos = F.round(cosine(F.col("_va"), F.col("_vb")), ANN_ROUND) + 0.0
     edges = (
         cand.join(va, "src").join(vb, "dst").where(cos >= threshold).select("src", "dst")
     )

@@ -1933,13 +1933,19 @@ FROM px GROUP BY id, w, h"""
 
 
 def _cos_expr(a: str, b: str) -> str:
-    """Inline (subquery-free) cosine — usable inside window ORDER BY."""
-    num = (f"list_aggregate(list_transform(range(1, len({a})+1), "
-           f"i -> {a}[i::INT]::DOUBLE * {b}[i::INT]::DOUBLE), 'sum')")
-    den = (f"(sqrt(list_aggregate(list_transform(range(1, len({a})+1), "
-           f"i -> {a}[i::INT]::DOUBLE * {a}[i::INT]::DOUBLE), 'sum')) * "
-           f"sqrt(list_aggregate(list_transform(range(1, len({b})+1), "
-           f"i -> {b}[i::INT]::DOUBLE * {b}[i::INT]::DOUBLE), 'sum')))")
+    """Inline (subquery-free) cosine — usable inside window ORDER BY.
+
+    Uses DuckDB's native ``list_dot_product`` (vectorized C++): a
+    sequential left-to-right sum, the SAME addition order as Spark's
+    ``F.aggregate`` fold and as the list-lambda formulation this
+    replaces (verified by a catastrophic-cancellation probe — both give
+    0.0 on [1e16, 1, -1e16]·[1,1,1] — and by value-hash equality against
+    Spark on every fixture). The lambda form evaluated ~100x slower,
+    which made certification at the 50k-vector scale impractical."""
+    cast_a, cast_b = f"CAST({a} AS DOUBLE[])", f"CAST({b} AS DOUBLE[])"
+    num = f"list_dot_product({cast_a}, {cast_b})"
+    den = (f"(sqrt(list_dot_product({cast_a}, {cast_a})) * "
+           f"sqrt(list_dot_product({cast_b}, {cast_b})))")
     return f"(CASE WHEN {den} = 0 THEN 0.0 ELSE ({num}) / {den} END)"
 
 
@@ -2028,12 +2034,15 @@ def _exact_mean4(expr: str) -> str:
     )
 
 
-def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64,
+def _kmeans_ctes(k: int | str = 8, iters: int = 3, dim: int = 64,
                  table: str = "embeddings") -> list[str]:
     """CTE chain for deterministic spherical k-means, ending in
     c{iters}(cid, cv) and m{iters}(cid, pos, c). ``table`` lets the chain
     train over any (vec_id, embedding) relation (e.g. the augmented
-    embeddings in the SemDeDup twin)."""
+    embeddings in the SemDeDup twin). ``k`` may be an int or a SQL
+    scalar-subquery string (e.g. ``"(SELECT kk FROM kcount)"``) for
+    corpus-derived cell counts — only the init LIMIT depends on k; the
+    Lloyd chain itself is k-agnostic."""
     cos = _cos_expr("e.v", "c.cv")
     ctes = [
         f"e AS MATERIALIZED (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v FROM {table})",
@@ -2069,22 +2078,34 @@ def q_kmeans_cells(k: int = 8, iters: int = 3, dim: int = 64) -> str:
             f"FROM m{iters}")
 
 
-def q_semdedup_keep(threshold: float = 0.95, k_cells: int = 8,
-                    iters: int = 3, dim: int = 64) -> str:
+def q_semdedup_keep(threshold: float = 0.95, k_cells: int | None = None,
+                    iters: int = 3, dim: int = 64,
+                    target_cell_width: int = 1000) -> str:
     """Twin of operators/semdedup.semdedup_keep over the augmented
     embeddings: the SAME deterministic Lloyd chain (trained on aug),
     rounded-cosine argmax assignment carrying the centroid cosine,
     within-cell pairs verified at the rounded threshold, recursive-CTE
     connected components, and the paper's keep rule — per duplicate
-    group the member with the LOWEST centroid cosine (ties to min id)."""
+    group the member with the LOWEST centroid cosine (ties to min id).
+
+    ``k_cells=None`` derives k in SQL exactly as the Spark side's
+    derive_k_cells: greatest(8, ceil(n / target_cell_width)) over the
+    well-formed vectors — so the twin stays correct at ANY fixture scale
+    (8 cells at the 500-2000-vector driver fixtures, 52 at the
+    50k-vector certification fixture)."""
     last = f"c{iters}"
     ccos = f"(round({_cos_expr('e.v', 'c.cv')}, {ANN_ROUND}) + 0.0)"
-    pcos = f"(round({_cos_expr('x.v', 'y.v')}, {ANN_ROUND}) + 0.0)"
-    body = ",\n".join(_kmeans_ctes(k_cells, iters, dim, table="aug_ok"))
+    if k_cells is None:
+        k_sql: int | str = "(SELECT kk FROM kcount)"
+        kcount = (f"kcount AS (SELECT greatest(8, ceil(count(*)::DOUBLE "
+                  f"/ {target_cell_width})::BIGINT) AS kk FROM aug_ok),\n")
+    else:
+        k_sql, kcount = k_cells, ""
+    body = ",\n".join(_kmeans_ctes(k_sql, iters, dim, table="aug_ok"))
     return f"""
 WITH RECURSIVE {_AUG_EMB},
 aug_ok AS (SELECT * FROM aug WHERE len(embedding) = {dim}),
-{body},
+{kcount}{body},
 assign AS MATERIALIZED (
   SELECT id, cid, ccos FROM (
     SELECT e.id, c.cid, {ccos} AS ccos,
@@ -2093,10 +2114,22 @@ assign AS MATERIALIZED (
 pairs AS (
   SELECT a.id AS src, b.id AS dst
   FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id),
+vn AS MATERIALIZED (
+  SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
 edges AS MATERIALIZED (
+  -- norms precomputed per VECTOR (identical float product to the inline
+  -- norm(a)*norm(b)); only the dot runs per PAIR — the Spark side uses
+  -- the same decomposition (operators/semdedup.py pair verify).
+  -- list_dot_product is DuckDB's native sequential left-to-right sum —
+  -- the same addition order as Spark's F.aggregate fold (verified by a
+  -- catastrophic-cancellation probe and by keep-list hash equality on
+  -- every fixture); the interpreted list-lambda twin formulation was
+  -- ~100x slower and made 50k-scale certification impractical
   SELECT p.src, p.dst FROM pairs p
-  JOIN e x ON x.id = p.src JOIN e y ON y.id = p.dst
-  WHERE {pcos} >= {threshold}),
+  JOIN vn x ON x.id = p.src JOIN vn y ON y.id = p.dst
+  WHERE (round(CASE WHEN x.nrm * y.nrm = 0 THEN 0.0 ELSE
+    list_dot_product(x.v, y.v) / (x.nrm * y.nrm) END,
+    {ANN_ROUND}) + 0.0) >= {threshold}),
 sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
 reach(id, root) AS (
   SELECT id, id FROM e

@@ -1066,12 +1066,17 @@ def q_semdedup_keep(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means cells over the augmented
     embeddings, within-cell cosine duplicate groups, keep the member
     LEAST similar to its cluster centroid — the paper's keep rule. Whole
-    pipeline (Lloyd chain + pair graph + keep) oracle-checked."""
+    pipeline (Lloyd chain + pair graph + keep) oracle-checked.
+
+    k is CORPUS-DERIVED (derive_k_cells, cell width 1000 — the pair
+    budget stays ~n*width/2 at any fixture scale): 8 cells at the
+    500-2000-vector driver fixtures, 52 at the 50k-vector certification
+    fixture. The oracle twin derives the identical k in SQL."""
     from .operators.semdedup import semdedup_keep
 
     return semdedup_keep(
         _augmented_embeddings(spark, sf_dir), EMB_NEAR_DUP_THRESHOLD,
-        k_cells=8, iters=3, dim=64,
+        k_cells=None, iters=3, dim=64, target_cell_width=1000,
     ).select(F.col("id").alias("vec_id"))
 
 
