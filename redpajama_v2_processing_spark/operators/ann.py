@@ -271,18 +271,39 @@ def embedding_near_dup_pairs(
     (approximation — members beyond the cap can still match through
     another band; oracle-pinned in the prod queries).
     """
+    from ..functions.vectors import dot as _vdot
+    from ..functions.vectors import norm as _vnorm
+
+    def _pair_cos():
+        # norms precomputed per VECTOR (columns _na/_nb staged on the join
+        # sides): the HOF cosine evaluates interpreted, and the inline form
+        # re-folds both norms per PAIR — 3x the interpreted work on the
+        # candidate-verify path. norm(a)*norm(b) is the identical IEEE
+        # product either way (oracle-unchanged).
+        den = F.col("_na") * F.col("_nb")
+        return (
+            F.round(
+                F.when(den == 0, F.lit(0.0)).otherwise(
+                    _vdot(F.col("_va"), F.col("_vb")) / den
+                ),
+                ANN_ROUND,
+            )
+            + 0.0
+        )
+
     if band_bits is None:
         sig = hyperplane_signature(F.col(vec_col), dim, nbits)
         b = embeddings.select(
             F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_bucket")
-        )
-        a = b.select(F.col("_id").alias("src"), F.col("_v").alias("_va"), "_bucket")
-        c = b.select(F.col("_id").alias("dst"), F.col("_v").alias("_vb"), "_bucket")
-        cos = F.round(cosine(F.col("_va"), F.col("_vb")), ANN_ROUND) + 0.0
+        ).withColumn("_n", _vnorm(F.col("_v")))
+        a = b.select(F.col("_id").alias("src"), F.col("_v").alias("_va"),
+                     F.col("_n").alias("_na"), "_bucket")
+        c = b.select(F.col("_id").alias("dst"), F.col("_v").alias("_vb"),
+                     F.col("_n").alias("_nb"), "_bucket")
         return (
             a.join(c, "_bucket")
             .where(F.col("src") < F.col("dst"))
-            .select("src", "dst", cos.alias("cos"))
+            .select("src", "dst", _pair_cos().alias("cos"))
             .where(F.col("cos") >= threshold)
         )
     banded = banded_keys_frame(embeddings, id_col, vec_col, dim, nbits, band_bits)
@@ -301,19 +322,27 @@ def embedding_near_dup_pairs(
     banded = banded.localCheckpoint(eager=True)
     a = banded.select(F.col("_id").alias("src"), "band", "key")
     c = banded.select(F.col("_id").alias("dst"), "band", "key")
+    # explicit repartition of the ids-only candidate frame: byte-based AQE
+    # coalescing otherwise concentrates the row-count-proportional
+    # interpreted verify onto few cores (the semdedup lesson, BENCH.md r6)
+    n_part = embeddings.sparkSession.sparkContext.defaultParallelism * 4
     cand = (
         a.join(c, ["band", "key"])
         .where(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
+        .repartition(n_part, "src", "dst")
     )
-    va = embeddings.select(F.col(id_col).alias("src"), F.col(vec_col).alias("_va"))
-    vb = embeddings.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("_vb"))
-    cos = F.round(cosine(F.col("_va"), F.col("_vb")), ANN_ROUND) + 0.0
+    va = embeddings.select(
+        F.col(id_col).alias("src"), F.col(vec_col).alias("_va")
+    ).withColumn("_na", _vnorm(F.col("_va")))
+    vb = embeddings.select(
+        F.col(id_col).alias("dst"), F.col(vec_col).alias("_vb")
+    ).withColumn("_nb", _vnorm(F.col("_vb")))
     return (
         cand.join(va, "src")
         .join(vb, "dst")
-        .select("src", "dst", cos.alias("cos"))
+        .select("src", "dst", _pair_cos().alias("cos"))
         .where(F.col("cos") >= threshold)
     )
 
@@ -378,15 +407,36 @@ def embedding_dedup_star_keep(
         embeddings, id_col, vec_col, dim, nbits, band_bits
     ).localCheckpoint(eager=True)
     buckets = banded.groupBy("band", "key").agg(F.min("_id").alias("_min_id"))
+    from ..functions.vectors import dot as _vdot
+    from ..functions.vectors import norm as _vnorm
+
+    # ids-only star candidates explicitly repartitioned + per-vector norm
+    # staging — the same interpreted-verify economics as the pairs path
+    # and semdedup (BENCH.md r6); arithmetic identical to the inline form
+    n_part = embeddings.sparkSession.sparkContext.defaultParallelism * 4
     cand = (
         banded.join(buckets, ["band", "key"])
         .where(F.col("_id") != F.col("_min_id"))
         .select(F.col("_id").alias("src"), F.col("_min_id").alias("dst"))
         .distinct()
+        .repartition(n_part, "src", "dst")
     )
-    va = embeddings.select(F.col(id_col).alias("src"), F.col(vec_col).alias("_va"))
-    vb = embeddings.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("_vb"))
-    cos = F.round(cosine(F.col("_va"), F.col("_vb")), ANN_ROUND) + 0.0
+    va = embeddings.select(
+        F.col(id_col).alias("src"), F.col(vec_col).alias("_va")
+    ).withColumn("_na", _vnorm(F.col("_va")))
+    vb = embeddings.select(
+        F.col(id_col).alias("dst"), F.col(vec_col).alias("_vb")
+    ).withColumn("_nb", _vnorm(F.col("_vb")))
+    den = F.col("_na") * F.col("_nb")
+    cos = (
+        F.round(
+            F.when(den == 0, F.lit(0.0)).otherwise(
+                _vdot(F.col("_va"), F.col("_vb")) / den
+            ),
+            ANN_ROUND,
+        )
+        + 0.0
+    )
     edges = (
         cand.join(va, "src")
         .join(vb, "dst")
@@ -528,10 +578,30 @@ def kmeans_centroids(
     )
     sc = embeddings.sparkSession.sparkContext
     prev_ids: set[int] = set()
+    # vector norms precomputed ONCE (and centroid norms once per
+    # iteration, k rows): the HOF cosine evaluates interpreted, and the
+    # inline form would re-fold norm(v) k times per vector and norm(cv)
+    # n times per centroid — 3x the interpreted work on the n*k
+    # assignment path, the dominant cost at 50k+ vectors. norm(a)*norm(b)
+    # is the identical IEEE product either way (oracle-unchanged).
+    from ..functions.vectors import dot as _vdot
+    from ..functions.vectors import norm as _vnorm
+
+    embn = emb.withColumn("_nv", _vnorm(F.col("v")))
     for _ in range(iters):
-        ccos = F.round(cosine(F.col("v"), F.col("cv")), ANN_ROUND) + 0.0
+        centn = cent.withColumn("_nc", _vnorm(F.col("cv")))
+        den = F.col("_nv") * F.col("_nc")
+        ccos = (
+            F.round(
+                F.when(den == 0, F.lit(0.0)).otherwise(
+                    _vdot(F.col("v"), F.col("cv")) / den
+                ),
+                ANN_ROUND,
+            )
+            + 0.0
+        )
         assign = (
-            emb.join(F.broadcast(cent))
+            embn.join(F.broadcast(centn))
             .withColumn("_c", ccos)
             .groupBy("id")
             .agg(

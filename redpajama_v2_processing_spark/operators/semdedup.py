@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import ANN_ROUND
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import dot
 from .ann import kmeans_centroids
 from .connected_components import connected_components
 
@@ -117,11 +117,29 @@ def semdedup_assign(
     ok = embeddings.where(F.size(F.col(vec_col)) == dim)
     if k_cells is None:
         k_cells = derive_k_cells(ok.count(), target_cell_width)
+    from ..functions.vectors import norm as _vnorm
+
+    # norms precomputed per vector / per centroid: same interpreted-HOF
+    # economics as the kmeans assignment loop (see ann.kmeans_centroids);
+    # identical IEEE arithmetic to the inline cosine.
     emb = ok.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("_nv", _vnorm(F.col("v")))
+    cent = F.broadcast(
+        kmeans_centroids(ok, k_cells, iters, id_col, vec_col).withColumn(
+            "_nc", _vnorm(F.col("cv"))
+        )
     )
-    cent = F.broadcast(kmeans_centroids(ok, k_cells, iters, id_col, vec_col))
-    ccos = F.round(cosine(F.col("v"), F.col("cv")), ANN_ROUND) + 0.0
+    den = F.col("_nv") * F.col("_nc")
+    ccos = (
+        F.round(
+            F.when(den == 0, F.lit(0.0)).otherwise(
+                dot(F.col("v"), F.col("cv")) / den
+            ),
+            ANN_ROUND,
+        )
+        + 0.0
+    )
     return (
         emb.join(cent)
         .withColumn("_c", ccos)
