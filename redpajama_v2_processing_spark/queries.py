@@ -844,34 +844,58 @@ def q_wet_ingest(spark, sf_dir):
     the roundtripped text must equal the oracle's md5 over the source
     rows, and the WARC-Date instant must survive the tz-aware transfer.
 
-    The driver-side fixture WRITE is test scaffolding only (labeled —
-    production reads a crawl's ~90k WET files off the manifest, one file
-    per task); the measured surface is the distributed parse."""
+    The fixture WRITE is test scaffolding, and even it is DISTRIBUTED:
+    each hash partition serializes its own WET file through an Arrow
+    mapInPandas task (no corpus-sized driver collect anywhere — the
+    production analogue writes crawl shards to the object store off the
+    manifest, one file per task); the measured surface is the
+    distributed parse."""
     import hashlib
     import os
+    import shutil
 
-    from .sources.warc import read_wet, synth_wet_bytes
+    from .sources.warc import read_wet
 
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    rows = sorted(
-        ((r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()),
-    )
-    recs = []
-    for did, text in rows:
-        ts = 1_600_000_000 + did
-        import datetime as _dt
-
-        iso = _dt.datetime.fromtimestamp(ts, _dt.timezone.utc).strftime(
-            "%Y-%m-%dT%H:%M:%SZ"
-        )
-        recs.append((f"https://example.org/doc/{did}", iso, text))
-    payload = synth_wet_bytes(recs, compress=True)
     fix_dir = os.path.join(
         "/tmp", f"wet_fixture_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
     )
+    shutil.rmtree(fix_dir, ignore_errors=True)
     os.makedirs(fix_dir, exist_ok=True)
-    with open(os.path.join(fix_dir, "part-0.warc.wet.gz"), "wb") as f:
-        f.write(payload)
+
+    def _write_part(batches):
+        import datetime as _dt
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from redpajama_v2_processing_spark.sources.warc import synth_wet_bytes
+
+        recs = []
+        for pdf in batches:
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                iso = _dt.datetime.fromtimestamp(
+                    1_600_000_000 + did, _dt.timezone.utc
+                ).strftime("%Y-%m-%dT%H:%M:%SZ")
+                recs.append((f"https://example.org/doc/{did}", iso, text))
+        if recs:
+            pid = TaskContext.get().partitionId()
+            with open(
+                os.path.join(fix_dir, f"part-{pid:05d}.warc.wet.gz"), "wb"
+            ) as f:
+                f.write(synth_wet_bytes(recs, compress=True))
+        yield pd.DataFrame({"n": [len(recs)]})
+
+    # hash partitioning by doc_id: deterministic file membership, so a
+    # task retry rewrites the identical bytes to the identical name
+    (
+        docs.select("doc_id", "text")
+        .repartition(8, "doc_id")
+        .mapInPandas(_write_part, "n long")
+        .agg(F.sum("n"))
+        .collect()  # single-row materialization barrier
+    )
 
     wet = read_wet(spark, fix_dir)
     return wet.select(
