@@ -177,22 +177,42 @@ def token_budget_mix(
     """
     base = _mix_base(df, id_col, source_col, text_col)
     totals = base.groupBy("source").agg(F.sum("n_tokens").alias("_t"))
+    rates = _budget_rates(totals, budgets, denom)
+    return _mix_from_rates(base, rates, salt, denom, default_keep)
+
+
+def _budget_rates(totals, budgets: dict[str, int], denom: int):
+    """DF(source, _r) from DF(source, _t): per-source micro-unit rates.
+
+    EXACT integer arithmetic: budget*denom is widened to decimal(38,0)
+    before the `div`, so (a) the rate matches DuckDB's integer `//`
+    bit-for-bit at any magnitude (bigint `/` would round through a
+    double — inexact above 2^53), and (b) budgets beyond ~9.2e12 tokens
+    cannot overflow the long product. Rates that would exceed the bigint
+    range clamp at 9e18 micro-units, decided by a pre-divide magnitude
+    test (Spark's IntegralDivide returns LONG and would silently wrap;
+    9e18 micro-units = 9e12 epochs per doc, far beyond any physical
+    mixture — the clamp changes nothing real and keeps the column
+    total-ordered). NULL budget (unlisted source) -> NULL rate (the
+    default-keep passthrough marker)."""
     bcases = F.lit(None).cast("long")
     for s, b in sorted(budgets.items()):
         bcases = F.when(F.col("source") == s, F.lit(int(b))).otherwise(bcases)
-    # micro-unit rate; NULL budget (unlisted source) -> NULL rate.
-    # EXACT integer arithmetic: budget*denom is widened to decimal(38,0)
-    # before the `div`, so (a) the rate matches DuckDB's integer `//`
-    # bit-for-bit at any magnitude (bigint `/` would round through a
-    # double — inexact above 2^53), and (b) budgets beyond ~9.2e12 tokens
-    # cannot overflow the long product.
-    rates = totals.select("source", "_t", bcases.alias("_b")).select(
+    return totals.select("source", "_t", bcases.alias("_b")).select(
         "source",
-        F.expr(f"(cast(_b as decimal(38,0)) * {denom}) div greatest(_t, 1L)")
-        .cast("long")
-        .alias("_r"),
+        # CASE, not least(): Spark's least() SKIPS nulls (the unlisted-
+        # source NULL rate would become the clamp), and `div` itself
+        # returns LONG (IntegralDivide), so the clamp decision must
+        # happen BEFORE the divide — a double magnitude test is safe for
+        # the decision (the exact branch then provably fits bigint)
+        F.expr(
+            f"CASE WHEN _b IS NULL THEN CAST(NULL AS BIGINT)"
+            f" WHEN cast(_b as double) * {denom} / greatest(_t, 1L) > 8.9e18"
+            f" THEN 9000000000000000000L"
+            f" ELSE (cast(_b as decimal(38,0)) * {denom})"
+            f" div greatest(_t, 1L) END"
+        ).alias("_r"),
     )
-    return _mix_from_rates(base, rates, salt, denom, default_keep)
 
 
 def _mix_base(df, id_col, source_col, text_col):

@@ -395,6 +395,41 @@ def test_token_budget_mix_epochs(spark):
     assert again == sorted((r.id, r.epoch) for r in out)
 
 
+def test_token_budget_mix_extreme_budget_rate_exact(spark):
+    """Budgets beyond ~9.2e12 tokens must not overflow, and the
+    micro-unit rate must equal exact integer // at any magnitude (the r6
+    advisor item: the old bigint/bigint path rounded through a double
+    and budget*denom overflowed long above ~9.2e12). The full operator
+    cannot materialize such a mixture (10^12 epochs), so the probe hits
+    the rate table directly."""
+    from pyspark.sql import functions as F
+
+    from redpajama_v2_processing_spark.operators.sampling import _budget_rates
+
+    totals = spark.createDataFrame(
+        [("a", 200), ("b", 3), ("c", 1_000_000), ("d", 7)],
+        "source string, _t long",
+    )
+    budgets = {
+        "a": 10_000_000_000_000,        # > old long-overflow line
+        "b": 10,
+        "c": 9_007_199_254_740_995,     # > 2^53: not double-representable
+        "d": 9_007_199_254_740_993,     # rate would exceed long: clamps
+    }
+    got = {
+        r.source: r._r
+        for r in _budget_rates(totals, budgets, 1_000_000).collect()
+    }
+    # python int arithmetic is the exact-integer reference
+    assert got["a"] == 10_000_000_000_000 * 1_000_000 // 200   # 5e16
+    assert got["b"] == 10 * 1_000_000 // 3                     # 3333333
+    # c: denom cancels _t exactly, so rate == budget — a double path
+    # would return 9_007_199_254_740_996 (nearest representable)
+    assert got["c"] == 9_007_199_254_740_995
+    # d: absurd rate (1.3e21 micro-units) clamps instead of wrapping
+    assert got["d"] == 9_000_000_000_000_000_000
+
+
 def test_url_blocklist_filter(spark):
     """Single-alternation URL-pattern blocklist: host and path-range
     patterns drop matching rows; empty pattern list is a no-op."""

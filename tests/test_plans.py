@@ -245,6 +245,23 @@ def test_round5_queries_stay_jvm_side(spark):
     assert "Window" not in mix
 
 
+def test_round6_queries_plan_gates(spark):
+    """rpv2_exact_keep: pure relational interop (regexp repair + anti
+    join), no Python eval, no cartesian, no window. wet_ingest is
+    excluded by design — its parse IS Arrow mapInPandas (the binary
+    ingest tier); assert it is ArrowEvalPython-shaped, not row-Python."""
+    from redpajama_v2_processing_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    plan = _physical(Q.QUERIES["rpv2_exact_keep"](spark, sf))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan and "Window" not in plan
+
+    wet = _physical(Q.QUERIES["wet_ingest"](spark, sf))
+    assert "MapInPandas" in wet or "ArrowEvalPython" in wet
+    assert "BatchEvalPython" not in wet  # never row-at-a-time Python
+
+
 def test_semdedup_and_jaccard_plan_shape(spark):
     """SemDeDup: assignment is grouped min_by (no Window), keep rule is
     grouped min_by (no Window), no Python eval; the only nested-loop join
