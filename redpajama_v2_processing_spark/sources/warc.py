@@ -86,35 +86,33 @@ def parse_warc_records(
     return out
 
 
+def _wet_decode(batches):
+    """Arrow-batch WET decoder shared by the batch source (``read_wet``)
+    and the streaming tier (``streaming.ingest.stream_wet_ingest``)."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for raw in pdf["content"]:
+            for uri, date, _t, payload in parse_warc_records(
+                bytes(raw), want_types=("conversion",)
+            ):
+                rows.append((uri, date, payload.decode("utf-8", "replace")))
+        out = pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+        # WARC-Date is an instant (...Z); keep it tz-aware UTC so the
+        # Arrow transfer stores the correct instant under ANY session
+        # timezone (the engine pins UTC in session.py, but a naive
+        # value would silently shift on a non-UTC deployment)
+        out["warc_ts"] = pd.to_datetime(out["warc_ts"], errors="coerce", utc=True)
+        yield out
+
+
 def read_wet(spark: SparkSession, path: str) -> DataFrame:
     """DF(url, warc_ts, text) from a directory/glob of WET files (plain
     or .gz). One Arrow batch per file; the binary payload never leaves
     the executors."""
-    import pandas as pd
-
     files = spark.read.format("binaryFile").load(path).select("content")
-
-    def decode(batches):
-        for pdf in batches:
-            rows = []
-            for raw in pdf["content"]:
-                for uri, date, _t, payload in parse_warc_records(
-                    bytes(raw), want_types=("conversion",)
-                ):
-                    rows.append(
-                        (uri, date, payload.decode("utf-8", "replace"))
-                    )
-            out = pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
-            # WARC-Date is an instant (...Z); keep it tz-aware UTC so the
-            # Arrow transfer stores the correct instant under ANY session
-            # timezone (the engine pins UTC in session.py, but a naive
-            # value would silently shift on a non-UTC deployment)
-            out["warc_ts"] = pd.to_datetime(
-                out["warc_ts"], errors="coerce", utc=True
-            )
-            yield out
-
-    return files.mapInPandas(decode, WET_SCHEMA)
+    return files.mapInPandas(_wet_decode, WET_SCHEMA)
 
 
 def synth_wet_bytes(

@@ -265,3 +265,48 @@ def stream_incremental_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_wet_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming raw-crawl ingest: WET/WARC files LANDING in a directory
+    are parsed to (url, warc_ts, text) rows exactly-once — the streaming
+    twin of ``sources.warc.read_wet`` (same Arrow ``_wet_decode``, so
+    batch and stream produce byte-identical text per url).
+
+    ``binaryFile`` is a file-based streaming source: each micro-batch is
+    the set of files that appeared since the last checkpointed offset,
+    one file = one task (the Common Crawl delivery model — a crawl's
+    ~90k WET shards land over days; the checkpoint makes redelivery and
+    restarts exactly-once at file granularity). The parse is stateless
+    Arrow ``mapInPandas``; no streaming state accrues — downstream dedup
+    tiers (``stream_exact_dedup`` etc.) own the stateful stages.
+    """
+    from ..sources.warc import WET_SCHEMA, _wet_decode
+
+    # streaming sources need an explicit schema: this is binaryFile's
+    # fixed four-column surface
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(input_dir)
+        .select("content")
+    )
+    parsed = files.mapInPandas(_wet_decode, WET_SCHEMA)
+    writer = (
+        parsed.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -396,6 +396,43 @@ def test_streaming_exact_dedup_matches_batch_count(spark, tmp_path):
     assert got.select("fingerprint").distinct().count() == n_distinct
 
 
+def test_streaming_wet_ingest_exactly_once(spark, tmp_path):
+    """WET files landing in a directory stream through the same Arrow
+    decoder as the batch source: (1) output rows equal read_wet on the
+    same bytes (byte-identical text per url), (2) a file arriving AFTER
+    the first run is ingested incrementally — the checkpoint never
+    re-emits the first file's records (exactly-once at file
+    granularity)."""
+    from redpajama_v2_processing_spark.sources.warc import (
+        read_wet, synth_wet_bytes,
+    )
+    from redpajama_v2_processing_spark.streaming.ingest import stream_wet_ingest
+
+    src = tmp_path / "wet_land"
+    src.mkdir()
+    out = str(tmp_path / "wet_out")
+    ckpt = str(tmp_path / "wet_ckpt")
+
+    recs1 = [(f"https://a.example/{i}", "2024-01-01T00:00:00Z", f"doc one {i}")
+             for i in range(5)]
+    (src / "f1.warc.wet.gz").write_bytes(synth_wet_bytes(recs1, compress=True))
+    q = stream_wet_ingest(spark, str(src), out, ckpt)
+    q.awaitTermination(120)
+
+    got1 = {(r.url, r.text) for r in spark.read.parquet(out).collect()}
+    want1 = {(r.url, r.text) for r in read_wet(spark, str(src)).collect()}
+    assert got1 == want1 and len(got1) == 5
+
+    recs2 = [("https://b.example/0", "2024-01-02T00:00:00Z", "doc two")]
+    (src / "f2.warc.wet").write_bytes(synth_wet_bytes(recs2))
+    q2 = stream_wet_ingest(spark, str(src), out, ckpt)
+    q2.awaitTermination(120)
+
+    got2 = [(r.url, r.text) for r in spark.read.parquet(out).collect()]
+    assert len(got2) == 6  # 5 + 1: no re-emission of f1's records
+    assert ("https://b.example/0", "doc two") in got2
+
+
 def test_stateful_streaming_sessionize(spark, tmp_path):
     """applyInPandasWithState sessionization: gap-closed sessions emit in
     the batch that observes the gap; still-open sessions flush when the
