@@ -73,15 +73,22 @@ def scrub_cc_luhn(col: Column | str) -> Column:
         lambda s: F.regexp_replace(s, r"[ \-]+$", ""),
     )
     valid = F.filter(F.array_distinct(cands), luhn_valid)
-    # boundary-anchored replacement: a plain string replace would also
-    # mask an equal digit substring INSIDE a longer non-validated run
-    # elsewhere in the doc. Candidates are [0-9 -] only (guaranteed by
-    # the extraction pattern), so concatenating them into a pattern is
-    # regex-injection-safe.
-    return F.aggregate(
-        valid,
-        c,
-        lambda acc, cand: F.regexp_replace(
-            acc, F.concat(F.lit(r"\b"), cand, F.lit(r"\b")), F.lit("<CC>")
-        ),
-    )
+
+    # DIGIT-boundary replacement: a plain string replace would mask an
+    # equal digit substring INSIDE a longer non-validated run elsewhere
+    # in the doc, while \b anchors would MISS a letter-glued copy
+    # ('ref A4242…' — 'A' and '4' are both word chars) and leak a full
+    # valid card number. The boundary that matters is digits only:
+    # (^|[^0-9]) … ([^0-9]|$), with the boundary chars captured and
+    # reinserted. RE2 (the oracle) has no lookarounds, so the captured-
+    # group form is the portable spelling; because group 2 CONSUMES the
+    # following char, a second occurrence separated by a single
+    # character is invisible to the first pass — two passes are exact
+    # (after pass one the survivor's left neighbor is '>', a non-digit).
+    # Candidates are [0-9 -] only (guaranteed by the extraction
+    # pattern), so concatenating them into a pattern is injection-safe.
+    def _rep(acc, cand):
+        pat = F.concat(F.lit("(^|[^0-9])"), cand, F.lit("([^0-9]|$)"))
+        return F.regexp_replace(acc, pat, F.lit("$1<CC>$2"))
+
+    return F.aggregate(valid, c, lambda acc, cand: _rep(_rep(acc, cand), cand))

@@ -28,3 +28,35 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     d = norm(a) * norm(b)
     return F.when(d == 0, F.lit(0.0)).otherwise(dot(a, b) / d)
+
+
+def staged_cosine(
+    va: Column, vb: Column, na: Column, nb: Column, round_digits: int
+) -> Column:
+    """Rounded cosine over PRE-STAGED per-vector norms — the shared
+    candidate-verify expression (ANN pair/star verifies, the kmeans
+    assignment loop, SemDeDup assign + keep).
+
+    HOF folds evaluate interpreted; the inline :func:`cosine` re-folds
+    both norms at every evaluation, so verify paths stage ``norm(v)`` as
+    a column per SIDE (linear work) and fold only the dot per PAIR.
+    ``na * nb`` is the identical IEEE product to ``norm(a) * norm(b)``,
+    and the zero-norm rule and rounding are centralized here so the
+    dedup/ANN tiers cannot silently diverge."""
+    den = na * nb
+    return (
+        F.round(
+            F.when(den == 0, F.lit(0.0)).otherwise(dot(va, vb) / den),
+            round_digits,
+        )
+        + 0.0
+    )
+
+
+def verify_partitions(df) -> int:
+    """Partition count for ids-only candidate frames feeding an
+    interpreted-expression verify: byte-based AQE coalescing cannot see
+    row-count-proportional interpreted work and would serialize it onto
+    one core (BENCH.md round 6), so verify joins repartition explicitly
+    at 4x the default parallelism."""
+    return df.sparkSession.sparkContext.defaultParallelism * 4

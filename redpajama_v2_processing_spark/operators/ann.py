@@ -271,24 +271,14 @@ def embedding_near_dup_pairs(
     (approximation — members beyond the cap can still match through
     another band; oracle-pinned in the prod queries).
     """
-    from ..functions.vectors import dot as _vdot
     from ..functions.vectors import norm as _vnorm
+    from ..functions.vectors import staged_cosine, verify_partitions
 
     def _pair_cos():
         # norms precomputed per VECTOR (columns _na/_nb staged on the join
-        # sides): the HOF cosine evaluates interpreted, and the inline form
-        # re-folds both norms per PAIR — 3x the interpreted work on the
-        # candidate-verify path. norm(a)*norm(b) is the identical IEEE
-        # product either way (oracle-unchanged).
-        den = F.col("_na") * F.col("_nb")
-        return (
-            F.round(
-                F.when(den == 0, F.lit(0.0)).otherwise(
-                    _vdot(F.col("_va"), F.col("_vb")) / den
-                ),
-                ANN_ROUND,
-            )
-            + 0.0
+        # sides): see functions/vectors.staged_cosine for the economics
+        return staged_cosine(
+            F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), ANN_ROUND
         )
 
     if band_bits is None:
@@ -325,13 +315,12 @@ def embedding_near_dup_pairs(
     # explicit repartition of the ids-only candidate frame: byte-based AQE
     # coalescing otherwise concentrates the row-count-proportional
     # interpreted verify onto few cores (the semdedup lesson, BENCH.md r6)
-    n_part = embeddings.sparkSession.sparkContext.defaultParallelism * 4
     cand = (
         a.join(c, ["band", "key"])
         .where(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
-        .repartition(n_part, "src", "dst")
+        .repartition(verify_partitions(embeddings), "src", "dst")
     )
     va = embeddings.select(
         F.col(id_col).alias("src"), F.col(vec_col).alias("_va")
@@ -407,19 +396,18 @@ def embedding_dedup_star_keep(
         embeddings, id_col, vec_col, dim, nbits, band_bits
     ).localCheckpoint(eager=True)
     buckets = banded.groupBy("band", "key").agg(F.min("_id").alias("_min_id"))
-    from ..functions.vectors import dot as _vdot
     from ..functions.vectors import norm as _vnorm
+    from ..functions.vectors import staged_cosine, verify_partitions
 
     # ids-only star candidates explicitly repartitioned + per-vector norm
     # staging — the same interpreted-verify economics as the pairs path
     # and semdedup (BENCH.md r6); arithmetic identical to the inline form
-    n_part = embeddings.sparkSession.sparkContext.defaultParallelism * 4
     cand = (
         banded.join(buckets, ["band", "key"])
         .where(F.col("_id") != F.col("_min_id"))
         .select(F.col("_id").alias("src"), F.col("_min_id").alias("dst"))
         .distinct()
-        .repartition(n_part, "src", "dst")
+        .repartition(verify_partitions(embeddings), "src", "dst")
     )
     va = embeddings.select(
         F.col(id_col).alias("src"), F.col(vec_col).alias("_va")
@@ -427,15 +415,8 @@ def embedding_dedup_star_keep(
     vb = embeddings.select(
         F.col(id_col).alias("dst"), F.col(vec_col).alias("_vb")
     ).withColumn("_nb", _vnorm(F.col("_vb")))
-    den = F.col("_na") * F.col("_nb")
-    cos = (
-        F.round(
-            F.when(den == 0, F.lit(0.0)).otherwise(
-                _vdot(F.col("_va"), F.col("_vb")) / den
-            ),
-            ANN_ROUND,
-        )
-        + 0.0
+    cos = staged_cosine(
+        F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), ANN_ROUND
     )
     edges = (
         cand.join(va, "src")
@@ -579,26 +560,17 @@ def kmeans_centroids(
     sc = embeddings.sparkSession.sparkContext
     prev_ids: set[int] = set()
     # vector norms precomputed ONCE (and centroid norms once per
-    # iteration, k rows): the HOF cosine evaluates interpreted, and the
-    # inline form would re-fold norm(v) k times per vector and norm(cv)
-    # n times per centroid — 3x the interpreted work on the n*k
-    # assignment path, the dominant cost at 50k+ vectors. norm(a)*norm(b)
-    # is the identical IEEE product either way (oracle-unchanged).
-    from ..functions.vectors import dot as _vdot
+    # iteration, k rows): the inline cosine would re-fold norm(v) k times
+    # per vector and norm(cv) n times per centroid on the n*k assignment
+    # path — see functions/vectors.staged_cosine for the economics.
     from ..functions.vectors import norm as _vnorm
+    from ..functions.vectors import staged_cosine
 
     embn = emb.withColumn("_nv", _vnorm(F.col("v")))
     for _ in range(iters):
         centn = cent.withColumn("_nc", _vnorm(F.col("cv")))
-        den = F.col("_nv") * F.col("_nc")
-        ccos = (
-            F.round(
-                F.when(den == 0, F.lit(0.0)).otherwise(
-                    _vdot(F.col("v"), F.col("cv")) / den
-                ),
-                ANN_ROUND,
-            )
-            + 0.0
+        ccos = staged_cosine(
+            F.col("v"), F.col("cv"), F.col("_nv"), F.col("_nc"), ANN_ROUND
         )
         assign = (
             embn.join(F.broadcast(centn))

@@ -43,7 +43,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import ANN_ROUND
-from ..functions.vectors import dot
 from .ann import kmeans_centroids
 from .connected_components import connected_components
 
@@ -118,6 +117,7 @@ def semdedup_assign(
     if k_cells is None:
         k_cells = derive_k_cells(ok.count(), target_cell_width)
     from ..functions.vectors import norm as _vnorm
+    from ..functions.vectors import staged_cosine
 
     # norms precomputed per vector / per centroid: same interpreted-HOF
     # economics as the kmeans assignment loop (see ann.kmeans_centroids);
@@ -130,15 +130,8 @@ def semdedup_assign(
             "_nc", _vnorm(F.col("cv"))
         )
     )
-    den = F.col("_nv") * F.col("_nc")
-    ccos = (
-        F.round(
-            F.when(den == 0, F.lit(0.0)).otherwise(
-                dot(F.col("v"), F.col("cv")) / den
-            ),
-            ANN_ROUND,
-        )
-        + 0.0
+    ccos = staged_cosine(
+        F.col("v"), F.col("cv"), F.col("_nv"), F.col("_nc"), ANN_ROUND
     )
     return (
         emb.join(cent)
@@ -196,32 +189,25 @@ def semdedup_keep(
     # the byte-tiny ids-only pair shuffle into ONE partition and the
     # whole verify serializes onto a single core (observed 20x wall
     # blowup at the 50k certification fixture).
+    from ..functions.vectors import norm as _vnorm
+    from ..functions.vectors import staged_cosine, verify_partitions
+
     a = assign.select(F.col("id").alias("src"), "cid")
     b = assign.select(F.col("id").alias("dst"), "cid")
-    n_part = embeddings.sparkSession.sparkContext.defaultParallelism * 4
     cand = (
         a.join(b, "cid")
         .where(F.col("src") < F.col("dst"))
         .select("src", "dst")
-        .repartition(n_part, "src", "dst")
+        .repartition(verify_partitions(embeddings), "src", "dst")
     )
-    from ..functions.vectors import norm as _vnorm
-
     va = embeddings.select(
         F.col(id_col).alias("src"), F.col(vec_col).cast("array<double>").alias("_va")
     ).withColumn("_na", _vnorm(F.col("_va")))
     vb = embeddings.select(
         F.col(id_col).alias("dst"), F.col(vec_col).cast("array<double>").alias("_vb")
     ).withColumn("_nb", _vnorm(F.col("_vb")))
-    den = F.col("_na") * F.col("_nb")
-    cos = (
-        F.round(
-            F.when(den == 0, F.lit(0.0)).otherwise(
-                dot(F.col("_va"), F.col("_vb")) / den
-            ),
-            ANN_ROUND,
-        )
-        + 0.0
+    cos = staged_cosine(
+        F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), ANN_ROUND
     )
     edges = (
         cand.join(va, "src").join(vb, "dst").where(cos >= threshold).select("src", "dst")

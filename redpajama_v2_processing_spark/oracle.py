@@ -493,7 +493,10 @@ c AS (
   FROM shaped)
 SELECT doc_id,
   list_reduce(list_prepend(text, vs),
-              (acc, cc) -> regexp_replace(acc, '\\b' || cc || '\\b', '<CC>', 'g'))
+    (acc, cc) -> regexp_replace(
+      regexp_replace(acc, '(^|[^0-9])' || cc || '([^0-9]|$)',
+                     '\\1<CC>\\2', 'g'),
+      '(^|[^0-9])' || cc || '([^0-9]|$)', '\\1<CC>\\2', 'g'))
     AS scrubbed
 FROM c"""
 
@@ -2080,7 +2083,7 @@ def q_kmeans_cells(k: int = 8, iters: int = 3, dim: int = 64) -> str:
 
 def q_semdedup_keep(threshold: float = 0.95, k_cells: int | None = None,
                     iters: int = 3, dim: int = 64,
-                    target_cell_width: int = 1000) -> str:
+                    target_cell_width: int = 10_000) -> str:
     """Twin of operators/semdedup.semdedup_keep over the augmented
     embeddings: the SAME deterministic Lloyd chain (trained on aug),
     rounded-cosine argmax assignment carrying the centroid cosine,

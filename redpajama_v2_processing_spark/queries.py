@@ -848,7 +848,13 @@ def q_wet_ingest(spark, sf_dir):
     each hash partition serializes its own WET file through an Arrow
     mapInPandas task (no corpus-sized driver collect anywhere — the
     production analogue writes crawl shards to the object store off the
-    manifest, one file per task); the measured surface is the
+    manifest, one file per task; this builder assumes the single-host /
+    shared-filesystem sandbox, like every other fixture generator). The
+    fixture is content-deterministic per sf_dir, so it is built AT MOST
+    ONCE per host (marker-gated, published by atomic directory rename —
+    a concurrent session either wins the rename or reuses the winner's
+    files; nothing is ever deleted under a reader): repeat invocations,
+    including the bench harness's timed runs, measure ONLY the
     distributed parse."""
     import hashlib
     import os
@@ -860,44 +866,55 @@ def q_wet_ingest(spark, sf_dir):
     fix_dir = os.path.join(
         "/tmp", f"wet_fixture_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
     )
-    shutil.rmtree(fix_dir, ignore_errors=True)
-    os.makedirs(fix_dir, exist_ok=True)
+    if not os.path.exists(os.path.join(fix_dir, "_SUCCESS")):
+        tmp_dir = f"{fix_dir}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
 
-    def _write_part(batches):
-        import datetime as _dt
+        def _write_part(batches):
+            import datetime as _dt
 
-        import pandas as pd
-        from pyspark import TaskContext
+            import pandas as pd
+            from pyspark import TaskContext
 
-        from redpajama_v2_processing_spark.sources.warc import synth_wet_bytes
+            from redpajama_v2_processing_spark.sources.warc import (
+                synth_wet_bytes,
+            )
 
-        recs = []
-        for pdf in batches:
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                did = int(did)
-                iso = _dt.datetime.fromtimestamp(
-                    1_600_000_000 + did, _dt.timezone.utc
-                ).strftime("%Y-%m-%dT%H:%M:%SZ")
-                recs.append((f"https://example.org/doc/{did}", iso, text))
-        if recs:
-            pid = TaskContext.get().partitionId()
-            with open(
-                os.path.join(fix_dir, f"part-{pid:05d}.warc.wet.gz"), "wb"
-            ) as f:
-                f.write(synth_wet_bytes(recs, compress=True))
-        yield pd.DataFrame({"n": [len(recs)]})
+            recs = []
+            for pdf in batches:
+                for did, text in zip(pdf["doc_id"], pdf["text"]):
+                    did = int(did)
+                    iso = _dt.datetime.fromtimestamp(
+                        1_600_000_000 + did, _dt.timezone.utc
+                    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+                    recs.append((f"https://example.org/doc/{did}", iso, text))
+            if recs:
+                pid = TaskContext.get().partitionId()
+                with open(
+                    os.path.join(tmp_dir, f"part-{pid:05d}.warc.wet.gz"), "wb"
+                ) as f:
+                    f.write(synth_wet_bytes(recs, compress=True))
+            yield pd.DataFrame({"n": [len(recs)]})
 
-    # hash partitioning by doc_id: deterministic file membership, so a
-    # task retry rewrites the identical bytes to the identical name
-    (
-        docs.select("doc_id", "text")
-        .repartition(8, "doc_id")
-        .mapInPandas(_write_part, "n long")
-        .agg(F.sum("n"))
-        .collect()  # single-row materialization barrier
-    )
+        # hash partitioning by doc_id: deterministic file membership, so
+        # a task retry rewrites the identical bytes to the identical name
+        (
+            docs.select("doc_id", "text")
+            .repartition(8, "doc_id")
+            .mapInPandas(_write_part, "n long")
+            .agg(F.sum("n"))
+            .collect()  # single-row materialization barrier
+        )
+        with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp_dir, fix_dir)
+        except OSError:
+            # another session published the identical fixture first
+            shutil.rmtree(tmp_dir, ignore_errors=True)
 
-    wet = read_wet(spark, fix_dir)
+    wet = read_wet(spark, os.path.join(fix_dir, "part-*.warc.wet.gz"))
     return wet.select(
         "url",
         F.col("warc_ts").cast("long").alias("ts_unix"),
@@ -1817,7 +1834,9 @@ ORACLES: dict[str, str] = {
     "bloom_anti_join": oracle.q_anti_join(),
     "url_blocklist": oracle.q_url_blocklist(),
     "fineweb_filter": oracle.q_fineweb_filter(),
-    "semdedup_keep": oracle.q_semdedup_keep(),
+    # width 1000 matches q_semdedup_keep's explicit Spark-side argument;
+    # BOTH twins default to the paper's 10_000 (defaults kept aligned)
+    "semdedup_keep": oracle.q_semdedup_keep(target_cell_width=1000),
     "ngram_jaccard_pairs": oracle.q_ngram_jaccard_pairs(),
     "ngram_jaccard_dedup_keep": oracle.q_ngram_jaccard_dedup_keep(),
     "gopher_filter": oracle.q_gopher_filter(),

@@ -167,11 +167,20 @@ def synthesize_rpv2_ids(
     is the caller's stable per-source row index (the reference uses the
     HF dataset enumeration index; any deterministic integral key works —
     the id only has to be unique and reproducible).
+
+    NULL-propagating by design (``concat``, not ``concat_ws``): a NULL
+    index or source segment yields a NULL id rather than a silently
+    TRUNCATED one — concat_ws skips null segments, and every such row
+    would collide on the same shortened id, corrupting downstream
+    keep-list joins with no error anywhere.
     """
     src = F.lit(source_file) if isinstance(source_file, str) else source_file
     return docs.withColumn(
         id_col,
-        F.concat_ws("/", F.lit(crawl), src, F.col(idx_col).cast("string")),
+        F.concat(
+            F.lit(crawl), F.lit("/"), src, F.lit("/"),
+            F.col(idx_col).cast("string"),
+        ),
     )
 
 

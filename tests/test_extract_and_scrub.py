@@ -107,11 +107,21 @@ def test_luhn_scrub_validates_checksum(spark):
     # the number (the candidate regex alone would consume it)
     assert out == "pay <CC> or order 1234567890123456 done"
 
-    # boundary-anchored replace: a valid candidate appearing as a
-    # SUBSTRING of a longer (non-validating, hence unextractable) digit
-    # run elsewhere must not be masked inside that run
+    # digit-boundary replace: a valid candidate appearing as a SUBSTRING
+    # of a longer (non-validating, hence unextractable) digit run must
+    # not be masked inside that run — but a LETTER-glued copy of the
+    # same valid number ('A' is not a digit boundary) must be masked, or
+    # a full card number leaks
     txt2 = spark.createDataFrame(
-        [(0, "card 4242424242424242 ref 94242424242424242605")],
+        [(0, "card 4242424242424242 ref 94242424242424242605"
+             " alt A4242424242424242")],
         "i long, t string")
     out2 = txt2.select(scrub_cc_luhn("t").alias("s")).first().s
-    assert out2 == "card <CC> ref 94242424242424242605"
+    assert out2 == "card <CC> ref 94242424242424242605 alt A<CC>"
+
+    # single-separator adjacency: the captured boundary char is consumed,
+    # so the exactness of the two-pass replace is what masks BOTH copies
+    txt3 = spark.createDataFrame(
+        [(0, "x 4242424242424242 4242424242424242 y")], "i long, t string")
+    out3 = txt3.select(scrub_cc_luhn("t").alias("s")).first().s
+    assert out3 == "x <CC> <CC> y"

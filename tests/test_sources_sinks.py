@@ -172,6 +172,19 @@ def test_synthesize_rpv2_ids_composite_format(spark):
         "2023-06/1/en_head.json.gz/1",
     ]
 
+    # NULL index -> NULL id (never a silently truncated, colliding id)
+    nulls = spark.createDataFrame(
+        [(None, "a"), (7, "b")], "idx long, text string"
+    )
+    got = {
+        r.text: r.id
+        for r in synthesize_rpv2_ids(
+            nulls, "2023-06", "0001/en_head.json.gz", "idx"
+        ).collect()
+    }
+    assert got["a"] is None
+    assert got["b"] == "2023-06/0001/en_head.json.gz/7"
+
 
 def test_rpv2_uint64_id_int_interop(spark, tmp_path):
     """The reference writes id_int as parquet uint64
