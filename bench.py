@@ -90,6 +90,7 @@ HEADLINE = [
     "quality_classifier_scores", "paragraph_dedup", "bloom_anti_join",
     "url_blocklist", "fineweb_filter", "semdedup_keep",
     "ngram_jaccard_dedup_keep", "jaccard_sim_histogram",
+    "bm25_topk", "fuzzy_dedup_keep_longest",
     "incremental_fuzzy_keep",
     "incremental_exact_keep", "vocab_coverage", "oov_rate",
     "source_quality_report", "source_overlap",

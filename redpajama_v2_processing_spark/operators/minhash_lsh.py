@@ -19,7 +19,7 @@ bucket are re-linked through the global bucket min).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import ORACLE_MINHASH
@@ -256,6 +256,50 @@ def fuzzy_dedup_keep_ids(
         docs, id_col, text_col, cfg, base, salted, cc_driver_threshold
     )
     return labels.where(F.col("root") == F.col("id")).select("id")
+
+
+def fuzzy_dedup_keep_best(
+    docs: DataFrame,
+    id_col: str,
+    score: Column,
+    text_col: str = "text",
+    cfg: dict = ORACLE_MINHASH,
+    base: str = "md5",
+    salted: bool = False,
+    cc_driver_threshold: int | None = None,
+) -> DataFrame:
+    """DF(id): one doc per near-dup component — the member with the
+    HIGHEST ``score`` (a Column over ``docs``; ties to the smaller id),
+    singletons included.
+
+    The min-id rule (fuzzy_dedup_keep_ids, mirroring the reference
+    src/minhashlsh.py:169) keeps an ARBITRARY cluster member — fine when
+    members are interchangeable, wasteful when a near-dup cluster mixes
+    truncated/paginated variants of the same page with the complete one
+    (the common web case). Production pipelines keep the best member
+    instead (FineWeb-style representative selection); the canonical
+    score is document length — see queries.q_fuzzy_dedup_keep_longest.
+
+    Scale shape: identical to fuzzy_dedup_keep_ids through the label
+    frame (banded LSH + star CC); representative selection is ONE
+    row_number window partitioned by component root — partitions are
+    cluster widths (bounded by the same bucket caps that bound the edge
+    set), never corpus-sized.
+    """
+    labels = fuzzy_dedup_labels(
+        docs, id_col, text_col, cfg, base, salted, cc_driver_threshold
+    )
+    scored = docs.select(F.col(id_col).alias("id"), score.alias("_score")).join(
+        labels, "id"
+    )
+    w = Window.partitionBy("root").orderBy(
+        F.col("_score").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1239,6 +1239,62 @@ reach(id, root) AS (
 SELECT id AS doc_id FROM reach GROUP BY id HAVING min(root) = id"""
 
 
+def q_fuzzy_dedup_keep_longest() -> str:
+    """Twin of operators/minhash_lsh.fuzzy_dedup_keep_best with the
+    token-count score: same component labels as q_fuzzy_dedup_keep,
+    representative = longest member (ties to smaller id)."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes()}, {_edges_cte()},
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(id, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.src, r.root FROM sym s JOIN reach r ON s.dst = r.id
+),
+labels AS (SELECT id, min(root) AS root FROM reach GROUP BY id),
+sc AS (SELECT doc_id AS id, len({tokens('text')})::BIGINT AS dl FROM documents)
+SELECT l.id AS doc_id
+FROM labels l JOIN sc USING (id)
+QUALIFY row_number() OVER (PARTITION BY root ORDER BY dl DESC, id) = 1"""
+
+
+def q_bm25_topk(
+    query: str = "dup spark merge window",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Twin of operators/bm25.bm25_topk. Doubles appear only in pure
+    per-row expressions with the IDENTICAL operation order as the Spark
+    plan (constants injected via repr so both engines parse the same
+    decimal); per-(doc, term) contributions round to bigint micro-units
+    before the only sum."""
+    terms = sorted(set(query.split()))
+    vals = ", ".join(f"('{t}')" for t in terms)
+    one_plus_k1, one_minus_b = repr(1.0 + k1), repr(1.0 - b)
+    return f"""
+WITH q(tok) AS (VALUES {vals}),
+tk AS (SELECT doc_id AS id, {tokens('text')} AS t FROM documents),
+st AS (SELECT count(*)::BIGINT AS n, sum(len(t))::BIGINT AS s FROM tk),
+fl AS (SELECT id, len(t)::BIGINT AS dl, unnest(t) AS tok FROM tk),
+tf AS (SELECT f.id, f.dl, f.tok, count(*)::BIGINT AS tf
+       FROM fl f JOIN q USING (tok) GROUP BY 1, 2, 3),
+dfc AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+sc AS (SELECT t.id,
+  CAST(round(
+    (ln(1.0 + (((st.n - d.df)::DOUBLE + 0.5) / (d.df::DOUBLE + 0.5)))
+     * ((t.tf::DOUBLE * {one_plus_k1})
+        / (t.tf::DOUBLE
+           + {k1!r} * ({one_minus_b}
+                       + {b!r} * t.dl::DOUBLE * st.n::DOUBLE / st.s::DOUBLE))))
+    * 1e6) AS BIGINT) AS c,
+  t.tok
+  FROM tf t JOIN dfc d USING (tok), st)
+SELECT id AS doc_id, sum(c)::BIGINT AS score_micro,
+  count(*)::BIGINT AS n_terms
+FROM sc GROUP BY id ORDER BY score_micro DESC, doc_id LIMIT {k}"""
+
+
 def q_vocab_coverage(k: int = 100) -> str:
     """Twin of operators/vocab.vocab_coverage: top-k corpus tokens
     (ties broken by token string) with cumulative coverage of all token

@@ -688,6 +688,35 @@ def q_jaccard_sim_histogram(spark, sf_dir):
     )
 
 
+#: fixed BM25 oracle-profile probe: 'dup' is a rare term on the synthetic
+#: corpus (df 25/500 — it marks the planted near-dup pages) while the
+#: others are common (df ~380/500), so the idf spread is non-degenerate
+BM25_QUERY = "dup spark merge window"
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Text-side retrieval surface: top-20 documents by Okapi BM25
+    against a fixed query string (integer micro-unit scores — see
+    operators/bm25.py's determinism contract)."""
+    from .operators.bm25 import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), "doc_id", BM25_QUERY, k=20)
+
+
+def q_fuzzy_dedup_keep_longest(spark, sf_dir):
+    """Quality-aware representative selection: same near-dup components
+    as fuzzy_dedup_keep, but each cluster keeps its LONGEST member
+    (whitespace-token count, ties to the smaller id) instead of the
+    arbitrary min id — truncated/paginated variants lose to the
+    complete page."""
+    from .functions.text import ws_token_count
+    from .operators.minhash_lsh import fuzzy_dedup_keep_best
+
+    return fuzzy_dedup_keep_best(
+        _docs(spark, sf_dir), "doc_id", ws_token_count("text")
+    ).select(F.col("id").alias("doc_id"))
+
+
 def q_lang_script_mismatch(spark, sf_dir):
     """CCNet-style declared-lang vs script sanity gate: flag docs whose
     declared language's script carries < 30% of the text (the synthetic
@@ -1718,6 +1747,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrub_pii": q_scrub,
     "exact_dedup_keep": q_exact_dedup_keep,
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
+    "fuzzy_dedup_keep_longest": q_fuzzy_dedup_keep_longest,
+    "bm25_topk": q_bm25_topk,
     "simhash_dedup_keep": q_simhash_dedup_keep,
     "winnow_dedup_keep": q_winnow_dedup_keep,
     "pq_codebooks": q_pq_codebooks,
@@ -1873,6 +1904,8 @@ ORACLES: dict[str, str] = {
     "lsh_buckets": oracle.q_lsh_buckets(),
     "lsh_candidate_edges": oracle.q_candidate_edges(),
     "fuzzy_dedup_keep": oracle.q_fuzzy_dedup_keep(),
+    "fuzzy_dedup_keep_longest": oracle.q_fuzzy_dedup_keep_longest(),
+    "bm25_topk": oracle.q_bm25_topk(query=BM25_QUERY),
     # salted edges / distributed CC produce the identical keep-set
     "fuzzy_dedup_salted": oracle.q_fuzzy_dedup_keep(),
     "fuzzy_dedup_distributed": oracle.q_fuzzy_dedup_keep(),
