@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .signals import ratio6
+
 NOISE_ROUND = 6
 
 # classic UTF-8-as-Latin-1 digraphs (no regex metachars — the literal
@@ -54,7 +56,7 @@ def with_encoding_noise(docs: DataFrame, text_col: str = "text") -> DataFrame:
     denom = F.greatest(F.coalesce(F.length(c), F.lit(0)), F.lit(1))
     total = F.col("n_replacement") + F.col("n_ctrl") + F.col("n_mojibake")
     return out.withColumn(
-        "noise_ratio", F.round(total / denom, NOISE_ROUND) + 0.0
+        "noise_ratio", ratio6(total, denom, NOISE_ROUND)
     )
 
 
@@ -105,10 +107,10 @@ def with_script_ratios(docs: DataFrame, text_col: str = "text") -> DataFrame:
         cnt = _count(c, pat)
         total = total + cnt
         out = out.withColumn(
-            f"{name}_ratio", F.round(cnt / denom, NOISE_ROUND) + 0.0
+            f"{name}_ratio", ratio6(cnt, denom, NOISE_ROUND)
         )
     return out.withColumn(
-        "letter_ratio", F.round(total / denom, NOISE_ROUND) + 0.0
+        "letter_ratio", ratio6(total, denom, NOISE_ROUND)
     )
 
 

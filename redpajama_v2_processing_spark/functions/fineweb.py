@@ -23,9 +23,10 @@ empties; empty docs score 0.0 on every fraction.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .signals import ratio6
 from .text import lines
 
 FW_PUNCT_FRAC_MIN = 0.12
@@ -33,12 +34,6 @@ FW_DUP_CHAR_FRAC_MAX = 0.10
 FW_SHORT_LINE_LEN = 30
 FW_SHORT_FRAC_MAX = 0.67
 _TERMINAL = r'[.!?"]\s*$'
-
-
-def _frac(num: Column, den: Column) -> Column:
-    return F.when(den == 0, F.lit(0.0)).otherwise(
-        num.cast("double") / den.cast("double")
-    )
 
 
 def fineweb_filter(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -65,9 +60,9 @@ def fineweb_filter(df: DataFrame, id_col: str, text_col: str = "text") -> DataFr
     )
     sig = agg.select(
         "id",
-        F.round(_frac(F.col("_np"), F.col("_n")), 6).alias("punct_line_frac"),
-        F.round(_frac(F.col("_ns"), F.col("_n")), 6).alias("short_line_frac"),
-        F.round(_frac(F.col("_dchar"), F.col("_tchar")), 6).alias("dup_line_char_frac"),
+        ratio6(F.col("_np"), F.col("_n")).alias("punct_line_frac"),
+        ratio6(F.col("_ns"), F.col("_n")).alias("short_line_frac"),
+        ratio6(F.col("_dchar"), F.col("_tchar")).alias("dup_line_char_frac"),
     )
     ids = df.select(F.col(id_col).alias("id"))
     filled = ids.join(sig, "id", "left").select(

@@ -23,15 +23,20 @@ from pyspark.sql.types import StringType
 from pyspark.sql import DataFrame
 
 from ..config import LANG_MARKERS, LANGID_DEFAULT
-from .signals import joined_tokens, lexicon_hits
+from .signals import joined_tokens, lexicon_hits, ratio6
 from .text import tokens
 
 
+def _n_cjk(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+
+
 def cjk_ratio(text: Column) -> Column:
-    """Fraction of CJK codepoints (unicode block heuristic)."""
-    n_cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    """Fraction of CJK codepoints (unicode block heuristic) — raw double
+    (used only for the >0.2 branch decision; emitted scores go through
+    the exact-rounding ratio6 contract)."""
     return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
-        n_cjk.cast("double") / F.length(text).cast("double")
+        _n_cjk(text).cast("double") / F.length(text).cast("double")
     )
 
 
@@ -48,12 +53,11 @@ def _langid_cols(text: Column, tok: Column, jtok: Column) -> tuple[Column, Colum
         label = F.when(hits[lg] == best_hits, F.lit(lg)).otherwise(label)
     label = F.when(best_hits == 0, F.lit(LANGID_DEFAULT)).otherwise(label)
     score = F.when((n == 0) | (best_hits == 0), F.lit(0.0)).otherwise(
-        best_hits.cast("double") / n.cast("double")
+        ratio6(best_hits, n)
     )
-    cjk = cjk_ratio(text)
-    is_cjk = cjk > 0.2
+    is_cjk = cjk_ratio(text) > 0.2
     label = F.when(is_cjk, F.lit("zh")).otherwise(label)
-    score = F.when(is_cjk, F.round(cjk, 6)).otherwise(F.round(score, 6))
+    score = F.when(is_cjk, ratio6(_n_cjk(text), F.length(text))).otherwise(score)
     return label, score
 
 

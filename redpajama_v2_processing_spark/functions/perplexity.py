@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from .text import tokens, char_ngrams
+from .vectors import round_half_up
 
 #: the single type every below-floor token folds into (never a real token:
 #: the tokenizer emits no NUL bytes)
@@ -124,7 +125,8 @@ def with_unigram_perplexity(
         _exp_neg_micro_mean(_micro(F.col("logp"))).alias("_ppl")
     )
     return docs.join(per_doc, id_col, "left").withColumn(
-        "perplexity", F.round(F.coalesce(F.col("_ppl"), F.lit(0.0)), round_to)
+        "perplexity",
+        round_half_up(F.coalesce(F.col("_ppl"), F.lit(0.0)), round_to),
     ).drop("_ppl")
 
 
@@ -241,7 +243,7 @@ def with_bigram_perplexity(
     )
     return docs.join(per_doc, id_col, "left").withColumn(
         "perplexity_bigram",
-        F.round(F.coalesce(F.col("_ppl"), F.lit(0.0)), round_to),
+        round_half_up(F.coalesce(F.col("_ppl"), F.lit(0.0)), round_to),
     ).drop("_ppl")
 
 
@@ -290,8 +292,8 @@ def perplexity_buckets(
         p33 = F.percentile_approx(F.col("perplexity_bigram"), p, accuracy)
         p67 = F.percentile_approx(F.col("perplexity_bigram"), 2 * p, accuracy)
     th = scored.groupBy(lang_col).agg(
-        F.round(p33.cast("double"), 6).alias("_p33"),
-        F.round(p67.cast("double"), 6).alias("_p67"),
+        round_half_up(p33.cast("double"), 6).alias("_p33"),
+        round_half_up(p67.cast("double"), 6).alias("_p67"),
     )
     bucket = (
         F.when(F.col("perplexity_bigram") <= F.col("_p33"), "head")

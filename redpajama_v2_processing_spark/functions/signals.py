@@ -12,9 +12,15 @@ inside a ``transform`` lambda re-runs the split per element. Catalyst's
 CollapseProject keeps the staging projection separate because the array
 expressions are non-cheap and multiply referenced.
 
-Division contract (shared with the DuckDB oracle): ratios are
-``double / double`` of exact integer counts, so IEEE-754 results are
-bit-identical across engines; denominator 0 yields 0.0.
+Division contract (shared with the DuckDB oracle): every emitted ratio
+is ``round(num/den, 6)`` of exact integer counts, computed in EXACT
+integer micro-units — ``(2*num*1e6 + den) div (2*den)`` — rather than
+rounding the double quotient. Rounding the double is engine-dependent at
+half-way boundaries (Spark round() is BigDecimal HALF_UP over the
+double's binary expansion; DuckDB rounds the scaled double), which
+produced a real one-ulp ``char_repetition_5gram`` mismatch at 50k-doc
+scale; the micro-unit form is half-up on the exact rational in both
+engines. Denominator 0 yields 0.0.
 """
 
 from __future__ import annotations
@@ -26,11 +32,23 @@ from ..config import FLAGGED_WORDS, SHORT_LINE_CHARS, STOPWORDS
 from .text import lines, tokens, word_ngrams, char_ngrams
 
 
-def _ratio(num: Column, den: Column) -> Column:
-    """num/den as double; 0.0 when den==0 (cross-engine deterministic)."""
-    return F.when(den == 0, F.lit(0.0)).otherwise(
-        num.cast("double") / den.cast("double")
-    )
+def ratio6(num: Column, den: Column, digits: int = 6) -> Column:
+    """round(num/den, digits) via EXACT integer half-up micro-units.
+
+    micro = (2*num*10^d + den) div (2*den) = floor(num*10^d/den + 1/2),
+    evaluated entirely on bigints so Spark and the DuckDB oracle agree at
+    every half-way boundary (see module docstring). The div is expressed
+    as (t - pmod(t, 2*den)) / (2*den): the numerator is exactly divisible,
+    so the double division returns the exact integer quotient. Exactness
+    bound: 2*num*10^d + den < 2^53, i.e. num < ~4.5e9 at d=6 — holds for
+    any per-document count (a 4-gigachar doc is outside any real corpus).
+    Requires num >= 0 and den >= 0; den == 0 yields 0.0.
+    """
+    scale = 10 ** digits
+    a, b = num.cast("bigint"), den.cast("bigint")
+    t = a * F.lit(2 * scale).cast("bigint") + b
+    micro = (t - F.pmod(t, b * 2)) / (b * 2)
+    return F.when(den == 0, F.lit(0.0)).otherwise(micro / F.lit(float(scale)))
 
 
 def number_of_words(tok: Column) -> Column:
@@ -47,27 +65,27 @@ def number_of_characters(text: Column) -> Column:
 
 def mean_word_length(tok: Column) -> Column:
     total = F.aggregate(tok, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t))
-    return _ratio(total, F.size(tok))
+    return ratio6(total, F.size(tok))
 
 
 def words_per_line_mean(tok: Column, ls: Column) -> Column:
-    return _ratio(F.size(tok), F.size(ls))
+    return ratio6(F.size(tok), F.size(ls))
 
 
 def short_line_ratio(ls: Column, max_chars: int = SHORT_LINE_CHARS) -> Column:
     short = F.size(F.filter(ls, lambda l: F.length(l) < max_chars))
-    return _ratio(short, F.size(ls))
+    return ratio6(short, F.size(ls))
 
 
 def lines_end_in_punctuation(ls: Column) -> Column:
     hit = F.size(F.filter(ls, lambda l: l.rlike(r"[.!?]\s*$")))
-    return _ratio(hit, F.size(ls))
+    return ratio6(hit, F.size(ls))
 
 
 def special_char_ratio(text: Column) -> Column:
     """Fraction of characters that are not alphanumeric/whitespace."""
     n_special = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
-    return _ratio(n_special, F.length(text))
+    return ratio6(n_special, F.length(text))
 
 
 def joined_tokens(tok: Column) -> Column:
@@ -87,7 +105,7 @@ def lexicon_hits(jtok: Column, lexicon: tuple[str, ...]) -> Column:
 
 
 def _lexicon_fraction(tok: Column, jtok: Column, lexicon: tuple[str, ...]) -> Column:
-    return _ratio(lexicon_hits(jtok, lexicon), F.size(tok))
+    return ratio6(lexicon_hits(jtok, lexicon), F.size(tok))
 
 
 def stop_word_fraction(tok: Column, jtok: Column | None = None) -> Column:
@@ -104,7 +122,7 @@ def repetition_ratio(grams: Column) -> Column:
     """1 - distinct/total n-grams (0.0 when empty). Pass a STAGED gram
     column — the expression references it three times."""
     return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
-        F.lit(1.0) - _ratio(F.size(F.array_distinct(grams)), F.size(grams))
+        ratio6(F.size(grams) - F.size(F.array_distinct(grams)), F.size(grams))
     )
 
 
@@ -143,8 +161,8 @@ def duplicate_line_signals(
     )
     out = agg.select(
         "id",
-        F.round(_ratio(F.col("_dup"), F.col("_tot")), 6).alias("dup_line_fraction"),
-        F.round(_ratio(F.col("_dchar"), F.col("_tchar")), 6).alias(
+        ratio6(F.col("_dup"), F.col("_tot")).alias("dup_line_fraction"),
+        ratio6(F.col("_dchar"), F.col("_tchar")).alias(
             "dup_line_char_fraction"
         ),
     )
@@ -229,10 +247,10 @@ def _gopher_shape_cols() -> dict[str, Column]:
     ellipsis = F.size(F.filter(ls, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
     alpha = F.size(F.filter(tok, lambda w: w.rlike(r"[A-Za-z]")))
     return {
-        "symbol_word_ratio": F.round(_ratio(n_sym, F.size(tok)), 6),
-        "bullet_line_fraction": F.round(_ratio(bullets, F.size(ls)), 6),
-        "ellipsis_line_fraction": F.round(_ratio(ellipsis, F.size(ls)), 6),
-        "alpha_word_fraction": F.round(_ratio(alpha, F.size(tok)), 6),
+        "symbol_word_ratio": ratio6(n_sym, F.size(tok)),
+        "bullet_line_fraction": ratio6(bullets, F.size(ls)),
+        "ellipsis_line_fraction": ratio6(ellipsis, F.size(ls)),
+        "alpha_word_fraction": ratio6(alpha, F.size(tok)),
     }
 
 
@@ -276,7 +294,7 @@ def gopher_filter(
     shape = _gopher_shape_cols()
     tok = F.col("_tok")
     nw = F.size(tok)
-    mwl = F.round(mean_word_length(tok), 6)
+    mwl = mean_word_length(tok)
     stops = lexicon_hits(joined_tokens(tok), GOPHER_STOPS)
     per_row = staged.select(
         "id",
@@ -329,15 +347,15 @@ def with_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             "number_of_words": number_of_words(tok),
             "number_of_lines": number_of_lines(ls),
             "number_of_characters": number_of_characters(text),
-            "mean_word_length": F.round(mean_word_length(tok), 6),
-            "words_per_line_mean": F.round(words_per_line_mean(tok, ls), 6),
-            "short_line_ratio": F.round(short_line_ratio(ls), 6),
-            "lines_end_in_punctuation": F.round(lines_end_in_punctuation(ls), 6),
-            "special_char_ratio": F.round(special_char_ratio(text), 6),
-            "stop_word_fraction": F.round(stop_word_fraction(tok, jtok), 6),
-            "flagged_word_fraction": F.round(flagged_word_fraction(tok, jtok), 6),
-            "char_repetition_5gram": F.round(repetition_ratio(F.col("_g5")), 6),
-            "char_repetition_10gram": F.round(repetition_ratio(F.col("_g10")), 6),
-            "word_repetition_2gram": F.round(repetition_ratio(F.col("_wg2")), 6),
+            "mean_word_length": mean_word_length(tok),
+            "words_per_line_mean": words_per_line_mean(tok, ls),
+            "short_line_ratio": short_line_ratio(ls),
+            "lines_end_in_punctuation": lines_end_in_punctuation(ls),
+            "special_char_ratio": special_char_ratio(text),
+            "stop_word_fraction": stop_word_fraction(tok, jtok),
+            "flagged_word_fraction": flagged_word_fraction(tok, jtok),
+            "char_repetition_5gram": repetition_ratio(F.col("_g5")),
+            "char_repetition_10gram": repetition_ratio(F.col("_g10")),
+            "word_repetition_2gram": repetition_ratio(F.col("_wg2")),
         }
     ).drop("_tok", "_lines", "_g5", "_g10", "_wg2", "_jtok")

@@ -30,6 +30,20 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d == 0, F.lit(0.0)).otherwise(dot(a, b) / d)
 
 
+def round_half_up(x: Column, digits: int) -> Column:
+    """floor(x*10^d + 0.5)/10^d — deterministic cross-engine rounding for
+    INEXACT doubles (cosines, normalized embedding cells). Spark round()
+    (BigDecimal HALF_UP over the double's full binary expansion) and
+    DuckDB round() (scaled-multiply-then-round) can disagree when x*10^d
+    rounds across a half-way boundary the exact expansion does not; this
+    idiom is the same IEEE op sequence in both engines, so results are
+    bit-identical. Integer RATIOS should use signals.ratio6 (exact)
+    instead; this is for transcendental values with no exact form.
+    Yields +0.0 (never -0.0) for |x| < 10^-d/2."""
+    scale = float(10 ** digits)
+    return F.floor(x * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
 def staged_cosine(
     va: Column, vb: Column, na: Column, nb: Column, round_digits: int
 ) -> Column:
@@ -44,12 +58,9 @@ def staged_cosine(
     and the zero-norm rule and rounding are centralized here so the
     dedup/ANN tiers cannot silently diverge."""
     den = na * nb
-    return (
-        F.round(
-            F.when(den == 0, F.lit(0.0)).otherwise(dot(va, vb) / den),
-            round_digits,
-        )
-        + 0.0
+    return round_half_up(
+        F.when(den == 0, F.lit(0.0)).otherwise(dot(va, vb) / den),
+        round_digits,
     )
 
 

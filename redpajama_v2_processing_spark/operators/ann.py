@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import ANN_ROUND, ANN_TOPK
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, round_half_up
 
 
 def _lit_vec(vec: list[float]) -> Column:
@@ -36,7 +36,7 @@ def cosine_topk(
     k: int = ANN_TOPK,
 ) -> DataFrame:
     """DF(vec_id, cos) — exact top-k by rounded cosine, ties by id."""
-    c = F.round(cosine(F.col(vec_col), _lit_vec(query_vec)), ANN_ROUND) + 0.0
+    c = round_half_up(cosine(F.col(vec_col), _lit_vec(query_vec)), ANN_ROUND)
     return (
         embeddings.select(F.col(id_col), c.alias("cos"))
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())
@@ -67,7 +67,7 @@ def _plane_bit(vec_col: Column, planes, p: int, shift: int) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return F.when(F.round(d, 6) > 0, F.lit(1 << shift).cast("bigint")).otherwise(
+    return F.when(round_half_up(d, 6) > 0, F.lit(1 << shift).cast("bigint")).otherwise(
         F.lit(0).cast("bigint")
     )
 
@@ -108,7 +108,7 @@ def ann_lsh_topk(
         [(query_vec,)], f"{vec_col}: array<float>"
     )
     qsig = qdf.select(hyperplane_signature(F.col(vec_col), dim, nbits).alias("b")).collect()[0]["b"]
-    c = F.round(cosine(F.col(vec_col), _lit_vec(query_vec)), ANN_ROUND) + 0.0
+    c = round_half_up(cosine(F.col(vec_col), _lit_vec(query_vec)), ANN_ROUND)
     return (
         bucketed.where(F.col("_bucket") == qsig)
         .select(F.col(id_col), c.alias("cos"))
@@ -221,7 +221,7 @@ def ann_multiprobe_lsh_topk(
         hyperplane_signature(F.col(vec_col), dim, nbits).alias("b")
     ).collect()[0]["b"]
     probes = [qsig] + [qsig ^ (1 << p) for p in range(nbits)]
-    c = F.round(cosine(F.col(vec_col), _lit_vec(query_vec)), ANN_ROUND) + 0.0
+    c = round_half_up(cosine(F.col(vec_col), _lit_vec(query_vec)), ANN_ROUND)
     return (
         bucketed.where(F.col("_bucket").isin(probes))
         .select(F.col(id_col), c.alias("cos"))
@@ -491,7 +491,7 @@ def ann_ivf_topk(
     on label/id) so the plan is engine-portable and oracle-checked.
     """
     cent = F.broadcast(_centroid_vectors(embeddings, label_col, vec_col))
-    ccos = F.round(cosine(F.col(vec_col), F.col("cv")), ANN_ROUND) + 0.0
+    ccos = round_half_up(cosine(F.col(vec_col), F.col("cv")), ANN_ROUND)
     # assignment argmax as ONE partial-agg-friendly aggregation:
     # min_by over (-cos, label) == max cos, ties to the smallest label.
     # (The previous row_number window shuffled all K*n joined rows on id;
@@ -507,7 +507,7 @@ def ann_ivf_topk(
             ).alias("label")
         )
     )
-    qcos = F.round(cosine(_lit_vec(query_vec), F.col("cv")), ANN_ROUND) + 0.0
+    qcos = round_half_up(cosine(_lit_vec(query_vec), F.col("cv")), ANN_ROUND)
     probe = (
         cent.select("label", qcos.alias("_qc"))
         .orderBy(F.col("_qc").desc(), F.col("label").asc())
@@ -519,7 +519,7 @@ def ann_ivf_topk(
     cand = embeddings.select(id_col, vec_col).join(assign, id_col).join(
         F.broadcast(probe), "label", "left_semi"
     )
-    c = F.round(cosine(F.col(vec_col), _lit_vec(query_vec)), ANN_ROUND) + 0.0
+    c = round_half_up(cosine(F.col(vec_col), _lit_vec(query_vec)), ANN_ROUND)
     return (
         cand.select(F.col(id_col), c.alias("cos"))
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())
@@ -638,7 +638,7 @@ def ann_ivf_trained_topk(
     cent = F.broadcast(
         kmeans_centroids(embeddings, k_cells, iters, id_col, vec_col)
     )
-    ccos = F.round(cosine(F.col(vec_col), F.col("cv")), ANN_ROUND) + 0.0
+    ccos = round_half_up(cosine(F.col(vec_col), F.col("cv")), ANN_ROUND)
     assign = (
         embeddings.select(id_col, vec_col)
         .join(cent)
@@ -650,7 +650,7 @@ def ann_ivf_trained_topk(
             ).alias("cid")
         )
     )
-    qcos = F.round(cosine(_lit_vec(query_vec), F.col("cv")), ANN_ROUND) + 0.0
+    qcos = round_half_up(cosine(_lit_vec(query_vec), F.col("cv")), ANN_ROUND)
     probe = (
         cent.select("cid", qcos.alias("_qc"))
         .orderBy(F.col("_qc").desc(), F.col("cid").asc())
@@ -660,7 +660,7 @@ def ann_ivf_trained_topk(
     cand = embeddings.select(id_col, vec_col).join(assign, id_col).join(
         F.broadcast(probe), "cid", "left_semi"
     )
-    c = F.round(cosine(F.col(vec_col), _lit_vec(query_vec)), ANN_ROUND) + 0.0
+    c = round_half_up(cosine(F.col(vec_col), _lit_vec(query_vec)), ANN_ROUND)
     return (
         cand.select(F.col(id_col), c.alias("cos"))
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5int
+from ..functions.signals import ratio6
 from ..functions.text import tokens, word_ngrams
 
 DECONTAM_NGRAM = 13  # the GPT-3 standard overlap length (words)
@@ -138,14 +139,8 @@ def duplicated_ngram_fraction(
         .select(
             "id",
             F.coalesce("_nt", F.lit(0)).cast("long").alias("n_ngrams"),
-            F.round(
-                F.when(
-                    F.coalesce("_nt", F.lit(0)) == 0, F.lit(0.0)
-                ).otherwise(
-                    F.coalesce("_nd", F.lit(0)).cast("double")
-                    / F.col("_nt").cast("double")
-                ),
-                6,
+            ratio6(
+                F.coalesce("_nd", F.lit(0)), F.coalesce("_nt", F.lit(0))
             ).alias("dup_ngram_fraction"),
         )
     )

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5int, md5int_seeded
+from ..functions.vectors import round_half_up
 from ..functions.text import normalize, tokens
 
 EMB_ROUND = 6
@@ -108,11 +109,10 @@ def doc_embeddings(
             "idx",
             F.when(
                 F.coalesce(F.col("_ss"), F.lit(0.0)) > 0,
-                F.round(
+                round_half_up(
                     F.coalesce(F.col("s"), F.lit(0)) / F.sqrt(F.col("_ss")),
                     EMB_ROUND,
-                )
-                + 0.0,
+                ),
             )
             .otherwise(0.0)
             .alias("v"),

@@ -21,13 +21,15 @@ def unigram_entropy(docs: DataFrame, id_col: str, text_col: str = "text",
     """DF(id_col, unigram_entropy). Empty docs get 0.0."""
     tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
     counts = tok.groupBy(id_col, "token").agg(F.count("*").alias("c"))
+    # `+ 0.0` normalizes IEEE negative zero (round of a ~-1e-17 residual on
+    # one-distinct-token docs) so both engines emit +0.0 at any reduction order.
     ent = counts.groupBy(id_col).agg(
-        F.round(
+        (F.round(
             F.log(F.sum("c").cast("double"))
             - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
             / F.sum("c").cast("double"),
             round_to,
-        ).alias("unigram_entropy")
+        ) + F.lit(0.0)).alias("unigram_entropy")
     )
     return docs.select(id_col).join(ent, id_col, "left").select(
         id_col, F.coalesce("unigram_entropy", F.lit(0.0)).alias("unigram_entropy")

@@ -13,14 +13,15 @@ from pyspark.sql import functions as F
 
 from .minhash_lsh import with_shingles, candidate_edges, minhash_bands
 from ..config import ORACLE_MINHASH
+from ..functions.signals import ratio6
 
 
 def _jaccard(a, b):
+    """round(|A∩B| / |A∪B|, 6) in the exact ratio6 contract (integer
+    Jaccard ratios hit half-way rounding boundaries systematically)."""
     inter = F.size(F.array_intersect(a, b))
     union = F.size(a) + F.size(b) - inter
-    return F.when(union == 0, F.lit(0.0)).otherwise(
-        inter.cast("double") / union.cast("double")
-    )
+    return ratio6(inter, union)
 
 
 def jaccard_vs_query(
@@ -41,7 +42,7 @@ def jaccard_vs_query(
     return (
         sh.select(
             "id",
-            F.round(_jaccard(F.col("_sh"), q), 6).alias("jaccard"),
+            _jaccard(F.col("_sh"), q).alias("jaccard"),
         )
         .where(F.col("jaccard") >= min_sim)
     )
@@ -70,7 +71,7 @@ def jaccard_candidate_pairs(
         .select(
             "src",
             "dst",
-            F.round(_jaccard(F.col("_sh_a"), F.col("_sh_b")), 6).alias("jaccard"),
+            _jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"),
         )
         .where(F.col("jaccard") >= min_sim)
     )

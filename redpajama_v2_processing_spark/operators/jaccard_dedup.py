@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from .connected_components import connected_components, keep_min_id
 from .minhash_lsh import with_shingles
+from ..functions.signals import ratio6
 
 JACCARD_ROUND = 6
 
@@ -85,11 +86,9 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("src"), F.col("_sz").alias("_sa"))
     sb = sizes.select(F.col("id").alias("dst"), F.col("_sz").alias("_sb"))
-    jac = F.round(
-        F.col("_i").cast("double")
-        / (F.col("_sa") + F.col("_sb") - F.col("_i")).cast("double"),
-        JACCARD_ROUND,
-    ) + 0.0
+    jac = ratio6(
+        F.col("_i"), F.col("_sa") + F.col("_sb") - F.col("_i"), JACCARD_ROUND
+    )
     return (
         inter.join(sa, "src")
         .join(sb, "dst")

@@ -295,9 +295,12 @@ def decode_image_pixels(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                     w, h, px = dec
                     s = sum(px)
                     n = len(px)
+                    # exact integer micro-unit half-up (the ratio6
+                    # contract): Python round() is half-EVEN and would
+                    # diverge from both engines at .5 boundaries
+                    mean6 = ((2_000_000 * s + n) // (2 * n)) / 1e6
                     rows.append(
-                        (int(i), w, h, n, s, min(px), max(px),
-                         round(s / n, 6), True)
+                        (int(i), w, h, n, s, min(px), max(px), mean6, True)
                     )
             yield pd.DataFrame(
                 rows,

@@ -178,14 +178,14 @@ def ann_ivf_pq_topk(
     key (files outside the probed cells are never read) and the scan
     touches code columns only — the two compressions compose: ~n_probe/K
     of the corpus, at m integers per vector."""
-    from ..functions.vectors import cosine
+    from ..functions.vectors import cosine, round_half_up
     from .ann import _lit_vec, kmeans_centroids
     from ..config import ANN_ROUND
 
     cent = F.broadcast(
         kmeans_centroids(embeddings, k_cells, cell_iters, id_col, vec_col)
     )
-    ccos = F.round(cosine(F.col(vec_col), F.col("cv")), ANN_ROUND) + 0.0
+    ccos = round_half_up(cosine(F.col(vec_col), F.col("cv")), ANN_ROUND)
     assign = (
         embeddings.select(id_col, vec_col)
         .join(cent)
@@ -197,7 +197,7 @@ def ann_ivf_pq_topk(
             ).alias("cid")
         )
     )
-    qcos = F.round(cosine(_lit_vec(query_vec), F.col("cv")), ANN_ROUND) + 0.0
+    qcos = round_half_up(cosine(_lit_vec(query_vec), F.col("cv")), ANN_ROUND)
     probe = (
         cent.select("cid", qcos.alias("_qc"))
         .orderBy(F.col("_qc").desc(), F.col("cid").asc())
@@ -256,14 +256,14 @@ def ann_ivf_pq_residual_topk(
     micro-units^2 (sum of round(a*1e6)*round(b*1e6)), so assignment,
     residuals (computed on micro-unit-rounded components) and scores are
     exact integers — engine-identical, fully oracle-checkable."""
-    from ..functions.vectors import cosine
+    from ..functions.vectors import cosine, round_half_up
     from .ann import _lit_vec, kmeans_centroids
     from ..config import ANN_ROUND
 
     cent = F.broadcast(
         kmeans_centroids(embeddings, k_cells, cell_iters, id_col, vec_col)
     )
-    ccos = F.round(cosine(F.col(vec_col), F.col("cv")), ANN_ROUND) + 0.0
+    ccos = round_half_up(cosine(F.col(vec_col), F.col("cv")), ANN_ROUND)
     assign = (
         embeddings.select(id_col, vec_col)
         .join(cent)
@@ -290,7 +290,7 @@ def ann_ivf_pq_residual_topk(
     ).localCheckpoint(eager=True)
     cb = pq_codebooks(resid, id_col, "_r", m, k_codes, pq_iters, dim)
     codes = pq_encode(resid, cb, id_col, "_r", m, dim)
-    qcos = F.round(cosine(_lit_vec(query_vec), F.col("cv")), ANN_ROUND) + 0.0
+    qcos = round_half_up(cosine(_lit_vec(query_vec), F.col("cv")), ANN_ROUND)
     probe = (
         cent.select("cid", qcos.alias("_qc"))
         .orderBy(F.col("_qc").desc(), F.col("cid").asc())

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5int
 from ..functions.text import tokens
+from ..functions.vectors import round_half_up
 
 N_BUCKETS = 64   # hashed vocabulary size (fastText-style feature hashing)
 N_ITERS = 3      # full-batch GD iterations
@@ -76,10 +77,11 @@ def feature_frame(
 
 def _p4_micro(margin_micro):
     """round(sigmoid(margin/1e6), 4) * 1e4 as bigint — the shared
-    float->fixed-point step (identical expression in the oracle)."""
+    float->fixed-point step (identical expression in the oracle; the
+    4-digit round uses the deterministic floor idiom, vectors.round_half_up)."""
     z = margin_micro.cast("double") / 1e6
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    return F.round(F.round(p, 4) * 1e4).cast("bigint")
+    return F.round(round_half_up(p, 4) * 1e4).cast("bigint")
 
 
 def train_quality_classifier(

@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import QUALITY_RULES
-from ..functions.signals import with_signals
+from ..functions.signals import ratio6, with_signals
 
 
 def _rule_cond(signal: str, op: str, thr: float) -> Column:
@@ -64,7 +64,7 @@ def source_quality_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "source",
             "n_docs",
             "n_keep",
-            (F.round(F.col("n_keep") / F.col("n_docs"), 6) + 0.0).alias("keep_rate"),
-            (F.round(F.col("_nw") / F.col("n_docs"), 4) + 0.0).alias("mean_words"),
+            ratio6(F.col("n_keep"), F.col("n_docs")).alias("keep_rate"),
+            ratio6(F.col("_nw"), F.col("n_docs"), 4).alias("mean_words"),
         )
     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_PROFILE, LANG_PROFILE, QUANTILE_PROFILES
+from ..functions.vectors import round_half_up
 
 
 def profile_for(lang: str) -> tuple[float, float]:
@@ -48,8 +49,8 @@ def per_lang_thresholds(
             lo = F.percentile_approx(col, p_low, 10000)
             hi = F.percentile_approx(col, p_high, 10000)
         aggs += [
-            F.round(lo.cast("double"), round_to).alias(f"{c}_lo"),
-            F.round(hi.cast("double"), round_to).alias(f"{c}_hi"),
+            round_half_up(lo.cast("double"), round_to).alias(f"{c}_lo"),
+            round_half_up(hi.cast("double"), round_to).alias(f"{c}_hi"),
         ]
     return df.groupBy(lang_col).agg(*aggs)
 
@@ -86,8 +87,8 @@ def profiled_quantile_filter(
                 lo = F.percentile_approx(col, p_low, 10000)
                 hi = F.percentile_approx(col, p_high, 10000)
             aggs += [
-                F.round(lo.cast("double"), round_to).alias(f"_{c}_{prof}_lo"),
-                F.round(hi.cast("double"), round_to).alias(f"_{c}_{prof}_hi"),
+                round_half_up(lo.cast("double"), round_to).alias(f"_{c}_{prof}_lo"),
+                round_half_up(hi.cast("double"), round_to).alias(f"_{c}_{prof}_hi"),
             ]
     th_wide = signals.groupBy(lang_col).agg(*aggs)
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.signals import ratio6
 from ..functions.text import normalize, tokens
 
 COVERAGE_ROUND = 6
@@ -56,12 +57,11 @@ def vocab_coverage(
         .withColumn("rank", F.row_number().over(w))
         .withColumn(
             "coverage",
-            F.round(
-                F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
-                / F.col("_total"),
+            ratio6(
+                F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+                F.col("_total"),
                 COVERAGE_ROUND,
-            )
-            + 0.0,
+            ),
         )
         .select("tok", "cnt", "rank", "coverage")
     )
@@ -87,9 +87,8 @@ def oov_rate(
             F.lit(vocab_size).cast("long").alias("vocab_size"),
             F.col("_total").alias("total_tokens"),
             (F.col("_total") - F.col("_in")).alias("oov_tokens"),
-            (
-                F.round((F.col("_total") - F.col("_in")) / F.col("_total"),
-                        COVERAGE_ROUND) + 0.0
+            ratio6(
+                F.col("_total") - F.col("_in"), F.col("_total"), COVERAGE_ROUND
             ).alias("oov_rate"),
         )
     )

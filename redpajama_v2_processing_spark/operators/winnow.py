@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5int
+from ..functions.signals import ratio6
 from ..functions.text import normalize
 
 WINNOW_K = 5  # k-gram length (chars, over normalized text)
@@ -132,16 +133,13 @@ def winnow_near_dup_pairs(
     )
     nsrc = counts.select(F.col("id").alias("src"), F.col("_n").alias("_ns"))
     ndst = counts.select(F.col("id").alias("dst"), F.col("_n").alias("_nd"))
-    frac = lambda num, den: F.round(  # noqa: E731
-        num.cast("double") / den.cast("double"), 6
-    )
     return (
         pairs.join(nsrc, "src")
         .join(ndst, "dst")
         .select(
             "src", "dst", "shared",
-            frac(F.col("shared"), F.col("_ns")).alias("src_containment"),
-            frac(F.col("shared"), F.col("_nd")).alias("dst_containment"),
+            ratio6(F.col("shared"), F.col("_ns")).alias("src_containment"),
+            ratio6(F.col("shared"), F.col("_nd")).alias("dst_containment"),
         )
     )
 

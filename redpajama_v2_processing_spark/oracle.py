@@ -62,6 +62,27 @@ def ratio(num: str, den: str) -> str:
     return f"(CASE WHEN {den} = 0 THEN 0.0 ELSE ({num})::DOUBLE / ({den})::DOUBLE END)"
 
 
+def round_hu(expr: str, digits: int = 6) -> str:
+    """floor(x*10^d + 0.5)/10^d — the DuckDB twin of
+    functions/vectors.round_half_up: deterministic cross-engine rounding
+    for INEXACT doubles (cosines). Same IEEE op sequence as the Spark
+    side, so results are bit-identical."""
+    scale = 10 ** digits
+    return f"(floor(({expr}) * {scale}.0 + 0.5) / {scale}.0)"
+
+
+def ratio6(num: str, den: str, digits: int = 6) -> str:
+    """round(num/den, digits) in EXACT integer half-up micro-units — the
+    DuckDB twin of functions/signals.ratio6 (see that docstring for why
+    rounding the double quotient is engine-dependent at half-way
+    boundaries). // on BIGINTs is exact integer division in DuckDB;
+    operands must be non-negative."""
+    scale = 10 ** digits
+    return (f"(CASE WHEN ({den}) = 0 THEN 0.0 ELSE "
+            f"(({2 * scale} * ({num})::BIGINT + ({den})::BIGINT) // "
+            f"(2 * ({den})::BIGINT))::DOUBLE / {scale}.0 END)")
+
+
 _LINES = "string_split(text, chr(10))"
 
 # signal expressions over a relation providing (text, t) where t = tokens
@@ -69,47 +90,47 @@ _SIGNALS: dict[str, str] = {
     "number_of_words": "len(t)::BIGINT",
     "number_of_lines": f"len({_LINES})::BIGINT",
     "number_of_characters": "length(text)::BIGINT",
-    "mean_word_length": "round(" + ratio(
-        "list_aggregate(list_transform(t, w -> length(w)), 'sum')", "len(t)") + ", 6)",
-    "words_per_line_mean": "round(" + ratio("len(t)", f"len({_LINES})") + ", 6)",
-    "short_line_ratio": "round(" + ratio(
+    "mean_word_length": ratio6(
+        "list_aggregate(list_transform(t, w -> length(w)), 'sum')", "len(t)"),
+    "words_per_line_mean": ratio6("len(t)", f"len({_LINES})"),
+    "short_line_ratio": ratio6(
         f"len(list_filter({_LINES}, l -> length(l) < {SHORT_LINE_CHARS}))",
-        f"len({_LINES})") + ", 6)",
-    "lines_end_in_punctuation": "round(" + ratio(
+        f"len({_LINES})"),
+    "lines_end_in_punctuation": ratio6(
         f"len(list_filter({_LINES}, l -> regexp_matches(l, '[.!?]\\s*$')))",
-        f"len({_LINES})") + ", 6)",
-    "special_char_ratio": "round(" + ratio(
+        f"len({_LINES})"),
+    "special_char_ratio": ratio6(
         "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))",
-        "length(text)") + ", 6)",
-    "stop_word_fraction": "round(" + ratio(
+        "length(text)"),
+    "stop_word_fraction": ratio6(
         f"len(list_filter(t, w -> list_contains({sql_list(STOPWORDS)}, lower(w))))",
-        "len(t)") + ", 6)",
-    "flagged_word_fraction": "round(" + ratio(
+        "len(t)"),
+    "flagged_word_fraction": ratio6(
         f"len(list_filter(t, w -> list_contains({sql_list(FLAGGED_WORDS)}, lower(w))))",
-        "len(t)") + ", 6)",
+        "len(t)"),
     "char_repetition_5gram": (
-        "round(CASE WHEN length(text) < 5 THEN 0.0 ELSE 1.0 - "
-        + ratio(
-            "len(list_distinct(list_transform(range(1, length(text)-3), i -> substr(text, i::INT, 5))))",
-            "len(list_transform(range(1, length(text)-3), i -> substr(text, i::INT, 5)))",
+        "(CASE WHEN length(text) < 5 THEN 0.0 ELSE "
+        + ratio6(
+            "(length(text) - 4) - len(list_distinct(list_transform(range(1, length(text)-3), i -> substr(text, i::INT, 5))))",
+            "length(text) - 4",
         )
-        + " END, 6)"
+        + " END)"
     ),
     "char_repetition_10gram": (
-        "round(CASE WHEN length(text) < 10 THEN 0.0 ELSE 1.0 - "
-        + ratio(
-            "len(list_distinct(list_transform(range(1, length(text)-8), i -> substr(text, i::INT, 10))))",
-            "len(list_transform(range(1, length(text)-8), i -> substr(text, i::INT, 10)))",
+        "(CASE WHEN length(text) < 10 THEN 0.0 ELSE "
+        + ratio6(
+            "(length(text) - 9) - len(list_distinct(list_transform(range(1, length(text)-8), i -> substr(text, i::INT, 10))))",
+            "length(text) - 9",
         )
-        + " END, 6)"
+        + " END)"
     ),
     "word_repetition_2gram": (
-        "round(CASE WHEN len(t) < 2 THEN 0.0 ELSE 1.0 - "
-        + ratio(
-            "len(list_distinct(list_transform(range(1, len(t)), i -> t[i::INT] || ' ' || t[(i+1)::INT])))",
+        "(CASE WHEN len(t) < 2 THEN 0.0 ELSE "
+        + ratio6(
+            "(len(t) - 1) - len(list_distinct(list_transform(range(1, len(t)), i -> t[i::INT] || ' ' || t[(i+1)::INT])))",
             "len(t) - 1",
         )
-        + " END, 6)"
+        + " END)"
     ),
 }
 
@@ -144,7 +165,7 @@ c AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
 e AS (
   SELECT doc_id,
     round(ln(sum(c)::DOUBLE) - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c)::DOUBLE, 4)
-      AS unigram_entropy
+      + 0.0 AS unigram_entropy
   FROM c GROUP BY 1
 )
 SELECT d.doc_id, coalesce(e.unigram_entropy, 0.0)::DOUBLE AS unigram_entropy
@@ -162,7 +183,7 @@ s AS (
     exp(-(sum(CAST(round(logp * 1e6) AS BIGINT))::DOUBLE / 1e6)
         / count(*)::DOUBLE) AS p
   FROM tok JOIN lp USING (token) GROUP BY 1)
-SELECT d.doc_id, round(coalesce(s.p, 0.0), 4)::DOUBLE AS perplexity
+SELECT d.doc_id, {round_hu("coalesce(s.p, 0.0)", 4)}::DOUBLE AS perplexity
 FROM documents d LEFT JOIN s USING (doc_id)"""
 
 
@@ -194,7 +215,7 @@ s AS (
   JOIN uni u2 ON u2.w = bg.w2, tot
   GROUP BY bg.doc_id),
 scored AS (
-  SELECT d.doc_id, d.{lang_col} AS lang, round(coalesce(s.p, 0.0), 4)::DOUBLE AS p
+  SELECT d.doc_id, d.{lang_col} AS lang, {round_hu("coalesce(s.p, 0.0)", 4)}::DOUBLE AS p
   FROM {table} d LEFT JOIN s USING (doc_id))"""
 
 
@@ -215,8 +236,8 @@ def q_perplexity_buckets(lam: float = 0.75) -> str:
     return f"""
 WITH {_bigram_ppl_ctes(lam)},
 th AS (
-  SELECT lang, round(quantile_cont(p, {p!r}), 6)::DOUBLE AS p33,
-         round(quantile_cont(p, {2 * p!r}), 6)::DOUBLE AS p67
+  SELECT lang, {round_hu(f"quantile_cont(p, {p!r})")}::DOUBLE AS p33,
+         {round_hu(f"quantile_cont(p, {2 * p!r})")}::DOUBLE AS p67
   FROM scored GROUP BY lang)
 SELECT s.doc_id, s.lang,
   CASE WHEN s.p <= th.p33 THEN 'head'
@@ -240,8 +261,8 @@ WITH gated AS MATERIALIZED (
   WHERE l.score >= {min_score}),
 {_bigram_ppl_ctes(lam, table="gated", lang_col="langid")},
 th AS (
-  SELECT lang, round(quantile_cont(p, {p!r}), 6)::DOUBLE AS p33,
-         round(quantile_cont(p, {2 * p!r}), 6)::DOUBLE AS p67
+  SELECT lang, {round_hu(f"quantile_cont(p, {p!r})")}::DOUBLE AS p33,
+         {round_hu(f"quantile_cont(p, {2 * p!r})")}::DOUBLE AS p67
   FROM scored GROUP BY lang)
 SELECT s.doc_id, s.lang AS langid,
   CASE WHEN s.p <= th.p33 THEN 'head'
@@ -322,9 +343,11 @@ SELECT doc_id,
        WHEN best = 0 THEN '{LANGID_DEFAULT}'
        {label_cases}
        ELSE '{LANGID_DEFAULT}' END AS langid,
-  CASE WHEN cjk > 0.2 THEN round(cjk, 6)
+  CASE WHEN cjk > 0.2
+         THEN {ratio6("length(regexp_replace(text, '[^一-鿿]', '', 'g'))",
+                      "length(text)")}
        WHEN n = 0 OR best = 0 THEN 0.0
-       ELSE round(best::DOUBLE / n::DOUBLE, 6) END::DOUBLE AS score
+       ELSE {ratio6('best', 'n')} END::DOUBLE AS score
 FROM s"""
 
 
@@ -367,8 +390,8 @@ p AS (
   FROM rf a JOIN rf b ON a.fp = b.fp AND a.id < b.id
   GROUP BY 1, 2 HAVING count(*) >= {min_shared})
 SELECT p.src, p.dst, p.shared,
-  round(p.shared::DOUBLE / cs.n::DOUBLE, 6)::DOUBLE AS src_containment,
-  round(p.shared::DOUBLE / cd.n::DOUBLE, 6)::DOUBLE AS dst_containment
+  {ratio6('p.shared', 'cs.n')}::DOUBLE AS src_containment,
+  {ratio6('p.shared', 'cd.n')}::DOUBLE AS dst_containment
 FROM p JOIN cnt cs ON cs.id = p.src JOIN cnt cd ON cd.id = p.dst"""
 
 
@@ -553,8 +576,7 @@ dup AS (SELECT gh FROM dg GROUP BY gh HAVING count(*) >= 2),
 nd AS (SELECT doc_id, count(*) AS c FROM dg JOIN dup USING (gh) GROUP BY 1),
 nt AS (SELECT doc_id, count(*) AS c FROM dg GROUP BY 1)
 SELECT a.doc_id AS id, coalesce(nt.c, 0)::BIGINT AS n_ngrams,
-  round(CASE WHEN coalesce(nt.c, 0) = 0 THEN 0.0
-        ELSE coalesce(nd.c, 0)::DOUBLE / nt.c::DOUBLE END, 6)::DOUBLE
+  {ratio6('coalesce(nd.c, 0)', 'coalesce(nt.c, 0)')}::DOUBLE
     AS dup_ngram_fraction
 FROM aug a LEFT JOIN nt USING (doc_id) LEFT JOIN nd USING (doc_id)"""
 
@@ -588,8 +610,8 @@ p AS (
 edges AS (
   SELECT p.src, p.dst
   FROM p JOIN cnt cs ON cs.id = p.src JOIN cnt cd ON cd.id = p.dst
-  WHERE greatest(round(p.shared::DOUBLE / cs.n::DOUBLE, 6),
-                 round(p.shared::DOUBLE / cd.n::DOUBLE, 6)) >= {min_containment}),
+  WHERE greatest({ratio6('p.shared', 'cs.n')},
+                 {ratio6('p.shared', 'cd.n')}) >= {min_containment}),
 sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
 reach(id, root) AS (
   SELECT doc_id, doc_id FROM aug
@@ -605,14 +627,14 @@ def q_gopher_signals() -> str:
     t = tokens("text")
     n_sym = ("(length(text) - length(replace(text, '#', ''))"
              " + len(regexp_extract_all(text, '(\\.\\.\\.|…)')))")
-    sym = ratio(n_sym, "len(t)")
-    bullet = ratio(
+    sym = ratio6(n_sym, "len(t)")
+    bullet = ratio6(
         "len(list_filter(ls, l -> regexp_matches(l, '^\\s*([-*•])')))",
         "len(ls)")
-    ell = ratio(
+    ell = ratio6(
         "len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))",
         "len(ls)")
-    alpha = ratio(
+    alpha = ratio6(
         "len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))", "len(t)")
     return f"""
 WITH tk0 AS (SELECT doc_id, {tokens('text')} AS t FROM documents),
@@ -635,10 +657,10 @@ st AS (
          string_split(text, chr(10)) AS ls
   FROM shaped)
 SELECT id,
-  round({sym}, 6)::DOUBLE AS symbol_word_ratio,
-  round({bullet}, 6)::DOUBLE AS bullet_line_fraction,
-  round({ell}, 6)::DOUBLE AS ellipsis_line_fraction,
-  round({alpha}, 6)::DOUBLE AS alpha_word_fraction
+  {sym}::DOUBLE AS symbol_word_ratio,
+  {bullet}::DOUBLE AS bullet_line_fraction,
+  {ell}::DOUBLE AS ellipsis_line_fraction,
+  {alpha}::DOUBLE AS alpha_word_fraction
 FROM st"""
 
 
@@ -658,17 +680,17 @@ def q_gopher_filter(
 
     n_sym = ("(length(text) - length(replace(text, '#', ''))"
              " + len(regexp_extract_all(text, '(\\.\\.\\.|…)')))")
-    sym = ratio(n_sym, "len(t)")
-    bullet = ratio(
+    sym = ratio6(n_sym, "len(t)")
+    bullet = ratio6(
         "len(list_filter(ls, l -> regexp_matches(l, '^\\s*([-*•])')))",
         "len(ls)")
-    ell = ratio(
+    ell = ratio6(
         "len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))",
         "len(ls)")
-    alpha = ratio(
+    alpha = ratio6(
         "len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))", "len(t)")
-    mwl = ratio("list_aggregate(list_transform(t, w -> length(w)), 'sum')",
-                "len(t)")
+    mwl = ratio6("list_aggregate(list_transform(t, w -> length(w)), 'sum')",
+                 "len(t)")
     stops = (f"len(list_filter(t, w -> "
              f"list_contains({sql_list(GOPHER_STOPS)}, lower(w))))")
     return f"""
@@ -697,12 +719,12 @@ st AS (
 per AS (
   SELECT id,
     len(t) AS nw,
-    round({mwl}, 6) AS mwl,
+    {mwl} AS mwl,
     {stops} AS stops,
-    round({sym}, 6) AS sym,
-    round({bullet}, 6) AS bul,
-    round({ell}, 6) AS ell,
-    round({alpha}, 6) AS alp
+    {sym} AS sym,
+    {bullet} AS bul,
+    {ell} AS ell,
+    {alpha} AS alp
   FROM st),
 l AS (
   SELECT id, u.line AS line
@@ -716,8 +738,8 @@ a AS (SELECT id,
   FROM g GROUP BY 1),
 dupf AS (
   SELECT p.id,
-    coalesce(round({ratio('dup', 'tot')}, 6), 0.0) AS dlf,
-    coalesce(round({ratio('dchar', 'tchar')}, 6), 0.0) AS dlcf
+    coalesce({ratio6('dup', 'tot')}, 0.0) AS dlf,
+    coalesce({ratio6('dchar', 'tchar')}, 0.0) AS dlcf
   FROM per p LEFT JOIN a USING (id))
 SELECT p.id,
   (p.nw >= {min_words} AND p.nw <= {max_words}
@@ -923,7 +945,7 @@ FROM shaped s LEFT JOIN r USING (doc_id) LEFT JOIN tot USING (doc_id)"""
 def q_duplicate_line_signals() -> str:
     """Twin of functions/signals.duplicate_line_signals: Gopher-style
     line-repetition fractions over non-empty raw lines."""
-    return """
+    return f"""
 WITH l AS (
   SELECT doc_id, t.line AS line
   FROM documents, unnest(string_split(text, chr(10))) AS t(line)
@@ -935,10 +957,8 @@ a AS (SELECT doc_id,
   sum(len * (c - 1)) AS dchar, sum(len * c) AS tchar
   FROM g GROUP BY 1)
 SELECT d.doc_id AS id,
-  coalesce(round(CASE WHEN tot = 0 THEN 0.0
-    ELSE dup::DOUBLE / tot::DOUBLE END, 6), 0.0)::DOUBLE AS dup_line_fraction,
-  coalesce(round(CASE WHEN tchar = 0 THEN 0.0
-    ELSE dchar::DOUBLE / tchar::DOUBLE END, 6), 0.0)::DOUBLE AS dup_line_char_fraction
+  coalesce({ratio6('dup', 'tot')}, 0.0)::DOUBLE AS dup_line_fraction,
+  coalesce({ratio6('dchar', 'tchar')}, 0.0)::DOUBLE AS dup_line_char_fraction
 FROM documents d LEFT JOIN a USING (doc_id)"""
 
 
@@ -1025,9 +1045,9 @@ WITH {_signals_cte(extra_cols=("source",))}
 SELECT source,
   count(*)::BIGINT AS n_docs,
   sum(CASE WHEN {keep} THEN 1 ELSE 0 END)::BIGINT AS n_keep,
-  (round(sum(CASE WHEN {keep} THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) + 0.0)
+  {ratio6("sum(CASE WHEN " + keep + " THEN 1 ELSE 0 END)", "count(*)")}
     AS keep_rate,
-  (round(sum(number_of_words)::DOUBLE / count(*), 4) + 0.0) AS mean_words
+  {ratio6("sum(number_of_words)", "count(*)", 4)} AS mean_words
 FROM sig GROUP BY source"""
 
 
@@ -1059,7 +1079,7 @@ WITH noisy AS (
   FROM documents)
 SELECT doc_id,
   {cols},
-  (round(({total})::DOUBLE / greatest(coalesce(length(text), 0), 1), 6) + 0.0)
+  {ratio6(total, "greatest(coalesce(length(text), 0), 1)")}
     AS noise_ratio
 FROM noisy"""
 
@@ -1068,9 +1088,10 @@ def q_script_ratios() -> str:
     """Twin of functions/encoding.with_script_ratios."""
     from .functions.encoding import SCRIPT_RANGES
 
+    den = "greatest(coalesce(length(text), 0), 1)"
     cols = ",\n  ".join(
-        f"(round(coalesce(len(regexp_extract_all(text, '{p}')), 0)::DOUBLE"
-        f" / greatest(coalesce(length(text), 0), 1), 6) + 0.0) AS {n}_ratio"
+        ratio6(f"coalesce(len(regexp_extract_all(text, '{p}')), 0)", den)
+        + f" AS {n}_ratio"
         for n, p in SCRIPT_RANGES.items()
     )
     total = " + ".join(
@@ -1080,7 +1101,7 @@ def q_script_ratios() -> str:
     return f"""
 SELECT doc_id,
   {cols},
-  (round(({total})::DOUBLE / greatest(coalesce(length(text), 0), 1), 6) + 0.0)
+  {ratio6(total, den)}
     AS letter_ratio
 FROM documents"""
 
@@ -1091,9 +1112,9 @@ def q_lang_script_mismatch() -> str:
         LANG_SCRIPT, MISMATCH_MIN_RATIO, SCRIPT_RANGES,
     )
 
+    den = "greatest(coalesce(length(text), 0), 1)"
     ratio = {
-        name: f"(round(coalesce(len(regexp_extract_all(text, '{p}')), 0)::DOUBLE"
-              f" / greatest(coalesce(length(text), 0), 1), 6) + 0.0)"
+        name: ratio6(f"coalesce(len(regexp_extract_all(text, '{p}')), 0)", den)
         for name, p in SCRIPT_RANGES.items()
     }
     exp_cases = " ".join(
@@ -1130,8 +1151,8 @@ def q_quality_thresholds(cols=("number_of_words", "mean_word_length", "stop_word
 def q_quantile_filter(cols=("number_of_words", "mean_word_length", "stop_word_fraction"),
                       p_low: float = 0.10, p_high: float = 0.90) -> str:
     aggs = ", ".join(
-        f"round(quantile_cont({c}::DOUBLE, {p_low}), 6) AS {c}_lo, "
-        f"round(quantile_cont({c}::DOUBLE, {p_high}), 6) AS {c}_hi"
+        f"{round_hu(f'quantile_cont({c}::DOUBLE, {p_low})')} AS {c}_lo, "
+        f"{round_hu(f'quantile_cont({c}::DOUBLE, {p_high})')} AS {c}_hi"
         for c in cols
     )
     conds = " AND ".join(f"s.{c} >= t.{c}_lo AND s.{c} <= t.{c}_hi" for c in cols)
@@ -1156,8 +1177,8 @@ def q_profiled_quantile_filter(
     special = sorted(LANG_PROFILE)
     def th_select(p_low, p_high, where):
         aggs = ", ".join(
-            f"round(quantile_cont({c}::DOUBLE, {p_low}), 6) AS {c}_lo, "
-            f"round(quantile_cont({c}::DOUBLE, {p_high}), 6) AS {c}_hi"
+            f"{round_hu(f'quantile_cont({c}::DOUBLE, {p_low})')} AS {c}_lo, "
+            f"{round_hu(f'quantile_cont({c}::DOUBLE, {p_high})')} AS {c}_hi"
             for c in cols
         )
         return f"SELECT lang, {aggs} FROM sig WHERE {where} GROUP BY lang"
@@ -1299,6 +1320,9 @@ def q_vocab_coverage(k: int = 100) -> str:
     """Twin of operators/vocab.vocab_coverage: top-k corpus tokens
     (ties broken by token string) with cumulative coverage of all token
     occurrences. Sums stay exact bigints; one division per output row."""
+    cov = ratio6(
+        "sum(cnt) OVER (ORDER BY cnt DESC, tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+        "(SELECT t FROM tot)")
     return f"""
 WITH tk AS (SELECT unnest({tokens(norm('text'))}) AS tok FROM documents),
 c AS (SELECT tok, count(*)::BIGINT AS cnt FROM tk GROUP BY tok),
@@ -1306,9 +1330,7 @@ tot AS (SELECT sum(cnt) AS t FROM c),
 top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT {k})
 SELECT tok, cnt,
   row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
-  (round((sum(cnt) OVER (ORDER BY cnt DESC, tok
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
-    / (SELECT t FROM tot), 6) + 0.0) AS coverage
+  {cov} AS coverage
 FROM top"""
 
 
@@ -1321,8 +1343,8 @@ top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT {vocab_size})
 SELECT {vocab_size}::BIGINT AS vocab_size,
   (SELECT sum(cnt) FROM c)::BIGINT AS total_tokens,
   ((SELECT sum(cnt) FROM c) - (SELECT sum(cnt) FROM top))::BIGINT AS oov_tokens,
-  (round(((SELECT sum(cnt) FROM c) - (SELECT sum(cnt) FROM top))::DOUBLE
-    / (SELECT sum(cnt) FROM c), 6) + 0.0) AS oov_rate"""
+  {ratio6("(SELECT sum(cnt) FROM c) - (SELECT sum(cnt) FROM top)",
+          "(SELECT sum(cnt) FROM c)")} AS oov_rate"""
 
 
 def q_shard_manifest(block: int = 128, eod: int = 1, per_shard: int = 64) -> str:
@@ -1362,7 +1384,7 @@ grid AS (SELECT d.doc_id, i.i AS idx
 cells AS (
   SELECT g.doc_id, g.idx,
     CASE WHEN coalesce(n.ss, 0) > 0
-         THEN round(coalesce(c.s, 0)::DOUBLE / sqrt(n.ss), 6) + 0.0
+         THEN {round_hu("coalesce(c.s, 0)::DOUBLE / sqrt(n.ss)")}
          ELSE 0.0 END AS v
   FROM grid g LEFT JOIN contrib c ON c.doc_id = g.doc_id AND c.idx = g.idx
   LEFT JOIN nrm n ON n.doc_id = g.doc_id)
@@ -1535,11 +1557,11 @@ def q_jaccard_vs_query(query_doc_id: int = 0, min_sim: float = 0.0) -> str:
 WITH {_minhash_ctes()},
 q AS (SELECT sh AS qs FROM shg WHERE doc_id = {query_doc_id})
 SELECT s.doc_id AS id,
-  round({ratio("len(list_filter(s.sh, x -> list_contains(q.qs, x)))",
-               "len(s.sh) + len(q.qs) - len(list_filter(s.sh, x -> list_contains(q.qs, x)))")}, 6)::DOUBLE AS jaccard
+  {ratio6("len(list_filter(s.sh, x -> list_contains(q.qs, x)))",
+          "len(s.sh) + len(q.qs) - len(list_filter(s.sh, x -> list_contains(q.qs, x)))")}::DOUBLE AS jaccard
 FROM shg s, q
-WHERE {ratio("len(list_filter(s.sh, x -> list_contains(q.qs, x)))",
-             "len(s.sh) + len(q.qs) - len(list_filter(s.sh, x -> list_contains(q.qs, x)))")} >= {min_sim}"""
+WHERE {ratio6("len(list_filter(s.sh, x -> list_contains(q.qs, x)))",
+              "len(s.sh) + len(q.qs) - len(list_filter(s.sh, x -> list_contains(q.qs, x)))")} >= {min_sim}"""
 
 
 def _simhash_ctes(bits: int = SIMHASH_BITS, table: str = "documents") -> str:
@@ -1670,7 +1692,7 @@ edges AS (
   FROM cand c
   JOIN aug ea ON ea.vec_id = c.src
   JOIN aug eb ON eb.vec_id = c.dst
-  WHERE round({cos}, {ANN_ROUND}) + 0.0 >= {threshold}),
+  WHERE {round_hu(cos, ANN_ROUND)} >= {threshold}),
 sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
 reach(id, root) AS (
   SELECT vec_id, vec_id FROM aug
@@ -1695,12 +1717,12 @@ s AS (
     sqrt(list_aggregate(list_transform(range(1, len(q.qe)+1),
       i -> q.qe[i::INT]::DOUBLE * q.qe[i::INT]::DOUBLE), 'sum')) AS den
   FROM embeddings e, q)
-SELECT vec_id, (round(CASE WHEN den = 0 THEN 0.0 ELSE num / den END, {rnd}) + 0.0)::DOUBLE AS cos
+SELECT vec_id, (floor((CASE WHEN den = 0 THEN 0.0 ELSE num / den END) * {scale} + 0.5) / {scale})::DOUBLE AS cos
 FROM s ORDER BY cos DESC, vec_id LIMIT {k}"""
 
 
 def q_ann_cosine_topk(query_vec_id: int = 0, k: int = ANN_TOPK) -> str:
-    return _COS.format(qid=query_vec_id, rnd=ANN_ROUND, k=k)
+    return _COS.format(qid=query_vec_id, scale=f"{10 ** ANN_ROUND}.0", k=k)
 
 
 def _hyperplane_sig_ctes(dim: int, nbits: int, table: str = "embeddings") -> str:
@@ -1719,7 +1741,7 @@ def _hyperplane_sig_ctes(dim: int, nbits: int, table: str = "embeddings") -> str
     {rows}),
 sig AS (
   SELECT e.vec_id,
-    sum(CASE WHEN round({dot}, 6) > 0 THEN (1::BIGINT << p.p) ELSE 0 END)::BIGINT
+    sum(CASE WHEN {round_hu(dot)} > 0 THEN (1::BIGINT << p.p) ELSE 0 END)::BIGINT
       AS bucket
   FROM {table} e CROSS JOIN planes p GROUP BY e.vec_id)"""
 
@@ -1787,7 +1809,7 @@ v AS (SELECT e.vec_id, e.embedding, s.bucket
       FROM aug e JOIN sig s USING (vec_id)),
 pairs AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
-    (round({cos}, {ANN_ROUND}) + 0.0)::DOUBLE AS cos
+    {round_hu(cos, ANN_ROUND)}::DOUBLE AS cos
   FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
 nd AS (SELECT src, dst, cos FROM pairs WHERE cos >= {threshold})"""
 
@@ -1822,11 +1844,11 @@ cand AS (
   FROM {join_src} a JOIN {join_src} b
     ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
 nd AS (
-  SELECT c.src, c.dst, (round({cos}, {ANN_ROUND}) + 0.0)::DOUBLE AS cos
+  SELECT c.src, c.dst, {round_hu(cos, ANN_ROUND)}::DOUBLE AS cos
   FROM cand c
   JOIN aug ea ON ea.vec_id = c.src
   JOIN aug eb ON eb.vec_id = c.dst
-  WHERE round({cos}, {ANN_ROUND}) + 0.0 >= {threshold})"""
+  WHERE {round_hu(cos, ANN_ROUND)} >= {threshold})"""
 
 
 def q_embedding_near_dup_prod_pairs(threshold: float = 0.95, dim: int = 64,
@@ -1885,7 +1907,7 @@ c AS (
       i -> q.qe[i::INT]::DOUBLE * q.qe[i::INT]::DOUBLE), 'sum')) AS den
   FROM cand e, q)
 SELECT vec_id,
-  (round(CASE WHEN den = 0 THEN 0.0 ELSE num / den END, {ANN_ROUND}) + 0.0)::DOUBLE AS cos
+  {round_hu('CASE WHEN den = 0 THEN 0.0 ELSE num / den END', ANN_ROUND)}::DOUBLE AS cos
 FROM c ORDER BY cos DESC, vec_id LIMIT {k}"""
 
 
@@ -1915,7 +1937,7 @@ c AS (
       i -> q.qe[i::INT]::DOUBLE * q.qe[i::INT]::DOUBLE), 'sum')) AS den
   FROM cand e, q)
 SELECT vec_id,
-  (round(CASE WHEN den = 0 THEN 0.0 ELSE num / den END, {ANN_ROUND}) + 0.0)::DOUBLE AS cos
+  {round_hu('CASE WHEN den = 0 THEN 0.0 ELSE num / den END', ANN_ROUND)}::DOUBLE AS cos
 FROM c ORDER BY cos DESC, vec_id LIMIT {k}"""
 
 
@@ -1974,7 +1996,7 @@ def q_image_pixels() -> str:
     formula p(x, y) = (x*7 + y) % 256 over the id-derived dimensions. Any
     bug in chunk walking, CRC handling, inflation, or filter
     reconstruction breaks the value hash."""
-    return """
+    return f"""
 WITH ids AS (
   SELECT doc_id AS id, (doc_id % 64 + 1) AS w, (doc_id % 48 + 1) AS h
   FROM documents WHERE doc_id % 3 = 0),
@@ -1986,7 +2008,7 @@ px AS (
 SELECT id, w::INT AS width, h::INT AS height,
   count(*)::BIGINT AS n_pixels, sum(p)::BIGINT AS pixel_sum,
   min(p)::INT AS pixel_min, max(p)::INT AS pixel_max,
-  round(sum(p)::DOUBLE / count(*)::DOUBLE, 6)::DOUBLE AS pixel_mean,
+  {ratio6('sum(p)', 'count(*)')}::DOUBLE AS pixel_mean,
   true AS ok
 FROM px GROUP BY id, w, h"""
 
@@ -2056,9 +2078,9 @@ def q_ann_ivf_topk(query_vec_id: int = 0, dim: int = 64, n_probe: int = 3,
     """Twin of operators/ann.ann_ivf_topk: rounded per-label centroid
     vectors, nearest-cell assignment (window argmin), probe the query's
     n_probe cells, exact rerank."""
-    ccos = f"(round({_cos_expr('e.embedding', 'v.cv')}, {ANN_ROUND}) + 0.0)"
-    qcos = f"(round({_cos_expr('q.qe', 'v.cv')}, {ANN_ROUND}) + 0.0)"
-    rcos = f"(round({_cos_expr('c.embedding', 'q.qe')}, {ANN_ROUND}) + 0.0)"
+    ccos = round_hu(_cos_expr('e.embedding', 'v.cv'), ANN_ROUND)
+    qcos = round_hu(_cos_expr('q.qe', 'v.cv'), ANN_ROUND)
+    rcos = round_hu(_cos_expr('c.embedding', 'q.qe'), ANN_ROUND)
     return f"""
 WITH cent AS (
   SELECT label, (i.i - 1) AS pos,
@@ -2114,7 +2136,7 @@ def _kmeans_ctes(k: int | str = 8, iters: int = 3, dim: int = 64,
   SELECT id, cid FROM (
     SELECT e.id, c.cid,
       row_number() OVER (PARTITION BY e.id
-        ORDER BY (round({cos}, {ANN_ROUND}) + 0.0) DESC, c.cid) AS rn
+        ORDER BY {round_hu(cos, ANN_ROUND)} DESC, c.cid) AS rn
     FROM e CROSS JOIN c{t - 1} c) WHERE rn = 1)""")
         ctes.append(f"""m{t} AS MATERIALIZED (
   SELECT a.cid, (i.i - 1) AS pos, ({_exact_mean4('e.v[i.i::INT]')} + 0.0) AS c
@@ -2153,7 +2175,7 @@ def q_semdedup_keep(threshold: float = 0.95, k_cells: int | None = None,
     (8 cells at the 500-2000-vector driver fixtures, 52 at the
     50k-vector certification fixture)."""
     last = f"c{iters}"
-    ccos = f"(round({_cos_expr('e.v', 'c.cv')}, {ANN_ROUND}) + 0.0)"
+    ccos = round_hu(_cos_expr('e.v', 'c.cv'), ANN_ROUND)
     if k_cells is None:
         k_sql: int | str = "(SELECT kk FROM kcount)"
         kcount = (f"kcount AS (SELECT greatest(8, ceil(count(*)::DOUBLE "
@@ -2186,9 +2208,7 @@ edges AS MATERIALIZED (
   -- ~100x slower and made 50k-scale certification impractical
   SELECT p.src, p.dst FROM pairs p
   JOIN vn x ON x.id = p.src JOIN vn y ON y.id = p.dst
-  WHERE (round(CASE WHEN x.nrm * y.nrm = 0 THEN 0.0 ELSE
-    list_dot_product(x.v, y.v) / (x.nrm * y.nrm) END,
-    {ANN_ROUND}) + 0.0) >= {threshold}),
+  WHERE {round_hu("CASE WHEN x.nrm * y.nrm = 0 THEN 0.0 ELSE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) END", ANN_ROUND)} >= {threshold}),
 sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
 reach(id, root) AS (
   SELECT id, id FROM e
@@ -2236,7 +2256,7 @@ inter AS (
   GROUP BY 1, 2),
 jac AS (
   SELECT i.src, i.dst,
-    (round(i.i::DOUBLE / (sa.sz + sb.sz - i.i)::DOUBLE, 6) + 0.0)::DOUBLE AS jaccard
+    {ratio6('i.i', 'sa.sz + sb.sz - i.i')}::DOUBLE AS jaccard
   FROM inter i
   JOIN sizes sa ON sa.id = i.src
   JOIN sizes sb ON sb.id = i.dst)"""
@@ -2293,9 +2313,9 @@ def q_ann_ivf_trained_topk(query_vec_id: int = 0, k_cells: int = 8,
     """Twin of operators/ann.ann_ivf_trained_topk: IVF probe/rerank over
     the k-means-trained cells (same CTE chain as q_kmeans_cells)."""
     last = f"c{iters}"
-    ccos = f"(round({_cos_expr('e.v', 'v.cv')}, {ANN_ROUND}) + 0.0)"
-    qcos = f"(round({_cos_expr('q.qe', 'v.cv')}, {ANN_ROUND}) + 0.0)"
-    rcos = f"(round({_cos_expr('c.v', 'q.qe')}, {ANN_ROUND}) + 0.0)"
+    ccos = round_hu(_cos_expr('e.v', 'v.cv'), ANN_ROUND)
+    qcos = round_hu(_cos_expr('q.qe', 'v.cv'), ANN_ROUND)
+    rcos = round_hu(_cos_expr('c.v', 'q.qe'), ANN_ROUND)
     body = ",\n".join(_kmeans_ctes(k_cells, iters, dim))
     return f"""
 WITH {body},
@@ -2411,8 +2431,8 @@ def q_ann_ivf_pq_topk(query_vec_id: int = 0, k_cells: int = 8,
     codes for the probed cells' vectors only."""
     d = dim // m
     last = f"c{cell_iters}"
-    ccos = f"(round({_cos_expr('e.v', 'v.cv')}, {ANN_ROUND}) + 0.0)"
-    qcos = f"(round({_cos_expr('q.qe', 'v.cv')}, {ANN_ROUND}) + 0.0)"
+    ccos = round_hu(_cos_expr('e.v', 'v.cv'), ANN_ROUND)
+    qcos = round_hu(_cos_expr('q.qe', 'v.cv'), ANN_ROUND)
     l2 = (f"list_aggregate(list_transform(range(1, {d + 1}), i -> "
           f"(round(e.sv[i::INT]*1e6)::BIGINT - round(c.cv[i::INT]*1e6)::BIGINT) * "
           f"(round(e.sv[i::INT]*1e6)::BIGINT - round(c.cv[i::INT]*1e6)::BIGINT)), "
@@ -2461,8 +2481,8 @@ def q_ann_ivf_pq_residual_topk(query_vec_id: int = 0, k_cells: int = 8,
     query dot constant + residual lookup sums."""
     d = dim // m
     last = f"c{cell_iters}"
-    ccos = f"(round({_cos_expr('e.v', 'v.cv')}, {ANN_ROUND}) + 0.0)"
-    qcos = f"(round({_cos_expr('q.qe', 'v.cv')}, {ANN_ROUND}) + 0.0)"
+    ccos = round_hu(_cos_expr('e.v', 'v.cv'), ANN_ROUND)
+    qcos = round_hu(_cos_expr('q.qe', 'v.cv'), ANN_ROUND)
     l2 = (f"list_aggregate(list_transform(range(1, {d + 1}), i -> "
           f"(round(e.sv[i::INT]*1e6)::BIGINT - round(c.cv[i::INT]*1e6)::BIGINT) * "
           f"(round(e.sv[i::INT]*1e6)::BIGINT - round(c.cv[i::INT]*1e6)::BIGINT)), "
@@ -2620,7 +2640,8 @@ def _classifier_ctes(
     float step, trunc-division update written as (a - a%n)//n so the
     exact division agrees with Spark's truncating div for negative
     gradients. Ends with w{n_iters}(j, w)."""
-    p4 = "round(round(1.0/(1.0 + exp(-(m.m::DOUBLE/1e6))), 4) * 1e4)::BIGINT"
+    p4 = (f"round({round_hu('1.0/(1.0 + exp(-(m.m::DOUBLE/1e6)))', 4)}"
+          " * 1e4)::BIGINT")
     ctes = [
         f"""f AS MATERIALIZED (
   SELECT id, j, x FROM (
@@ -2846,9 +2867,9 @@ a AS (
   FROM g GROUP BY 1),
 s AS (
   SELECT doc_id,
-    round({ratio('np', 'n')}, 6) AS punct_line_frac,
-    round({ratio('ns', 'n')}, 6) AS short_line_frac,
-    round({ratio('dchar', 'tchar')}, 6) AS dup_line_char_frac
+    {ratio6('np', 'n')} AS punct_line_frac,
+    {ratio6('ns', 'n')} AS short_line_frac,
+    {ratio6('dchar', 'tchar')} AS dup_line_char_frac
   FROM a)
 SELECT d.doc_id,
   coalesce(s.punct_line_frac, 0.0) AS punct_line_frac,
@@ -2923,9 +2944,9 @@ GROUP BY source ORDER BY n DESC, source LIMIT {k}"""
 def q_pricing_summary() -> str:
     return """
 SELECT l_returnflag, l_linestatus,
-  round(cast(sum(cast(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_qty,
-  round(cast(sum(cast(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_base,
-  round(cast(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_disc,
+  cast(round(sum(cast(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_qty,
+  cast(round(sum(cast(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_base,
+  cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_disc,
   count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -2935,7 +2956,7 @@ GROUP BY l_returnflag, l_linestatus"""
 def q_segment_revenue() -> str:
     return """
 SELECT c_mktsegment,
-  round(cast(sum(cast(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue,
+  cast(round(sum(cast(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
   count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment"""

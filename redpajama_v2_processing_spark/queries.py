@@ -1315,12 +1315,15 @@ def q_pricing_summary(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_base"),
+            # round the EXACT decimal sum, then cast — rounding the double
+            # cast is engine-dependent at half-cent boundaries (see
+            # functions/signals.ratio6)
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_base"),
             F.round(
-                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")).cast("double"),
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")),
                 2,
-            ).alias("sum_disc"),
+            ).cast("double").alias("sum_disc"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -1333,7 +1336,8 @@ def q_segment_revenue(spark, sf_dir):
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double"), 2).alias("revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")), 2)
+            .cast("double").alias("revenue"),
             F.count("*").alias("n_orders"),
         )
     )
