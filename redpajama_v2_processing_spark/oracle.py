@@ -164,8 +164,9 @@ WITH tok AS (SELECT doc_id, unnest({tokens('text')}) AS token FROM documents),
 c AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
 e AS (
   SELECT doc_id,
-    round(ln(sum(c)::DOUBLE) - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c)::DOUBLE, 4)
-      + 0.0 AS unigram_entropy
+    {round_hu("ln(sum(c)::DOUBLE)"
+              " - (sum(c * CAST(round(ln(c::DOUBLE) * 1e6) AS BIGINT))::DOUBLE"
+              " / 1e6) / sum(c)::DOUBLE", 4)} AS unigram_entropy
   FROM c GROUP BY 1
 )
 SELECT d.doc_id, coalesce(e.unigram_entropy, 0.0)::DOUBLE AS unigram_entropy

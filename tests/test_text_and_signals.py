@@ -69,8 +69,12 @@ def test_entropy_hand_computed(spark):
 
     df = docs_frame(spark, ["a a b", "", "x"])
     out = {r.doc_id: r.unigram_entropy for r in unigram_entropy(df, "doc_id").collect()}
-    # a a b: ln(3) - (2 ln2 + 1 ln1)/3
-    assert out[0] == round(math.log(3) - 2 * math.log(2) / 3, 6)
+    # a a b: ln(3) - (2 ln2 + 1 ln1)/3, via the engine's micro-unit
+    # contract (ln terms quantized to 1e-6 before the order-independent
+    # integer sum; final round is the floor(x*1e6 + 0.5) idiom)
+    s_micro = 2 * math.floor(math.log(2) * 1e6 + 0.5)
+    e = math.log(3) - (s_micro / 1e6) / 3
+    assert out[0] == math.floor(e * 1e6 + 0.5) / 1e6
     assert out[1] == 0.0
     assert out[2] == 0.0
 
