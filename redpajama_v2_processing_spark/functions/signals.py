@@ -33,22 +33,24 @@ from .text import lines, tokens, word_ngrams, char_ngrams
 
 
 def ratio6(num: Column, den: Column, digits: int = 6) -> Column:
-    """round(num/den, digits) via EXACT integer half-up micro-units.
+    """round(num/den, digits), deterministic across engines:
+    floor((num/den)*10^d + 0.5) / 10^d on the IEEE double quotient.
 
-    micro = (2*num*10^d + den) div (2*den) = floor(num*10^d/den + 1/2),
-    evaluated entirely on bigints so Spark and the DuckDB oracle agree at
-    every half-way boundary (see module docstring). The div is expressed
-    as (t - pmod(t, 2*den)) / (2*den): the numerator is exactly divisible,
-    so the double division returns the exact integer quotient. Exactness
-    bound: 2*num*10^d + den < 2^53, i.e. num < ~4.5e9 at d=6 — holds for
-    any per-document count (a 4-gigachar doc is outside any real corpus).
-    Requires num >= 0 and den >= 0; den == 0 yields 0.0.
+    Both engines compute the identical correctly-rounded quotient for
+    the same integer num/den, then the identical multiply/floor — so the
+    result is bit-identical by construction, which is the actual
+    contract requirement (see module docstring; engine-native round()
+    implementations disagree at half-way boundaries). ``num`` is
+    referenced ONCE: an earlier exact-integer-micro-unit formulation
+    referenced its (expensive regexp/HOF) numerator twice and cost the
+    signal stage ~30% (BENCH.md round 6). Requires den >= 0;
+    den == 0 yields 0.0.
     """
-    scale = 10 ** digits
-    a, b = num.cast("bigint"), den.cast("bigint")
-    t = a * F.lit(2 * scale).cast("bigint") + b
-    micro = (t - F.pmod(t, b * 2)) / (b * 2)
-    return F.when(den == 0, F.lit(0.0)).otherwise(micro / F.lit(float(scale)))
+    scale = float(10 ** digits)
+    q = F.when(den == 0, F.lit(0.0)).otherwise(
+        num.cast("double") / den.cast("double")
+    )
+    return F.floor(q * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
 
 
 def number_of_words(tok: Column) -> Column:

@@ -31,6 +31,7 @@ Three decode tiers:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -295,10 +296,10 @@ def decode_image_pixels(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                     w, h, px = dec
                     s = sum(px)
                     n = len(px)
-                    # exact integer micro-unit half-up (the ratio6
-                    # contract): Python round() is half-EVEN and would
-                    # diverge from both engines at .5 boundaries
-                    mean6 = ((2_000_000 * s + n) // (2 * n)) / 1e6
+                    # the ratio6 floor idiom (same IEEE ops as both
+                    # engines); Python round() is half-EVEN and would
+                    # diverge at .5 boundaries
+                    mean6 = math.floor((s / n) * 1e6 + 0.5) / 1e6
                     rows.append(
                         (int(i), w, h, n, s, min(px), max(px), mean6, True)
                     )

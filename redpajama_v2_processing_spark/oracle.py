@@ -72,15 +72,13 @@ def round_hu(expr: str, digits: int = 6) -> str:
 
 
 def ratio6(num: str, den: str, digits: int = 6) -> str:
-    """round(num/den, digits) in EXACT integer half-up micro-units — the
-    DuckDB twin of functions/signals.ratio6 (see that docstring for why
-    rounding the double quotient is engine-dependent at half-way
-    boundaries). // on BIGINTs is exact integer division in DuckDB;
-    operands must be non-negative."""
+    """round(num/den, digits) via the deterministic floor idiom — the
+    DuckDB twin of functions/signals.ratio6 (identical IEEE op sequence
+    in both engines; see that docstring)."""
     scale = 10 ** digits
-    return (f"(CASE WHEN ({den}) = 0 THEN 0.0 ELSE "
-            f"(({2 * scale} * ({num})::BIGINT + ({den})::BIGINT) // "
-            f"(2 * ({den})::BIGINT))::DOUBLE / {scale}.0 END)")
+    return (f"(floor((CASE WHEN ({den}) = 0 THEN 0.0 ELSE "
+            f"({num})::DOUBLE / ({den})::DOUBLE END) * {scale}.0 + 0.5) "
+            f"/ {scale}.0)")
 
 
 _LINES = "string_split(text, chr(10))"
