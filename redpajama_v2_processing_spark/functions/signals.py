@@ -13,14 +13,14 @@ CollapseProject keeps the staging projection separate because the array
 expressions are non-cheap and multiply referenced.
 
 Division contract (shared with the DuckDB oracle): every emitted ratio
-is ``round(num/den, 6)`` of exact integer counts, computed in EXACT
-integer micro-units — ``(2*num*1e6 + den) div (2*den)`` — rather than
-rounding the double quotient. Rounding the double is engine-dependent at
-half-way boundaries (Spark round() is BigDecimal HALF_UP over the
-double's binary expansion; DuckDB rounds the scaled double), which
-produced a real one-ulp ``char_repetition_5gram`` mismatch at 50k-doc
-scale; the micro-unit form is half-up on the exact rational in both
-engines. Denominator 0 yields 0.0.
+is ``floor((num/den)*10^d + 0.5)/10^d`` over the IEEE double quotient
+(``ratio6`` here, ``oracle.ratio6`` there) — the identical op sequence
+in both engines, hence bit-identical. Engine-NATIVE round() is
+forbidden on compared values: Spark round() (BigDecimal HALF_UP over
+the double's binary expansion) and DuckDB round() (scaled-multiply)
+disagree at half-way boundaries, which produced a real
+``char_repetition_5gram`` mismatch at 50k-doc scale. Denominator 0
+yields 0.0.
 """
 
 from __future__ import annotations
@@ -30,27 +30,21 @@ from pyspark.sql import functions as F
 
 from ..config import FLAGGED_WORDS, SHORT_LINE_CHARS, STOPWORDS
 from .text import lines, tokens, word_ngrams, char_ngrams
+from .vectors import round_half_up
 
 
 def ratio6(num: Column, den: Column, digits: int = 6) -> Column:
-    """round(num/den, digits), deterministic across engines:
-    floor((num/den)*10^d + 0.5) / 10^d on the IEEE double quotient.
-
-    Both engines compute the identical correctly-rounded quotient for
-    the same integer num/den, then the identical multiply/floor — so the
-    result is bit-identical by construction, which is the actual
-    contract requirement (see module docstring; engine-native round()
-    implementations disagree at half-way boundaries). ``num`` is
-    referenced ONCE: an earlier exact-integer-micro-unit formulation
-    referenced its (expensive regexp/HOF) numerator twice and cost the
-    signal stage ~30% (BENCH.md round 6). Requires den >= 0;
-    den == 0 yields 0.0.
-    """
-    scale = float(10 ** digits)
+    """round(num/den, digits), deterministic across engines (see module
+    docstring): vectors.round_half_up over the den==0-guarded quotient,
+    composed from the one shared floor-idiom helper per engine.
+    ``num`` is referenced ONCE — an earlier exact-integer-micro-unit
+    formulation referenced its (expensive regexp/HOF) numerator twice
+    and cost the label stage ~10% (BENCH.md round 6). Requires den >= 0;
+    den == 0 yields 0.0."""
     q = F.when(den == 0, F.lit(0.0)).otherwise(
         num.cast("double") / den.cast("double")
     )
-    return F.floor(q * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    return round_half_up(q, digits)
 
 
 def number_of_words(tok: Column) -> Column:
@@ -121,10 +115,11 @@ def flagged_word_fraction(tok: Column, jtok: Column | None = None) -> Column:
 
 
 def repetition_ratio(grams: Column) -> Column:
-    """1 - distinct/total n-grams (0.0 when empty). Pass a STAGED gram
-    column — the expression references it three times."""
-    return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
-        ratio6(F.size(grams) - F.size(F.array_distinct(grams)), F.size(grams))
+    """(total - distinct)/total n-grams, i.e. 1 - distinct/total (0.0
+    when empty via ratio6's den==0 path). Pass a STAGED gram column —
+    the expression references it several times."""
+    return ratio6(
+        F.size(grams) - F.size(F.array_distinct(grams)), F.size(grams)
     )
 
 

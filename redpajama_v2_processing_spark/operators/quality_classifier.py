@@ -76,12 +76,13 @@ def feature_frame(
 
 
 def _p4_micro(margin_micro):
-    """round(sigmoid(margin/1e6), 4) * 1e4 as bigint — the shared
-    float->fixed-point step (identical expression in the oracle; the
-    4-digit round uses the deterministic floor idiom, vectors.round_half_up)."""
+    """floor(sigmoid(margin/1e6) * 1e4 + 0.5) as bigint — the shared
+    float->fixed-point step (identical floor-idiom expression in the
+    oracle), flooring straight to the integer micro value with no
+    divide-then-remultiply round trip."""
     z = margin_micro.cast("double") / 1e6
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    return F.round(round_half_up(p, 4) * 1e4).cast("bigint")
+    return F.floor(p * F.lit(1e4) + F.lit(0.5)).cast("bigint")
 
 
 def train_quality_classifier(
@@ -161,13 +162,10 @@ def classifier_scores(
         .groupBy("id")
         .agg(F.sum(F.col("w") * F.col("x")).alias("margin_micro"))
     )
-    score4 = (
-        F.round(
-            F.lit(1.0)
-            / (F.lit(1.0) + F.exp(-(F.col("margin_micro").cast("double") / 1e6))),
-            4,
-        )
-        + 0.0
+    score4 = round_half_up(
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-(F.col("margin_micro").cast("double") / 1e6))),
+        4,
     )
     return margins.select(
         "id",

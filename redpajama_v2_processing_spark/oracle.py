@@ -73,12 +73,10 @@ def round_hu(expr: str, digits: int = 6) -> str:
 
 def ratio6(num: str, den: str, digits: int = 6) -> str:
     """round(num/den, digits) via the deterministic floor idiom — the
-    DuckDB twin of functions/signals.ratio6 (identical IEEE op sequence
-    in both engines; see that docstring)."""
-    scale = 10 ** digits
-    return (f"(floor((CASE WHEN ({den}) = 0 THEN 0.0 ELSE "
-            f"({num})::DOUBLE / ({den})::DOUBLE END) * {scale}.0 + 0.5) "
-            f"/ {scale}.0)")
+    DuckDB twin of functions/signals.ratio6: round_hu over the guarded
+    quotient, composed from the two shared helpers so the idiom exists
+    in exactly one place per engine."""
+    return round_hu(ratio(num, den), digits)
 
 
 _LINES = "string_split(text, chr(10))"
@@ -1140,8 +1138,8 @@ FROM rated"""
 def q_quality_thresholds(cols=("number_of_words", "mean_word_length", "stop_word_fraction"),
                          p_low: float = 0.10, p_high: float = 0.90) -> str:
     aggs = ", ".join(
-        f"round(quantile_cont({c}::DOUBLE, {p_low}), 6)::DOUBLE AS {c}_lo, "
-        f"round(quantile_cont({c}::DOUBLE, {p_high}), 6)::DOUBLE AS {c}_hi"
+        f"{round_hu(f'quantile_cont({c}::DOUBLE, {p_low})')}::DOUBLE AS {c}_lo, "
+        f"{round_hu(f'quantile_cont({c}::DOUBLE, {p_high})')}::DOUBLE AS {c}_hi"
         for c in cols
     )
     return f"WITH {_signals_cte()} SELECT lang, {aggs} FROM sig GROUP BY lang"
@@ -2639,8 +2637,8 @@ def _classifier_ctes(
     float step, trunc-division update written as (a - a%n)//n so the
     exact division agrees with Spark's truncating div for negative
     gradients. Ends with w{n_iters}(j, w)."""
-    p4 = (f"round({round_hu('1.0/(1.0 + exp(-(m.m::DOUBLE/1e6)))', 4)}"
-          " * 1e4)::BIGINT")
+    p4 = ("floor(1.0/(1.0 + exp(-(m.m::DOUBLE/1e6))) * 1e4 + 0.5)"
+          "::BIGINT")
     ctes = [
         f"""f AS MATERIALIZED (
   SELECT id, j, x FROM (
@@ -2687,8 +2685,8 @@ fm AS (
   SELECT f.id, sum(w.w * f.x)::BIGINT AS margin_micro
   FROM f JOIN w{n_iters} w USING (j) GROUP BY 1)
 SELECT id AS doc_id, margin_micro,
-  (round(1.0/(1.0 + exp(-(margin_micro::DOUBLE/1e6))), 4) + 0.0) AS score4,
-  (round(1.0/(1.0 + exp(-(margin_micro::DOUBLE/1e6))), 4) >= 0.5) AS pred
+  {round_hu('1.0/(1.0 + exp(-(margin_micro::DOUBLE/1e6)))', 4)} AS score4,
+  ({round_hu('1.0/(1.0 + exp(-(margin_micro::DOUBLE/1e6)))', 4)} >= 0.5) AS pred
 FROM fm"""
 
 
