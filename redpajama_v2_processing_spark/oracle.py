@@ -1725,7 +1725,7 @@ def q_ann_cosine_topk(query_vec_id: int = 0, k: int = ANN_TOPK) -> str:
 def _hyperplane_sig_ctes(dim: int, nbits: int, table: str = "embeddings") -> str:
     """planes + sig CTEs: identical literal hyperplanes (plane_weights —
     derived once from md5, inlined in both engines), identical bit rule
-    (round(dot,6) > 0). Yields sig(vec_id, bucket)."""
+    (floor-idiom round_hu(dot) > 0). Yields sig(vec_id, bucket)."""
     from .operators.ann import plane_weights
 
     planes = plane_weights(dim, nbits)
