@@ -1704,6 +1704,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_script_mismatch": q_lang_script_mismatch,
     "jaccard_sim_histogram": q_jaccard_sim_histogram,
     "source_overlap": q_source_overlap,
+    "fuzzy_dedup_keep_longest": q_fuzzy_dedup_keep_longest,
+    "bm25_topk": q_bm25_topk,
     # --- implementation/output changed in round 6: re-certify ------------
     # (doc_embeddings exploded reshape; scrub_cc_luhn boundary replace;
     # token_budget_mix exact integer rate; chunking three-level scan feeds
@@ -1751,8 +1753,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrub_pii": q_scrub,
     "exact_dedup_keep": q_exact_dedup_keep,
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
-    "fuzzy_dedup_keep_longest": q_fuzzy_dedup_keep_longest,
-    "bm25_topk": q_bm25_topk,
     "simhash_dedup_keep": q_simhash_dedup_keep,
     "winnow_dedup_keep": q_winnow_dedup_keep,
     "pq_codebooks": q_pq_codebooks,
