@@ -179,10 +179,14 @@ def salted_bucket_edges(bands_df: DataFrame, salt_buckets: int = 16) -> DataFram
     per-reducer working set shrinks by the salt factor."""
     w_g = Window.partitionBy("band_idx", "band_hash", "_salt")
     w_b = Window.partitionBy("band_idx", "band_hash")
+    # _bmin FIRST: the coarse (band, hash) exchange it forces also
+    # satisfies the salted window's ClusteredDistribution (its keys are a
+    # superset), so the _gmin window needs only a re-sort — one Exchange
+    # for both windows instead of two (guide §2.4; plans/r07/*salted*).
     x = (
         bands_df.withColumn("_salt", F.pmod(F.xxhash64("id"), F.lit(salt_buckets)))
-        .withColumn("_gmin", F.min("id").over(w_g))
         .withColumn("_bmin", F.min("id").over(w_b))
+        .withColumn("_gmin", F.min("id").over(w_g))
     )
     # one edge per row: members link to their salt-group min; the group
     # leader (id == _gmin) links its group min to the bucket min. Single

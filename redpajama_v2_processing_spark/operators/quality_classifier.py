@@ -102,12 +102,22 @@ def train_quality_classifier(
     ``label_col`` is a Column of 0/1 labels evaluated against ``df``.
     """
     spark = df.sparkSession
-    feats = feature_frame(df, id_col, text_col, n_buckets).localCheckpoint(
-        eager=True
+    # both frames hash-partitioned by id BEFORE the checkpoint (localCheckpoint
+    # preserves outputPartitioning): every iteration's margin groupBy("id"),
+    # margins⨝labels join and feats⨝resid join then reuse the partitioning
+    # with no exchange — one staging shuffle replaces 2-3 corpus-sized
+    # exchanges per GD iteration (guide §2.4; margins stay id-partitioned
+    # through the broadcast weight join).
+    feats = (
+        feature_frame(df, id_col, text_col, n_buckets)
+        .repartition("id")
+        .localCheckpoint(eager=True)
     )
-    labels = df.select(
-        F.col(id_col).alias("id"), label_col.cast("bigint").alias("y")
-    ).localCheckpoint(eager=True)
+    labels = (
+        df.select(F.col(id_col).alias("id"), label_col.cast("bigint").alias("y"))
+        .repartition("id")
+        .localCheckpoint(eager=True)
+    )
     n_docs = labels.count()
 
     w = [0] * (n_buckets + 1)

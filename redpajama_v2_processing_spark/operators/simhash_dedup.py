@@ -30,12 +30,21 @@ def with_simhash(docs: DataFrame, id_col: str, text_col: str = "text",
     `bits` sum buffers — flat codegen, map-side combine; empty docs -> 0.
     """
     fam = md5int_seeded if portable else xxhash_seeded
-    ids = docs.select(F.col(id_col).alias("id"))
+    # explode_OUTER keeps one null-token row for empty/null docs, so every
+    # doc reaches the aggregation and the old ids re-join (a second docs
+    # scan + a join) is gone (guide §2.4). The null guard on the hash
+    # matters: xxhash64 SKIPS null inputs (hash of nothing = seed
+    # constant), which would cast a real ±1 vote — a null hash makes every
+    # vote sum null and each bit's `> 0` false, reproducing the old
+    # coalesce-to-0 contract exactly.
     tok = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(tokens(normalize(F.col(text_col)))).alias("_t"),
+        F.explode_outer(tokens(normalize(F.col(text_col)))).alias("_t"),
     )
-    hashed = tok.select("id", fam(0, F.col("_t")).alias("_hv"))
+    hashed = tok.select(
+        "id",
+        F.when(F.col("_t").isNotNull(), fam(0, F.col("_t"))).alias("_hv"),
+    )
     votes = hashed.groupBy("id").agg(
         *[
             F.sum(
@@ -53,10 +62,7 @@ def with_simhash(docs: DataFrame, id_col: str, text_col: str = "text",
         ),
         F.lit(0).cast("bigint"),
     )
-    per_doc = votes.select("id", sim.alias("simhash"))
-    return ids.join(per_doc, "id", "left").select(
-        "id", F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash")
-    )
+    return votes.select("id", sim.alias("simhash"))
 
 
 def token_hash_array(text, portable: bool = True):
