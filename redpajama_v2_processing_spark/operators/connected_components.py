@@ -119,23 +119,31 @@ def connected_components(
         driver_threshold = CC_DRIVER_THRESHOLD
     sc = edges.sparkSession.sparkContext
     pre_existing = _persistent_ids(sc)
+    # NO distinct here: every in-repo edge producer already emits distinct
+    # pairs (candidate_edges/salted_bucket_edges/simhash/winnow/jaccard all
+    # end in .distinct(), the verify paths consume distinct candidates), so
+    # the old upfront distinct was one full exchange of the edge set per
+    # dedup query for nothing. Duplicate edges are tolerated everywhere
+    # downstream: union-find is idempotent, the star rounds distinct
+    # internally, and the row-count threshold merely turns conservative
+    # (duplicates can push a small graph onto the distributed path, never
+    # the reverse). The checkpoint now materializes a narrow filter.
     cur = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
         .localCheckpoint()
     )
     if driver_threshold > 0:
         # hybrid strategy: graphs under the threshold are union-found on
         # the driver; only genuinely large graphs pay the distributed
-        # fixpoint. One take() both probes and fetches (the old
-        # limit+count probe then collect was two jobs).
-        rows = cur.take(driver_threshold + 1)
-        if len(rows) <= driver_threshold:
-            result = _driver_side_cc(edges, rows)
+        # fixpoint. count + collect over the cached blocks is two
+        # PREDICTABLE one-pass jobs; take(threshold+1) ran up to 4
+        # scale-up passes (initialNumPartitions=1, x4 per step) because a
+        # small edge set never fills the limit.
+        if cur.count() <= driver_threshold:
+            result = _driver_side_cc(edges, cur.collect())
             _unpersist(sc, _persistent_ids(sc) - pre_existing)
             return result
-        del rows
     prev_sig = None
     for _ in range(max_iter):
         cur = _small_star(_large_star(cur)).localCheckpoint()

@@ -124,18 +124,23 @@ def duplicated_ngram_fraction(
         dg.groupBy("gh")
         .agg(F.count("*").alias("_df"))
         .where(F.col("_df") >= 2)
-        .select("gh")
+        .select("gh", F.lit(1).alias("_dup"))
     )
+    # totals and duplicated counts in ONE aggregation over a single left
+    # join (the dup marker is null for unique grams): the previous form
+    # aggregated dg twice (semi-join count + totals count) and joined
+    # each back separately (guide §2.4).
     per_doc = (
-        dg.join(dup, "gh", "left_semi")
+        dg.join(dup, "gh", "left")
         .groupBy("id")
-        .agg(F.count("*").alias("_nd"))
+        .agg(
+            F.count("*").alias("_nt"),
+            F.sum(F.coalesce("_dup", F.lit(0))).alias("_nd"),
+        )
     )
-    totals = dg.groupBy("id").agg(F.count("*").alias("_nt"))
     ids = docs.select(F.col(id_col).alias("id"))
     return (
-        ids.join(totals, "id", "left")
-        .join(per_doc, "id", "left")
+        ids.join(per_doc, "id", "left")
         .select(
             "id",
             F.coalesce("_nt", F.lit(0)).cast("long").alias("n_ngrams"),

@@ -77,17 +77,18 @@ def span_frame(
 
 def duplicated_spans(spans: DataFrame) -> DataFrame:
     """DF(h, fid, fp): spans occurring >= 2 times corpus-wide, with the
-    global first occurrence (min doc id, then min position in that doc)."""
-    dup = spans.groupBy("h").agg(
-        F.count("*").alias("_n"), F.min("id").alias("fid")
-    ).where(F.col("_n") >= 2)
-    fp = (
-        spans.join(dup.select("h", "fid"), "h")
-        .where(F.col("id") == F.col("fid"))
-        .groupBy("h", "fid")
-        .agg(F.min("p").alias("fp"))
+    global first occurrence (min doc id, then min position in that doc).
+
+    ONE aggregation: min(struct(id, p)) is lexicographic — smallest id,
+    ties to the smallest p — exactly the first-occurrence rule; the
+    previous two-pass form (grouped min id, join back, grouped min p)
+    re-scanned and re-shuffled the span frame (guide §2.4)."""
+    return (
+        spans.groupBy("h")
+        .agg(F.count("*").alias("_n"), F.min(F.struct("id", "p")).alias("_f"))
+        .where(F.col("_n") >= 2)
+        .select("h", F.col("_f.id").alias("fid"), F.col("_f.p").alias("fp"))
     )
-    return fp
 
 
 def _remove_and_rebuild(
@@ -126,16 +127,22 @@ def _remove_and_rebuild(
         ).alias("clean_text"),
         F.count("*").alias("_kept"),
     )
-    n_units = un.groupBy("id").agg(F.count("*").alias("_all"))
-    ids = df.select(F.col(id_col).alias("id"))
+    # total unit count is size(units) — a narrow projection on the ids
+    # frame; the old per-unit groupBy re-aggregated the whole exploded
+    # frame and joined it back (one exchange + one join for a value the
+    # array length already carries). Null units (null text) -> 0, same as
+    # the old left-join coalesce.
+    ids = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.size(units), F.lit(0)).alias("_all"),
+    )
     return (
         ids.join(rebuilt, "id", "left")
-        .join(n_units, "id", "left")
         .select(
             "id",
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
             (
-                F.coalesce("_all", F.lit(0)) - F.coalesce("_kept", F.lit(0))
+                F.col("_all") - F.coalesce("_kept", F.lit(0))
             ).cast("long").alias(removed_name),
         )
     )
