@@ -88,38 +88,33 @@ def doc_embeddings(
         .groupBy("id", "idx")
         .agg(F.sum("c").alias("s"))
     )
-    # exact sum of squares (decimal) -> one sqrt per doc
-    nrm = contrib.groupBy("id").agg(
+    # ONE aggregation per doc carries both the sparse cells (as a map) and
+    # the exact decimal sum of squares; the dense array is then a single
+    # dim-bounded projection (map lookup per index, zero-filled). The
+    # previous composition — separate norm aggregation, ids x dim grid
+    # crossJoin, two joins, and a sort-collect re-aggregation — paid three
+    # extra exchanges for the same cells (guide §2.4). Arithmetic is
+    # unchanged: the identical round_half_up(s / sqrt(ss)) per cell.
+    agg = contrib.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("idx", "s"))).alias("_m"),
         F.sum(F.col("s").cast("decimal(38,0)") * F.col("s"))
         .cast("double")
-        .alias("_ss")
+        .alias("_ss"),
     )
-    # dim-bounded grid so zero cells materialize; sort-collect the dim
-    # (idx, value) structs per doc — the span-rebuild pattern
-    grid = ids.crossJoin(
-        F.broadcast(
-            ids.sparkSession.range(dim).select(F.col("id").cast("int").alias("idx"))
-        )
-    )
-    cells = (
-        grid.join(contrib, ["id", "idx"], "left")
-        .join(nrm, "id", "left")
-        .select(
-            "id",
-            "idx",
-            F.when(
-                F.coalesce(F.col("_ss"), F.lit(0.0)) > 0,
+    dense = agg.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.when(
+                F.col("_ss") > 0,
                 round_half_up(
-                    F.coalesce(F.col("s"), F.lit(0)) / F.sqrt(F.col("_ss")),
+                    F.coalesce(F.col("_m")[i], F.lit(0)) / F.sqrt(F.col("_ss")),
                     EMB_ROUND,
                 ),
-            )
-            .otherwise(0.0)
-            .alias("v"),
-        )
+            ).otherwise(0.0),
+        ).alias("embedding"),
     )
-    return cells.groupBy("id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("idx", "v"))), lambda s: s["v"]
-        ).alias("embedding")
+    zero = F.array(*[F.lit(0.0)] * dim)
+    return ids.join(dense, "id", "left").select(
+        "id", F.coalesce("embedding", zero).alias("embedding")
     )
