@@ -308,8 +308,14 @@ def embedding_near_dup_pairs(
         )
     # checkpoint: both self-join sides consume the banded frame (no
     # subplan sharing in Catalyst — the signature aggregation would run
-    # once per side)
-    banded = banded.localCheckpoint(eager=True)
+    # once per side). Explicit repartition on the join key first: the
+    # byte-tiny banded aggregate otherwise AQE-coalesces to ONE partition
+    # and the checkpoint pins the whole bucket self-join onto one core
+    # (the semdedup r6 lesson); (band, key) partitioning also lets the
+    # self-join reuse the checkpoint partitioning — no further exchange.
+    banded = banded.repartition(
+        verify_partitions(embeddings), "band", "key"
+    ).localCheckpoint(eager=True)
     a = banded.select(F.col("_id").alias("src"), "band", "key")
     c = banded.select(F.col("_id").alias("dst"), "band", "key")
     # explicit repartition of the ids-only candidate frame: byte-based AQE
@@ -391,13 +397,18 @@ def embedding_dedup_star_keep(
     # the banded frame feeds the bucket-min aggregation AND the join back;
     # Catalyst does not share subplans, so without this the 64-sum banding
     # aggregation (the dominant cost) computes twice — same checkpoint the
-    # pairs path takes at embedding_near_dup_pairs.
-    banded = banded_keys_frame(
-        embeddings, id_col, vec_col, dim, nbits, band_bits
-    ).localCheckpoint(eager=True)
-    buckets = banded.groupBy("band", "key").agg(F.min("_id").alias("_min_id"))
+    # pairs path takes at embedding_near_dup_pairs. Repartitioned on the
+    # bucket key before the checkpoint (anti-AQE-serialization + both
+    # consumers reuse the partitioning; see embedding_near_dup_pairs).
     from ..functions.vectors import norm as _vnorm
     from ..functions.vectors import staged_cosine, verify_partitions
+
+    banded = banded_keys_frame(
+        embeddings, id_col, vec_col, dim, nbits, band_bits
+    ).repartition(verify_partitions(embeddings), "band", "key").localCheckpoint(
+        eager=True
+    )
+    buckets = banded.groupBy("band", "key").agg(F.min("_id").alias("_min_id"))
 
     # ids-only star candidates explicitly repartitioned + per-vector norm
     # staging — the same interpreted-verify economics as the pairs path

@@ -146,8 +146,17 @@ def simhash_dedup_keep(
     """
     from .connected_components import connected_components, keep_min_id
 
+    from ..functions.vectors import verify_partitions
+
     sh = with_simhash(docs, id_col, text_col, bits, portable)
-    banded = _banded_simhash(sh, bits, band_bits)
+    # banded feeds the bucket-min aggregation AND the edge join (no
+    # subplan sharing — the signature pass would run twice); repartition
+    # by the bucket key before the checkpoint so (a) the byte-based AQE
+    # coalescer cannot serialize it onto one partition and (b) both
+    # consumers reuse the partitioning with no further exchange.
+    banded = _banded_simhash(sh, bits, band_bits).repartition(
+        verify_partitions(docs), "band", "key"
+    ).localCheckpoint(eager=True)
     buckets = banded.groupBy("band", "key").agg(
         F.min("id").alias("_min_id"), F.min_by("simhash", "id").alias("_min_sim")
     )
@@ -164,7 +173,10 @@ def simhash_dedup_keep(
         .distinct()
     )
     cc = connected_components(edges)
-    ids = sh.select("id")
+    # ids straight from the docs scan (one row per doc == with_simhash's
+    # output set) — selecting off `sh` would re-run the tokenize+vote
+    # aggregation just to list ids
+    ids = docs.select(F.col(id_col).alias("id"))
     return keep_min_id(ids, cc)
 
 
@@ -196,8 +208,18 @@ def simhash_near_pairs(
         )
     # checkpoint: both self-join sides consume the banded frame and
     # Catalyst does not share the subplan — without this the signature
-    # computation (tokenize + explode + bit sums) runs once per side
-    banded = banded.localCheckpoint(eager=True)
+    # computation (tokenize + explode + bit sums) runs once per side.
+    # EXPLICIT repartition on the join key first: the byte-tiny aggregate
+    # output otherwise AQE-coalesces to ONE partition, the checkpoint
+    # captures that, and the whole bucket self-join serializes onto one
+    # core (the semdedup r6 lesson); partitioning by (band, key) also
+    # lets the self-join reuse the checkpoint partitioning — no further
+    # exchange on either side.
+    from ..functions.vectors import verify_partitions
+
+    banded = banded.repartition(
+        verify_partitions(docs), "band", "key"
+    ).localCheckpoint(eager=True)
     a = banded.select(
         F.col("id").alias("src"), F.col("simhash").alias("_ha"), "band", "key"
     )
