@@ -59,19 +59,14 @@ def ngram_jaccard_pairs(
     """DF(src, dst, jaccard), src < dst: exact n-gram Jaccard >= threshold
     over rare-gram candidate pairs (rounded at JACCARD_ROUND before the
     comparison so the cut is engine-portable)."""
-    # the shingle-ARRAY frame is the checkpointed spine: it feeds the df
-    # counts (exploded once) and both verify sides. The intersection is
-    # computed per candidate pair with array_intersect over the staged
-    # arrays — one native O(|A|+|B|) expression — instead of the previous
-    # relational chain (cand ⨝ flat on src ⨝ flat on (dst, g) ⨝ sizes ×2
-    # + a (src, dst) re-aggregation), which shuffled the corpus-sized
-    # gram frame twice more and re-aggregated per pair (guide §2.3/§2.4:
-    # 24 Exchanges -> 11 at the fixture, plans/r07/ngram_jaccard_pairs_*).
-    # |set| sizes come free as size(_sh) on the already-joined arrays.
-    sh = with_shingles(docs, id_col, text_col, n).localCheckpoint(eager=True)
-    flat = sh.select("id", F.explode("_sh").alias("g"))
+    flat = (
+        with_shingles(docs, id_col, text_col, n)
+        .select("id", F.explode("_sh").alias("g"))
+    )
     # shingle arrays are distinct per doc (with_shingles), so count(*)
-    # per gram is document frequency
+    # per id is |set| and count(*) per gram is document frequency
+    flat = flat.localCheckpoint(eager=True)  # feeds sizes, df, rare, inter×2
+    sizes = flat.groupBy("id").agg(F.count("*").alias("_sz"))
     dfc = flat.groupBy("g").agg(F.count("*").alias("_df"))
     rare = flat.join(dfc.where(F.col("_df") <= max_df).select("g"), "g")
 
@@ -81,19 +76,22 @@ def ngram_jaccard_pairs(
         a.join(b, "g").where(F.col("src") < F.col("dst")).select("src", "dst").distinct()
     )
 
-    sa = sh.select(F.col("id").alias("src"), F.col("_sh").alias("_sha"))
-    sb = sh.select(F.col("id").alias("dst"), F.col("_sh").alias("_shb"))
-    inter = F.size(F.array_intersect("_sha", "_shb"))
+    fa = flat.select(F.col("id").alias("src"), "g")
+    fb = flat.select(F.col("id").alias("dst"), "g")
+    inter = (
+        cand.join(fa, "src")
+        .join(fb, ["dst", "g"])
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("_i"))
+    )
+    sa = sizes.select(F.col("id").alias("src"), F.col("_sz").alias("_sa"))
+    sb = sizes.select(F.col("id").alias("dst"), F.col("_sz").alias("_sb"))
     jac = ratio6(
         F.col("_i"), F.col("_sa") + F.col("_sb") - F.col("_i"), JACCARD_ROUND
     )
     return (
-        cand.join(sa, "src")
+        inter.join(sa, "src")
         .join(sb, "dst")
-        .select(
-            "src", "dst", inter.alias("_i"),
-            F.size("_sha").alias("_sa"), F.size("_shb").alias("_sb"),
-        )
         .select("src", "dst", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
