@@ -353,3 +353,23 @@ def test_pq_training_frees_iteration_checkpoints(spark):
     cb.count()
     new = _persistent_ids(sc) - before
     assert len(new) <= 1  # only the final codebook checkpoint survives
+
+
+def test_simhash_empty_and_null_docs_hash_to_zero(spark):
+    """Round-7 explode_outer guard: empty/whitespace/null docs must keep
+    simhash 0 under BOTH hash families. The xxhash family is the trap —
+    xxhash64 SKIPS null inputs (hash of nothing = seed constant), so an
+    unguarded outer-explode row would cast a real ±1 vote and give empty
+    docs a nonzero signature."""
+    df = spark.createDataFrame(
+        [(0, "real words here"), (1, ""), (2, "   "), (3, None)],
+        "doc_id long, text string",
+    )
+    for portable in (True, False):
+        got = {
+            r.id: r.simhash
+            for r in with_simhash(df, "doc_id", portable=portable).collect()
+        }
+        assert set(got) == {0, 1, 2, 3}, got
+        assert got[1] == 0 and got[2] == 0 and got[3] == 0, (portable, got)
+        assert got[0] != 0

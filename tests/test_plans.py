@@ -291,3 +291,32 @@ def test_semdedup_and_jaccard_plan_shape(spark):
     assert "CartesianProduct" not in p2
     assert "BroadcastNestedLoopJoin" not in p2
     assert "Window" not in p2
+
+
+def test_full_pipeline_matches_explicit_composition(spark, pages_small):
+    """Round-7 restructure guard: the window-dedup + CC-label pipeline
+    must return exactly the rows of the r6 composition (label chain +
+    exact_keep_ids left_semi + fuzzy_dedup_keep_ids left_semi)."""
+    from redpajama_v2_processing_spark.config import PROD_MINHASH
+    from redpajama_v2_processing_spark.operators.exact_dedup import exact_keep_ids
+    from redpajama_v2_processing_spark.operators.minhash_lsh import (
+        fuzzy_dedup_keep_ids,
+    )
+    from redpajama_v2_processing_spark.plans.pipeline import (
+        full_pipeline, label_documents,
+    )
+
+    docs = pages_small.select(F.xxhash64("url").alias("doc_id"), "text", "lang")
+    labeled = label_documents(docs).where(F.col("keep"))
+    exact = exact_keep_ids(labeled, "doc_id")
+    survivors = labeled.join(exact, "doc_id", "left_semi")
+    fuzzy = fuzzy_dedup_keep_ids(
+        survivors, "doc_id", cfg=PROD_MINHASH, base="xxhash", salted=True
+    ).withColumnRenamed("id", "doc_id")
+    want = {
+        r.doc_id for r in survivors.join(fuzzy, "doc_id", "left_semi").collect()
+    }
+    out = full_pipeline(docs)
+    got = {r.doc_id for r in out.collect()}
+    assert got == want
+    assert set(out.columns) == set(survivors.columns)
